@@ -1,0 +1,21 @@
+from . import alignment, features  # noqa: F401
+from .alignment import align_frames, rotation_eigh, rotation_qcp, rotation_svd
+from .features import (
+    angle_features,
+    apply_compiled_features,
+    bond_features,
+    dihedral_features,
+    position_features,
+)
+
+__all__ = [
+    "align_frames",
+    "rotation_svd",
+    "rotation_eigh",
+    "rotation_qcp",
+    "angle_features",
+    "bond_features",
+    "dihedral_features",
+    "position_features",
+    "apply_compiled_features",
+]

@@ -1,0 +1,111 @@
+"""Pure-jnp molecular feature math (the reference's numerical contract).
+
+Formulas mirrored exactly from reference molann/ann.py:288-356 (see
+SURVEY.md §2.2 for the contract and golden values):
+
+- bond (type 1):      ``‖x[a1] - x[a0]‖₂``
+- angle (type 0):     ``cosθ = (r21·r23)/(‖r21‖‖r23‖)`` with
+  ``r21 = x[a0]-x[a1]``, ``r23 = x[a2]-x[a1]`` (central atom second);
+  ``use_angle_value=True`` → ``acos`` (deliberately UNclamped, matching the
+  reference — ``|cos| > 1`` from roundoff yields NaN there too).
+- dihedral (type 2):  ``n1 = r12×r23``, ``n2 = r23×r34``,
+  ``cos̃ = n1·n2``, ``siñ = (n1·r34)‖r23‖``, ``ρ = √(cos̃²+siñ²)``;
+  ``use_angle_value=True`` → ``atan2(siñ, cos̃)``; else ``[cos̃/ρ, siñ/ρ]``
+  in that column order.
+- position (type 3):  row-major gather → ``[l, 3n]`` (x,y,z per atom).
+
+All functions take the whole batch and a *static* index array, computing
+every feature of one type in a single vectorized gather + math chain — the
+TPU-native replacement for the reference's per-feature Python loop
+(molann/ann.py:473).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..spec import CompiledFeatures
+
+__all__ = [
+    "bond_features",
+    "angle_features",
+    "dihedral_features",
+    "position_features",
+    "apply_compiled_features",
+]
+
+
+def _gather(x, idx_2d):
+    """x: [l, n, 3]; idx_2d: static [m, k] → [l, m, k, 3]."""
+    idx = np.asarray(idx_2d, dtype=np.int32)
+    return x[:, idx, :]
+
+
+def bond_features(x, bond_idx):
+    """[l, n, 3] × static [nb, 2] → [l, nb] bond lengths."""
+    g = _gather(x, bond_idx)
+    r12 = g[:, :, 1, :] - g[:, :, 0, :]
+    return jnp.linalg.norm(r12, axis=-1)
+
+
+def angle_features(x, angle_idx, use_angle_value: bool):
+    """[l, n, 3] × static [na, 3] → [l, na] cosθ or θ (unclamped acos)."""
+    g = _gather(x, angle_idx)
+    r21 = g[:, :, 0, :] - g[:, :, 1, :]
+    r23 = g[:, :, 2, :] - g[:, :, 1, :]
+    r21l = jnp.linalg.norm(r21, axis=-1)
+    r23l = jnp.linalg.norm(r23, axis=-1)
+    cos_angle = jnp.sum(r21 * r23, axis=-1) / (r21l * r23l)
+    if use_angle_value:
+        return jnp.arccos(cos_angle)
+    return cos_angle
+
+
+def dihedral_features(x, dihedral_idx, use_angle_value: bool):
+    """[l, n, 3] × static [nd, 4] → [l, nd] φ or [l, nd, 2] [cosφ, sinφ]."""
+    g = _gather(x, dihedral_idx)
+    r12 = g[:, :, 1, :] - g[:, :, 0, :]
+    r23 = g[:, :, 2, :] - g[:, :, 1, :]
+    r34 = g[:, :, 3, :] - g[:, :, 2, :]
+    n1 = jnp.cross(r12, r23)
+    n2 = jnp.cross(r23, r34)
+    cos_phi = jnp.sum(n1 * n2, axis=-1)
+    sin_phi = jnp.sum(n1 * r34, axis=-1) * jnp.linalg.norm(r23, axis=-1)
+    if use_angle_value:
+        return jnp.arctan2(sin_phi, cos_phi)
+    radius = jnp.sqrt(cos_phi * cos_phi + sin_phi * sin_phi)
+    return jnp.stack([cos_phi / radius, sin_phi / radius], axis=-1)
+
+
+def position_features(x, position_idx):
+    """[l, n, 3] × static flat [m] → [l, 3m] row-major (x,y,z per atom)."""
+    idx = np.asarray(position_idx, dtype=np.int32)
+    return x[:, idx, :].reshape(x.shape[0], 3 * len(idx))
+
+
+def apply_compiled_features(spec: CompiledFeatures, x):
+    """Evaluate all features of a compiled spec: ``[l, n, 3] → [l, d]``.
+
+    Computes type-grouped blocks (one fused chain per type), concatenates,
+    and applies the static column permutation restoring feature-list order.
+    """
+    l = x.shape[0]
+    parts = []
+    if spec.n_angles:
+        parts.append(angle_features(x, spec.angle_idx, spec.use_angle_value))
+    if spec.n_bonds:
+        parts.append(bond_features(x, spec.bond_idx))
+    if spec.n_dihedrals:
+        d = dihedral_features(x, spec.dihedral_idx, spec.use_angle_value)
+        if not spec.use_angle_value:
+            d = d.reshape(l, 2 * spec.n_dihedrals)
+        parts.append(d)
+    if spec.n_position_atoms:
+        parts.append(position_features(x, spec.position_idx))
+    if not parts:
+        return jnp.zeros((l, 0), dtype=x.dtype)
+    feats = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
+    if spec.perm is not None:
+        feats = feats[:, np.asarray(spec.perm, dtype=np.int32)]
+    return feats

@@ -1,0 +1,15 @@
+from .mesh import data_mesh, batch_sharding, replicated_sharding
+from .data_parallel import (
+    make_data_parallel_fn,
+    shard_batch,
+    psum_mean_grads,
+)
+
+__all__ = [
+    "data_mesh",
+    "batch_sharding",
+    "replicated_sharding",
+    "make_data_parallel_fn",
+    "shard_batch",
+    "psum_mean_grads",
+]

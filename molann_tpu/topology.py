@@ -1,0 +1,438 @@
+"""Topology front-end: minimal PDB reader + MDAnalysis-compatible atom groups.
+
+The reference library (zwpku/molann) depends on MDAnalysis only through a
+tiny duck-typed surface: ``Universe(pdb)``, ``universe.select_atoms(sel)``,
+``AtomGroup.ix`` (0-based indices, numpy), ``AtomGroup.positions`` (float32
+``[n, 3]``), ``len(ag)``, iteration over atoms, and order-preserving ``+``
+concatenation (reference: molann/feature.py:84,101,123 and
+molann/ann.py:131-135,255-258).  MDAnalysis is not installed in this
+environment, so this module provides a standalone implementation of exactly
+that surface, plus the subset of the MDAnalysis selection language the
+reference exercises (``bynum``, ``index``, ``resid``, ``name``, ``type``,
+``resname``, ``all``, ``and``/``or``/``not``, parentheses, numeric ranges).
+
+If real MDAnalysis objects are passed to the rest of the library they work
+unchanged — everything downstream is duck-typed on ``.ix`` / ``.positions`` /
+``len`` / iteration, never on these classes.
+
+Semantics intentionally mirrored from MDAnalysis:
+
+- ``select_atoms`` returns atoms in index-sorted order with duplicates
+  removed (so ``bynum 5 2`` comes back as atoms 2,5 — the reason the
+  reference's feature files use one selector per atom when order matters,
+  see reference test/feature.txt:9).
+- ``ag1 + ag2`` concatenates preserving order and keeping duplicates
+  (duplicate rejection happens later in ``Feature``,
+  reference molann/feature.py:84-85).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+__all__ = ["Atom", "AtomGroup", "Universe", "SelectionError"]
+
+
+class SelectionError(ValueError):
+    """Raised for selection strings outside the supported subset."""
+
+
+# Elements that keep two letters when guessed from an atom name.  Small
+# curated table (same spirit as MDAnalysis' guessers); everything else falls
+# back to the first alphabetic character of the digit-stripped name.
+_TWO_LETTER_ELEMENTS = {
+    "CL", "BR", "NA", "MG", "FE", "ZN", "CA2", "MN", "CU", "CO", "NI",
+    "SE", "SI", "LI", "AL", "RB", "CS", "SR", "BA", "HE", "NE", "AR",
+    "KR", "XE", "CD", "HG", "PB", "PT", "AU", "AG",
+}
+
+
+def guess_atom_type(name: str) -> str:
+    """Guess an element-like atom type from a PDB atom name.
+
+    Mirrors the common-case behavior of MDAnalysis' type guesser for
+    organic systems: leading digits are dropped (``1HH3`` -> H), trailing
+    digits are dropped (``CH3`` -> C via ``CH`` -> first letter), and a
+    small two-letter-element table is consulted.
+    """
+    stripped = name.strip()
+    stripped = stripped.lstrip("0123456789")
+    if not stripped:
+        return ""
+    if stripped[0] in "Hh":
+        return "H"
+    no_digits = stripped.rstrip("0123456789")
+    upper = (no_digits or stripped).upper()
+    if upper in _TWO_LETTER_ELEMENTS:
+        return upper.capitalize() if len(upper) > 1 else upper
+    return upper[0]
+
+
+class Atom:
+    """One atom of a :class:`Universe`. Hashable, identity = (universe, ix)."""
+
+    __slots__ = ("universe", "ix")
+
+    def __init__(self, universe: "Universe", ix: int):
+        self.universe = universe
+        self.ix = int(ix)
+
+    @property
+    def name(self) -> str:
+        return self.universe._names[self.ix]
+
+    @property
+    def type(self) -> str:
+        return self.universe._types[self.ix]
+
+    @property
+    def resid(self) -> int:
+        return int(self.universe._resids[self.ix])
+
+    @property
+    def resname(self) -> str:
+        return self.universe._resnames[self.ix]
+
+    @property
+    def position(self) -> np.ndarray:
+        return self.universe._positions[self.ix]
+
+    def __eq__(self, other):
+        return (
+            isinstance(other, Atom)
+            and other.universe is self.universe
+            and other.ix == self.ix
+        )
+
+    def __hash__(self):
+        return hash((id(self.universe), self.ix))
+
+    def __repr__(self):
+        return f"<Atom {self.ix + 1}: {self.name} of resid {self.resid}>"
+
+
+class AtomGroup:
+    """Ordered collection of atoms of one universe (duplicates allowed).
+
+    Implements the duck-typed surface the feature/ANN layers require:
+    ``.ix`` (0-based numpy int array), ``.positions`` (float32 ``[n, 3]``),
+    ``len``, iteration, indexing, and order-preserving ``+``.
+    """
+
+    def __init__(self, universe: "Universe", indices):
+        self.universe = universe
+        self._ix = np.asarray(indices, dtype=np.int64).reshape(-1)
+        n = len(universe._names)
+        if self._ix.size and (self._ix.min() < 0 or self._ix.max() >= n):
+            raise IndexError("atom index out of range for universe")
+
+    @property
+    def ix(self) -> np.ndarray:
+        """0-based atom indices (numpy array), MDAnalysis-compatible."""
+        return self._ix.copy()
+
+    @property
+    def positions(self) -> np.ndarray:
+        """float32 ``[n, 3]`` coordinates, MDAnalysis-compatible."""
+        return self.universe._positions[self._ix].astype(np.float32)
+
+    @property
+    def names(self) -> np.ndarray:
+        return np.array([self.universe._names[i] for i in self._ix])
+
+    @property
+    def types(self) -> np.ndarray:
+        return np.array([self.universe._types[i] for i in self._ix])
+
+    @property
+    def resids(self) -> np.ndarray:
+        return np.array([self.universe._resids[i] for i in self._ix])
+
+    @property
+    def resnames(self) -> np.ndarray:
+        return np.array([self.universe._resnames[i] for i in self._ix])
+
+    @property
+    def n_atoms(self) -> int:
+        return len(self._ix)
+
+    @property
+    def atoms(self) -> "AtomGroup":
+        return self
+
+    def select_atoms(self, selection: str) -> "AtomGroup":
+        """Select within this group (result index-sorted, deduplicated)."""
+        mask = _evaluate_selection(selection, self.universe)
+        member = np.zeros_like(mask)
+        member[self._ix] = True
+        return AtomGroup(self.universe, np.nonzero(mask & member)[0])
+
+    def __len__(self):
+        return len(self._ix)
+
+    def __iter__(self):
+        for i in self._ix:
+            yield Atom(self.universe, int(i))
+
+    def __getitem__(self, item):
+        if isinstance(item, (int, np.integer)):
+            return Atom(self.universe, int(self._ix[item]))
+        return AtomGroup(self.universe, self._ix[item])
+
+    def __add__(self, other: "AtomGroup") -> "AtomGroup":
+        if other.universe is not self.universe:
+            raise ValueError("cannot concatenate groups from different universes")
+        return AtomGroup(self.universe, np.concatenate([self._ix, other.ix]))
+
+    def __eq__(self, other):
+        return (
+            isinstance(other, AtomGroup)
+            and other.universe is self.universe
+            and np.array_equal(other._ix, self._ix)
+        )
+
+    def __hash__(self):
+        return hash((id(self.universe), self._ix.tobytes()))
+
+    def __repr__(self):
+        return f"<AtomGroup with {len(self)} atoms>"
+
+
+class Universe:
+    """Minimal MDAnalysis-compatible universe built from a PDB file.
+
+    Only ATOM/HETATM records are read (fixed PDB columns with a
+    whitespace-split fallback); this covers the reference's fixture
+    (reference test/alanine-dipeptide-vacuum.pdb) and standard PDBs.
+
+    Can also be built directly from arrays via :meth:`from_arrays`.
+    """
+
+    def __init__(self, pdb_filename: str | None = None):
+        self._names: list[str] = []
+        self._types: list[str] = []
+        self._resids: list[int] = []
+        self._resnames: list[str] = []
+        self._positions = np.zeros((0, 3), dtype=np.float32)
+        if pdb_filename is not None:
+            self._load_pdb(pdb_filename)
+
+    # -- construction ------------------------------------------------------
+
+    @classmethod
+    def from_arrays(cls, positions, names=None, resids=None, resnames=None,
+                    types=None) -> "Universe":
+        u = cls(None)
+        pos = np.asarray(positions, dtype=np.float32).reshape(-1, 3)
+        n = pos.shape[0]
+        u._positions = pos
+        u._names = list(names) if names is not None else [f"X{i+1}" for i in range(n)]
+        u._resids = [int(r) for r in resids] if resids is not None else [1] * n
+        u._resnames = list(resnames) if resnames is not None else ["UNK"] * n
+        if types is not None:
+            u._types = list(types)
+        else:
+            u._types = [guess_atom_type(nm) for nm in u._names]
+        return u
+
+    def _load_pdb(self, filename: str) -> None:
+        names, resids, resnames, coords, elements = [], [], [], [], []
+        with open(filename, "r") as fh:
+            for line in fh:
+                rec = line[:6].strip()
+                if rec not in ("ATOM", "HETATM"):
+                    continue
+                try:
+                    name = line[12:16].strip()
+                    resname = line[17:20].strip()
+                    resid = int(line[22:26])
+                    x = float(line[30:38])
+                    y = float(line[38:46])
+                    z = float(line[46:54])
+                    element = line[76:78].strip() if len(line) >= 78 else ""
+                except (ValueError, IndexError):
+                    # Fallback for non-standard column layouts.
+                    parts = line.split()
+                    name, resname = parts[2], parts[3]
+                    resid = int(parts[4])
+                    x, y, z = (float(v) for v in parts[5:8])
+                    element = ""
+                names.append(name)
+                resnames.append(resname)
+                resids.append(resid)
+                coords.append((x, y, z))
+                elements.append(element)
+        self._names = names
+        self._resnames = resnames
+        self._resids = resids
+        self._positions = np.asarray(coords, dtype=np.float32)
+        self._types = [
+            el.capitalize() if el else guess_atom_type(nm)
+            for el, nm in zip(elements, names)
+        ]
+
+    # -- MDAnalysis-compatible API ----------------------------------------
+
+    @property
+    def atoms(self) -> AtomGroup:
+        return AtomGroup(self, np.arange(len(self._names)))
+
+    @property
+    def n_atoms(self) -> int:
+        return len(self._names)
+
+    def select_atoms(self, selection: str) -> AtomGroup:
+        """Evaluate a selection string; result is index-sorted, deduplicated
+        (MDAnalysis semantics — see module docstring)."""
+        mask = _evaluate_selection(selection, self)
+        return AtomGroup(self, np.nonzero(mask)[0])
+
+
+# ---------------------------------------------------------------------------
+# Selection language (subset of MDAnalysis' grammar)
+# ---------------------------------------------------------------------------
+
+_KEYWORDS = {
+    "and", "or", "not", "all", "bynum", "index", "resid", "name", "type",
+    "resname",
+}
+
+_TOKEN_RE = re.compile(r"\(|\)|[^\s()]+")
+
+
+def _tokenize(selection: str) -> list[str]:
+    return _TOKEN_RE.findall(selection)
+
+
+class _Parser:
+    """Recursive-descent parser producing a boolean mask over all atoms.
+
+    Grammar:
+        expr     := and_expr ('or' and_expr)*
+        and_expr := not_expr ('and' not_expr)*
+        not_expr := 'not' not_expr | '(' expr ')' | primary
+        primary  := 'all' | ('bynum'|'index'|'resid') range+ |
+                    ('name'|'type'|'resname') value+
+        range    := INT | INT:INT | INT-INT        (bynum is 1-based,
+                                                    index is 0-based)
+    """
+
+    def __init__(self, tokens: list[str], universe: Universe):
+        self.tokens = tokens
+        self.pos = 0
+        self.u = universe
+
+    def peek(self):
+        return self.tokens[self.pos] if self.pos < len(self.tokens) else None
+
+    def next(self):
+        tok = self.peek()
+        if tok is None:
+            raise SelectionError("unexpected end of selection string")
+        self.pos += 1
+        return tok
+
+    def parse(self) -> np.ndarray:
+        mask = self.expr()
+        if self.peek() is not None:
+            raise SelectionError(f"unexpected token {self.peek()!r}")
+        return mask
+
+    def expr(self) -> np.ndarray:
+        mask = self.and_expr()
+        while self.peek() == "or":
+            self.next()
+            mask = mask | self.and_expr()
+        return mask
+
+    def and_expr(self) -> np.ndarray:
+        mask = self.not_expr()
+        while self.peek() == "and":
+            self.next()
+            mask = mask & self.not_expr()
+        return mask
+
+    def not_expr(self) -> np.ndarray:
+        tok = self.peek()
+        if tok == "not":
+            self.next()
+            return ~self.not_expr()
+        if tok == "(":
+            self.next()
+            mask = self.expr()
+            if self.next() != ")":
+                raise SelectionError("missing closing parenthesis")
+            return mask
+        return self.primary()
+
+    def primary(self) -> np.ndarray:
+        tok = self.next()
+        n = self.u.n_atoms
+        if tok == "all":
+            return np.ones(n, dtype=bool)
+        if tok in ("bynum", "index", "resid"):
+            values = self._collect_ranges(tok)
+            if tok == "bynum":
+                field = np.arange(1, n + 1)
+            elif tok == "index":
+                field = np.arange(n)
+            else:
+                field = np.asarray(self.u._resids)
+            mask = np.zeros(n, dtype=bool)
+            for lo, hi in values:
+                mask |= (field >= lo) & (field <= hi)
+            return mask
+        if tok in ("name", "type", "resname"):
+            values = self._collect_values(tok)
+            attr = {"name": "_names", "type": "_types", "resname": "_resnames"}
+            field = np.asarray(getattr(self.u, attr[tok]))
+            mask = np.zeros(n, dtype=bool)
+            for v in values:
+                if "*" in v or "?" in v:
+                    pat = re.compile(re.escape(v).replace(r"\*", ".*").replace(r"\?", "."))
+                    mask |= np.array([bool(pat.fullmatch(f)) for f in field])
+                else:
+                    mask |= field == v
+            return mask
+        raise SelectionError(
+            f"unsupported selection keyword {tok!r}; supported subset: "
+            f"{sorted(_KEYWORDS)}"
+        )
+
+    def _collect_ranges(self, kw: str) -> list[tuple[int, int]]:
+        out = []
+        range_re = re.compile(r"^(-?\d+)(?:[:\-](-?\d+))?$")
+        while True:
+            tok = self.peek()
+            if tok is None or tok in _KEYWORDS or tok in "()":
+                break
+            m = range_re.match(tok)
+            if not m:
+                break
+            self.next()
+            lo = int(m.group(1))
+            hi = int(m.group(2)) if m.group(2) is not None else lo
+            out.append((lo, hi))
+        if not out:
+            raise SelectionError(f"'{kw}' needs at least one number/range")
+        return out
+
+    def _collect_values(self, kw: str) -> list[str]:
+        out = []
+        while True:
+            tok = self.peek()
+            if tok is None or tok in _KEYWORDS or tok in "()":
+                break
+            out.append(self.next())
+        if not out:
+            raise SelectionError(f"'{kw}' needs at least one value")
+        return out
+
+
+def _evaluate_selection(selection: str, universe: Universe) -> np.ndarray:
+    tokens = _tokenize(selection.strip())
+    if not tokens:
+        raise SelectionError("empty selection string")
+    return _Parser(tokens, universe).parse()

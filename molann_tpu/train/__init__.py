@@ -1,0 +1,26 @@
+from .loop import (
+    TrainResult,
+    fit,
+    make_train_step,
+    masked_optimizer,
+    trainable_mask,
+)
+from .losses import autoencoder_loss, mse_loss, registry as loss_registry
+from .data import TrajectoryDataset, batch_iterator, save_trajectory
+from .forces import coordinate_gradients, force_fn
+
+__all__ = [
+    "make_train_step",
+    "masked_optimizer",
+    "fit",
+    "TrainResult",
+    "trainable_mask",
+    "mse_loss",
+    "autoencoder_loss",
+    "loss_registry",
+    "TrajectoryDataset",
+    "batch_iterator",
+    "save_trajectory",
+    "coordinate_gradients",
+    "force_fn",
+]

@@ -1,0 +1,74 @@
+"""Trajectory data: memory-mapped frame storage + batch iteration.
+
+Frames are stored as ``.npy`` arrays of shape ``[n_frames, n_atoms, 3]``
+(float32). Loading is zero-copy via numpy memory-mapping, so trajectories
+far larger than host RAM stream batch-by-batch into device memory. Batches
+are cropped to a multiple of the device count so static-shape sharding over
+the ``('data',)`` mesh always divides evenly.
+
+(A C++ prefetching reader backs this module when built — see
+molann_tpu/io/native_loader.py; this pure-numpy path is always available.)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["TrajectoryDataset", "batch_iterator", "save_trajectory"]
+
+
+def save_trajectory(path, frames):
+    """Save ``[n_frames, n_atoms, 3]`` float32 frames as .npy."""
+    arr = np.ascontiguousarray(frames, dtype=np.float32)
+    if arr.ndim != 3 or arr.shape[-1] != 3:
+        raise ValueError(f"expected [n_frames, n_atoms, 3], got {arr.shape}")
+    np.save(path, arr)
+    return path
+
+
+class TrajectoryDataset:
+    """Memory-mapped trajectory of coordinate frames."""
+
+    def __init__(self, path):
+        self.path = str(path)
+        self.frames = np.load(self.path, mmap_mode="r")
+        if self.frames.ndim != 3 or self.frames.shape[-1] != 3:
+            raise ValueError(
+                f"expected [n_frames, n_atoms, 3], got {self.frames.shape}"
+            )
+
+    @property
+    def n_frames(self):
+        return self.frames.shape[0]
+
+    @property
+    def n_atoms(self):
+        return self.frames.shape[1]
+
+    def __len__(self):
+        return self.n_frames
+
+    def __getitem__(self, item):
+        return np.asarray(self.frames[item], dtype=np.float32)
+
+
+def batch_iterator(dataset, batch_size, *, shuffle=True, seed=0,
+                   epochs=None, drop_remainder=True, multiple_of=1):
+    """Yield float32 frame batches ``[batch_size, n_atoms, 3]``.
+
+    batch_size is rounded down to a multiple of ``multiple_of`` (pass the
+    device count for even sharding). ``epochs=None`` iterates forever.
+    """
+    n = len(dataset)
+    batch_size = max(multiple_of, (batch_size // multiple_of) * multiple_of)
+    rng = np.random.default_rng(seed)
+    epoch = 0
+    while epochs is None or epoch < epochs:
+        order = rng.permutation(n) if shuffle else np.arange(n)
+        for start in range(0, n - batch_size + 1, batch_size):
+            idx = np.sort(order[start : start + batch_size])
+            yield dataset[idx]
+        if not drop_remainder and n % batch_size:
+            tail = np.sort(order[-(n % batch_size):])
+            yield dataset[tail]
+        epoch += 1

@@ -1,0 +1,138 @@
+"""Training loop: optax step with data-parallel sharding over a mesh.
+
+Design (SURVEY.md §5.8): parameters are KB-scale and replicate; only the
+frame batch shards, along a 1D ``('data',)`` mesh. The train step is jitted
+with explicit shardings (model/opt-state replicated, batch sharded) and XLA
+inserts the gradient all-reduce over ICI. Non-trainable leaves (e.g. the
+alignment reference buffer ``ref_x``) are frozen via ``optax.masked`` —
+mirroring the reference where ``ref_x`` is a registered *buffer*, not a
+parameter (reference molann/ann.py:137).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..parallel.mesh import batch_sharding, replicated_sharding
+
+__all__ = [
+    "trainable_mask",
+    "masked_optimizer",
+    "make_train_step",
+    "fit",
+    "TrainResult",
+]
+
+
+def trainable_mask(model, predicate: Callable | None = None):
+    """Boolean pytree marking trainable leaves.
+
+    Default policy: leaves reached through an ``ann_layers`` or ``params``
+    attribute are trainable (MLP weights); everything else (alignment
+    ``ref_x`` buffers) is frozen.
+    """
+    if predicate is None:
+        def predicate(path, leaf):
+            names = {
+                k.name for k in path if isinstance(k, jax.tree_util.GetAttrKey)
+            }
+            return bool(names & {"ann_layers", "params"})
+
+    flat, treedef = jax.tree_util.tree_flatten_with_path(model)
+    return jax.tree_util.tree_unflatten(
+        treedef, [bool(predicate(path, leaf)) for path, leaf in flat]
+    )
+
+
+def masked_optimizer(optimizer, mask):
+    """Apply ``optimizer`` to leaves marked True in ``mask``; FREEZE the
+    rest (zero updates — note ``optax.masked`` alone would pass raw
+    gradients through to unmasked leaves)."""
+    labels = jax.tree_util.tree_map(
+        lambda b: "train" if b else "freeze", mask
+    )
+    # NB: pass labels via a closure — model pytrees are callable objects and
+    # optax.multi_transform would otherwise invoke them as a label function.
+    return optax.multi_transform(
+        {"train": optimizer, "freeze": optax.set_to_zero()}, lambda _: labels
+    )
+
+
+def make_train_step(loss_fn, optimizer, mesh=None, *, donate=False):
+    """Build a jitted ``step(model, opt_state, batch) -> (model, opt_state,
+    loss)``.
+
+    loss_fn: ``(model, batch) -> scalar``.
+    optimizer: an optax GradientTransformation (wrap with ``optax.masked``
+    yourself, or use :func:`fit` which does it for you).
+    mesh: optional ``('data',)`` mesh — when given, the batch is expected
+    sharded on its leading dim and the model/opt-state replicated; XLA
+    reduces gradients over ICI automatically.
+    donate: donate model/opt-state buffers (in-place update; the passed-in
+    model object becomes invalid — production loops only).
+    """
+
+    def step(model, opt_state, batch):
+        loss, grads = jax.value_and_grad(loss_fn)(model, batch)
+        updates, opt_state = optimizer.update(grads, opt_state, model)
+        model = optax.apply_updates(model, updates)
+        return model, opt_state, loss
+
+    donate_argnums = (0, 1) if donate else ()
+    if mesh is None:
+        return jax.jit(step, donate_argnums=donate_argnums)
+
+    repl = replicated_sharding(mesh)
+    bsh = batch_sharding(mesh)
+    return jax.jit(
+        step,
+        in_shardings=(repl, repl, bsh),
+        out_shardings=(repl, repl, repl),
+        donate_argnums=donate_argnums,
+    )
+
+
+@dataclass
+class TrainResult:
+    model: Any
+    losses: list
+
+
+def fit(model, loss_fn, data_iter, *, optimizer=None, mesh=None,
+        num_steps=None, mask=None, log_every=0):
+    """Train ``model`` with ``loss_fn(model, batch)`` over ``data_iter``.
+
+    Non-trainable leaves are frozen via ``optax.masked`` with
+    :func:`trainable_mask` (pass ``mask`` to override). When ``mesh`` is
+    given, each batch is device_put sharded over the data axis before the
+    step. Returns :class:`TrainResult` with the trained model and the loss
+    trace.
+    """
+    if optimizer is None:
+        optimizer = optax.adam(1e-3)
+    if mask is None:
+        mask = trainable_mask(model)
+    optimizer = masked_optimizer(optimizer, mask)
+    opt_state = optimizer.init(model)
+    step = make_train_step(loss_fn, optimizer, mesh)
+
+    if mesh is not None:
+        from ..parallel.data_parallel import shard_batch
+
+    losses = []
+    for i, batch in enumerate(data_iter):
+        if num_steps is not None and i >= num_steps:
+            break
+        if mesh is not None:
+            batch = shard_batch(batch, mesh)
+        model, opt_state, loss = step(model, opt_state, batch)
+        losses.append(loss)
+        if log_every and (i + 1) % log_every == 0:
+            print(f"step {i + 1}: loss={float(loss):.6g}")
+    losses = [float(l) for l in losses]
+    return TrainResult(model=model, losses=losses)

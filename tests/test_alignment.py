@@ -1,0 +1,132 @@
+"""Alignment solver properties: solver agreement, invariance, gradients."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from molann_tpu.ops.alignment import (
+    align_frames,
+    kabsch_covariance,
+    rotation_eigh,
+    rotation_qcp,
+    rotation_svd,
+)
+
+
+def random_covariances(rng, batch=32, n=7):
+    a = rng.normal(size=(batch, n, 3)).astype(np.float32)
+    b = rng.normal(size=(n, 3)).astype(np.float32)
+    a -= a.mean(1, keepdims=True)
+    b -= b.mean(0, keepdims=True)
+    return kabsch_covariance(jnp.asarray(a), jnp.asarray(b)), a, b
+
+
+def test_solvers_agree(rng):
+    H, _, _ = random_covariances(rng)
+    rs = np.asarray(rotation_svd(H))
+    re = np.asarray(rotation_eigh(H))
+    rq = np.asarray(rotation_qcp(H))
+    np.testing.assert_allclose(rs, re, atol=2e-5)
+    np.testing.assert_allclose(rs, rq, atol=2e-5)
+
+
+def test_rotations_are_proper(rng):
+    H, _, _ = random_covariances(rng)
+    for solver in (rotation_svd, rotation_eigh, rotation_qcp):
+        r = np.asarray(solver(H))
+        np.testing.assert_allclose(np.linalg.det(r), 1.0, atol=1e-5)
+        eye = np.einsum("lij,lkj->lik", r, r)
+        np.testing.assert_allclose(
+            eye, np.broadcast_to(np.eye(3), eye.shape), atol=1e-5
+        )
+
+
+def test_reflection_case_gives_proper_rotation(rng):
+    # Mirror-image point sets force the det(UVᵀ) = -1 branch.
+    a = rng.normal(size=(8, 6, 3)).astype(np.float32)
+    b = (a[0] * np.array([1, 1, -1], np.float32))
+    a -= a.mean(1, keepdims=True)
+    b -= b.mean(0, keepdims=True)
+    H = kabsch_covariance(jnp.asarray(a), jnp.asarray(b))
+    for solver in (rotation_svd, rotation_eigh, rotation_qcp):
+        r = np.asarray(solver(H))
+        np.testing.assert_allclose(np.linalg.det(r), 1.0, atol=1e-5)
+
+
+def test_qcp_minimizes_residual(rng):
+    H, a, b = random_covariances(rng)
+    for solver in (rotation_svd, rotation_qcp):
+        r = solver(H)
+        res = float(jnp.sum((jnp.matmul(jnp.asarray(a), r) - jnp.asarray(b)) ** 2))
+        # all solvers hit the same optimum
+        if solver is rotation_svd:
+            baseline = res
+        else:
+            assert abs(res - baseline) < 1e-2 * max(1.0, baseline)
+
+
+@pytest.mark.parametrize("method", ["svd", "eigh", "qcp"])
+def test_align_frames_invariance_random(rng, method):
+    x = rng.normal(size=(4, 10, 3)).astype(np.float32) * 3.0
+    ref = x[0, :5] - x[0, :5].mean(0, keepdims=True)
+    idx = [0, 1, 2, 3, 4]
+    # random rigid motion
+    q = rng.normal(size=4)
+    q /= np.linalg.norm(q)
+    w, i, j, k = q
+    rot = np.array(
+        [
+            [1 - 2 * (j * j + k * k), 2 * (i * j - w * k), 2 * (i * k + w * j)],
+            [2 * (i * j + w * k), 1 - 2 * (i * i + k * k), 2 * (j * k - w * i)],
+            [2 * (i * k - w * j), 2 * (j * k + w * i), 1 - 2 * (i * i + j * j)],
+        ],
+        dtype=np.float32,
+    )
+    x2 = x @ rot.T + rng.normal(size=3).astype(np.float32)
+    o1 = np.asarray(align_frames(jnp.asarray(x), ref, idx, method=method))
+    o2 = np.asarray(align_frames(jnp.asarray(x2), ref, idx, method=method))
+    np.testing.assert_allclose(o1, o2, atol=1e-4)  # float32 eigh path ~5e-5
+
+
+@pytest.mark.parametrize("method", ["qcp", "eigh", "svd"])
+def test_alignment_gradients_finite(rng, method):
+    x = jnp.asarray(rng.normal(size=(3, 8, 3)).astype(np.float32))
+    ref = np.asarray(x[0, :4] - x[0, :4].mean(0, keepdims=True))
+    g = jax.grad(
+        lambda xx: jnp.sum(align_frames(xx, ref, [0, 1, 2, 3], method=method) ** 2)
+    )(x)
+    assert bool(jnp.isfinite(g).all())
+
+
+def test_qcp_gradient_matches_svd_gradient(rng):
+    # Same optimum + smooth parameterization => same gradient away from
+    # degeneracies. (The reference backprops through SVD with detached sign.)
+    x = jnp.asarray(rng.normal(size=(5, 9, 3)).astype(np.float32))
+    ref = np.asarray(
+        rng.normal(size=(4, 3)).astype(np.float32)
+    )
+    ref -= ref.mean(0, keepdims=True)
+    idx = [1, 3, 5, 7]
+
+    def loss(xx, method):
+        out = align_frames(xx, ref, idx, method=method)
+        return jnp.sum(jnp.sin(out) * jnp.cos(2.0 * out))
+
+    g_svd = np.asarray(jax.grad(loss)(x, "svd"))
+    g_qcp = np.asarray(jax.grad(loss)(x, "qcp"))
+    g_eigh = np.asarray(jax.grad(loss)(x, "eigh"))
+    scale = np.abs(g_svd).max()
+    np.testing.assert_allclose(g_qcp, g_svd, atol=5e-4 * scale)
+    np.testing.assert_allclose(g_eigh, g_svd, atol=5e-4 * scale)
+
+
+def test_jit_and_vmap_compose(rng):
+    x = jnp.asarray(rng.normal(size=(6, 8, 3)).astype(np.float32))
+    ref = np.asarray(x[0, :4] - x[0, :4].mean(0, keepdims=True))
+    f = jax.jit(lambda xx: align_frames(xx, ref, [0, 1, 2, 3], method="qcp"))
+    np.testing.assert_allclose(
+        np.asarray(f(x)),
+        np.asarray(align_frames(x, ref, [0, 1, 2, 3], method="qcp")),
+        atol=1e-5,  # jit fusion reorders float ops at the ~1e-6 level
+    )

@@ -1,0 +1,73 @@
+"""Training-layer tests: data pipeline, forces, losses."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from molann_tpu.systems import alanine_model
+from molann_tpu.train import (
+    TrajectoryDataset,
+    autoencoder_loss,
+    batch_iterator,
+    coordinate_gradients,
+    force_fn,
+    save_trajectory,
+)
+
+
+def test_trajectory_roundtrip(tmp_path, rng):
+    frames = rng.normal(size=(100, 22, 3)).astype(np.float32)
+    path = save_trajectory(tmp_path / "traj.npy", frames)
+    ds = TrajectoryDataset(path)
+    assert ds.n_frames == 100 and ds.n_atoms == 22
+    np.testing.assert_array_equal(ds[3:5], frames[3:5])
+
+
+def test_batch_iterator_shapes(tmp_path, rng):
+    frames = rng.normal(size=(100, 22, 3)).astype(np.float32)
+    ds = TrajectoryDataset(save_trajectory(tmp_path / "t.npy", frames))
+    it = batch_iterator(ds, 30, multiple_of=8, epochs=1, seed=1)
+    batches = list(it)
+    # 30 -> 24 (multiple of 8); 100//24 = 4 batches
+    assert all(b.shape == (24, 22, 3) for b in batches)
+    assert len(batches) == 4
+
+
+def test_batch_iterator_no_shuffle_covers_in_order(tmp_path, rng):
+    frames = rng.normal(size=(16, 4, 3)).astype(np.float32)
+    ds = TrajectoryDataset(save_trajectory(tmp_path / "t.npy", frames))
+    batches = list(batch_iterator(ds, 8, shuffle=False, epochs=1))
+    np.testing.assert_array_equal(np.concatenate(batches), frames)
+
+
+def test_coordinate_gradients_and_forces(rng):
+    model, u = alanine_model()
+    x = jnp.asarray(
+        u.atoms.positions[None]
+        + 0.05 * rng.normal(size=(4, 22, 3)).astype(np.float32)
+    )
+    g = coordinate_gradients(model, x)
+    assert g.shape == x.shape and bool(jnp.isfinite(g).all())
+    f = force_fn(model, component=0)(x)
+    g0 = coordinate_gradients(model, x, component=0)
+    np.testing.assert_allclose(np.asarray(f), -np.asarray(g0), atol=1e-6)
+
+
+def test_autoencoder_loss(rng):
+    from molann_tpu.ann import create_sequential_nn
+    import jax
+
+    model, u = alanine_model()
+    pp = model.get_preprocessing_layer()
+    d = pp.output_dimension()
+    enc = create_sequential_nn([d, 4, 2], key=jax.random.PRNGKey(1))
+    dec = create_sequential_nn([2, 4, d], key=jax.random.PRNGKey(2))
+    x = jnp.asarray(
+        u.atoms.positions[None]
+        + 0.05 * rng.normal(size=(8, 22, 3)).astype(np.float32)
+    )
+    loss = autoencoder_loss(enc, dec, pp, x)
+    assert np.isfinite(float(loss))
+    w = jnp.ones((8,))
+    loss_w = autoencoder_loss(enc, dec, pp, x, weights=w)
+    assert abs(float(loss) - float(loss_w)) < 1e-6
