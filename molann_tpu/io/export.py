@@ -1,0 +1,74 @@
+"""Engine-consumable compiled artifacts: StableHLO via ``jax.export``.
+
+The TPU-native analogue of the reference's TorchScript export (reference
+README.rst:51: downstream MD/enhanced-sampling engines load the ``.pt``
+from C++ with LibTorch, no Python needed). Here :func:`export_stablehlo`
+serializes the model's forward (optionally with coordinate gradients — the
+biasing-force evaluation) as a batch-polymorphic StableHLO module that any
+PJRT runtime can load and run without this package, MDAnalysis, or the
+topology front-end; parameters and the ``ref_x`` buffer are baked into the
+module as constants, exactly like TorchScript bakes its buffers.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import export as jax_export
+
+__all__ = ["export_stablehlo", "load_stablehlo"]
+
+
+def export_stablehlo(model, n_atoms, path=None, *, with_gradient=False,
+                     batch_size=None, platforms=None):
+    """Serialize ``model``'s forward as a StableHLO artifact.
+
+    :param model: any callable layer (MolANN, PreprocessingANN, ...)
+    :param n_atoms: input atom count (the artifact's input is
+        ``[l, n_atoms, 3]`` float32)
+    :param path: optional file path; when given, bytes are written there
+    :param with_gradient: also return ``∂(Σ out)/∂x`` (force evaluation) —
+        the artifact then yields ``(out, grad)``
+    :param batch_size: fix the frame-batch size; default is a symbolic
+        dimension (batch-polymorphic artifact)
+    :param platforms: lowering platforms (e.g. ``['tpu', 'cpu']``);
+        default is the current backend
+    :returns: the serialized bytes
+    """
+
+    def fn(x):
+        if with_gradient:
+            out, grad = jax.value_and_grad(lambda v: jnp.sum(model(v)))(x)
+            return model(x), grad
+        return model(x)
+
+    if batch_size is None:
+        (l,) = jax_export.symbolic_shape("l")
+    else:
+        l = batch_size
+    x_spec = jax.ShapeDtypeStruct((l, n_atoms, 3), jnp.float32)
+
+    kwargs = {}
+    if platforms is not None:
+        kwargs["platforms"] = tuple(platforms)
+    exported = jax_export.export(jax.jit(fn), **kwargs)(x_spec)
+    blob = exported.serialize()
+    if path is not None:
+        with open(path, "wb") as fh:
+            fh.write(blob)
+    return blob
+
+
+def load_stablehlo(path_or_bytes):
+    """Load a serialized artifact; returns a callable ``fn(x)``.
+
+    (Engines without Python would instead hand the same bytes to any PJRT
+    runtime; this helper is the in-Python convenience wrapper.)
+    """
+    if isinstance(path_or_bytes, (bytes, bytearray)):
+        blob = bytes(path_or_bytes)
+    else:
+        with open(path_or_bytes, "rb") as fh:
+            blob = fh.read()
+    exported = jax_export.deserialize(blob)
+    return exported.call

@@ -184,11 +184,18 @@ def rotation_qcp(H, newton_iters: int = 12):
     p4 = jnp.sum(K2 * K2, axis=(-1, -2))  # tr(K²·K²ᵀ) = tr(K⁴), K² symmetric
     c0 = p2 * p2 / 8.0 - p4 / 4.0
 
-    lam = jnp.sqrt(3.0 * frob2)
-    for _ in range(newton_iters):
+    def newton_step(lam):
         p = ((lam * lam + c2) * lam + c1) * lam + c0
         dp = (4.0 * lam * lam + 2.0 * c2) * lam + c1
-        lam = lam - p / jnp.where(jnp.abs(dp) < 1e-30, 1e-30, dp)
+        return lam - p / jnp.where(jnp.abs(dp) < 1e-30, 1e-30, dp)
+
+    # Converge with gradients stopped, then one differentiable step: the
+    # Newton map has zero λ-derivative at a simple root, so the composite
+    # carries the exact fixed-point gradient at one step's backward cost.
+    lam = jnp.sqrt(3.0 * frob2)
+    for _ in range(newton_iters):
+        lam = newton_step(lam)
+    lam = newton_step(jax.lax.stop_gradient(lam))
 
     M = K - lam[..., None, None] * jnp.eye(4, dtype=K.dtype)
     adj = _adjugate4_sym(M)

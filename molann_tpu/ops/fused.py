@@ -1,0 +1,581 @@
+"""Fused align+feature+MLP Pallas TPU kernels.
+
+THE performance component of this framework (SURVEY.md §7 step 5). The
+reference evaluates features in a per-feature Python loop of tiny torch ops
+(reference molann/ann.py:473) — a kernel-launch chain per feature. Here the
+whole model — Kabsch alignment (QCP), every feature, and the MLP — runs as
+ONE Pallas kernel per frame tile: one HBM read of the coordinates (in their
+NATURAL [l, n, 3] layout), one HBM write of the outputs, everything else in
+VMEM/registers.
+
+Layout strategy (the part that matters on TPU):
+
+- Coordinates arrive frame-major ``[TILE, 3n]``; the kernel transposes the
+  tile ONCE in VMEM and folds the frame axis into full vector tiles, so
+  every per-frame scalar of the math (a bond length, a quaternion
+  component, one entry of the 3x3 covariance) lives as an ``[8, TILE/8]``
+  f32 tile — 8 sublanes × 128 lanes, 100% VPU utilization. The natural
+  layout would waste ~97% of each vector register (trailing dims of 3),
+  and unfolded ``[1, TILE]`` rows would use 1 of 8 sublanes. A host-side
+  XLA transpose of the full trajectory measured ~8 GB/s; the in-kernel
+  VMEM transpose amortizes to noise.
+- 3-vectors are Python tuples of three such tiles; cross/dot products and
+  the whole QCP chain (Horn 4x4, Newton iteration, adjugate eigenvector)
+  are unrolled elementwise tile ops.
+- The MLP runs as unrolled scalar-weight multiply-adds (dims are ~10; an
+  MXU matmul would waste the 128x128 systolic array, madds ride the VPU).
+
+Gather indices and the output permutation are compile-time constants baked
+into the kernel (the construction-time/run-time split of SURVEY.md §1 taken
+to its conclusion); MLP weights and the alignment reference ``ref_x`` are
+tensor inputs, so the fused path composes with ``jax.jit``/``jax.grad`` over
+the model pytree exactly like the jnp path.
+
+Backward: a second Pallas kernel evaluates ``jax.vjp`` of the SAME tile
+math *inside* the kernel body — exact gradients with no hand-derived
+formulas, fused in VMEM. Parameter/ref_x gradients accumulate across the
+(sequential) TPU grid into revisited output blocks.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..spec import CompiledFeatures
+
+__all__ = ["fused_apply", "fused_model_forward"]
+
+DEFAULT_TILE = 2048
+DEFAULT_BWD_TILE = 1024  # backward holds vjp residuals in VMEM
+_NEWTON_ITERS = 12
+_SUB = 8  # sublane fold of the frame axis
+
+
+# ---------------------------------------------------------------------------
+# Tile math. A "scalar" is an [S, C] array (one value per frame, frames
+# folded over sublanes x lanes); a "vector" is a tuple of three scalars.
+# Used inside the Pallas kernels and (reshaped) by parity tests.
+# ---------------------------------------------------------------------------
+
+
+def _dot3(u, v):
+    return u[0] * v[0] + u[1] * v[1] + u[2] * v[2]
+
+
+def _norm3(u):
+    return jnp.sqrt(_dot3(u, u))
+
+
+def _cross3(u, v):
+    return (
+        u[1] * v[2] - u[2] * v[1],
+        u[2] * v[0] - u[0] * v[2],
+        u[0] * v[1] - u[1] * v[0],
+    )
+
+
+def _sub3(u, v):
+    return (u[0] - v[0], u[1] - v[1], u[2] - v[2])
+
+
+def _align_tiles(atoms, align_idx, ref_rows):
+    """Kabsch-align folded frames.
+
+    atoms: list of n vectors (tuples of [S, C] tiles).
+    align_idx: static local indices of the align atoms.
+    ref_rows: ``[3*n_align, 1]`` centered reference coordinates (tensor
+    input; entry (n, j) at row 3n+j).
+    Returns the aligned list of vectors. Same math as
+    :func:`molann_tpu.ops.alignment.align_frames` with the QCP solver
+    (reference semantics: molann/ann.py:157-199), unrolled per component.
+    """
+    idx = align_idx
+    n_a = float(len(idx))
+
+    def ref(n, j):
+        # 0-d scalar extract: Mosaic lowers scalar*vector as a splat
+        # (a [1,1]->[S,C] vector.broadcast is not implemented)
+        return ref_rows[3 * n + j, 0]
+
+    c = tuple(
+        sum(atoms[a][i] for a in idx) / n_a for i in range(3)
+    )
+
+    # covariance H[i][j] = sum_n (sub_n_i - c_i) * ref[n][j]
+    H = [[None] * 3 for _ in range(3)]
+    for i in range(3):
+        for j in range(3):
+            acc = None
+            for n, a in enumerate(idx):
+                term = (atoms[a][i] - c[i]) * ref(n, j)
+                acc = term if acc is None else acc + term
+            H[i][j] = acc
+
+    Sxx, Sxy, Sxz = H[0]
+    Syx, Syy, Syz = H[1]
+    Szx, Szy, Szz = H[2]
+
+    # Horn's symmetric 4x4 K
+    k = [[None] * 4 for _ in range(4)]
+    k[0][0] = Sxx + Syy + Szz
+    k[0][1] = Syz - Szy
+    k[0][2] = Szx - Sxz
+    k[0][3] = Sxy - Syx
+    k[1][1] = Sxx - Syy - Szz
+    k[1][2] = Sxy + Syx
+    k[1][3] = Szx + Sxz
+    k[2][2] = -Sxx + Syy - Szz
+    k[2][3] = Syz + Szy
+    k[3][3] = -Sxx - Syy + Szz
+    for i in range(4):
+        for j in range(i):
+            k[i][j] = k[j][i]
+
+    # characteristic polynomial λ⁴ + c2 λ² + c1 λ + c0  (tr K = 0)
+    frob2 = sum(H[i][j] * H[i][j] for i in range(3) for j in range(3))
+    c2 = -2.0 * frob2
+    det_h = (
+        Sxx * (Syy * Szz - Syz * Szy)
+        - Sxy * (Syx * Szz - Syz * Szx)
+        + Sxz * (Syx * Szy - Syy * Szx)
+    )
+    c1 = -8.0 * det_h
+    # c0 = det K = p2²/8 - p4/4 with p2 = tr K², p4 = tr K⁴
+    k2 = [
+        [sum(k[i][m] * k[m][j] for m in range(4)) for j in range(i, 4)]
+        for i in range(4)
+    ]
+
+    def K2(i, j):
+        return k2[i][j - i] if j >= i else k2[j][i - j]
+
+    p2 = sum(K2(i, i) for i in range(4))
+    p4 = sum(K2(i, j) * K2(i, j) for i in range(4) for j in range(4))
+    c0 = p2 * p2 / 8.0 - p4 / 4.0
+
+    def newton_step(lam):
+        p = ((lam * lam + c2) * lam + c1) * lam + c0
+        dp = (4.0 * lam * lam + 2.0 * c2) * lam + c1
+        return lam - p / jnp.where(jnp.abs(dp) < 1e-30, 1e-30, dp)
+
+    # Converge with gradients stopped, then take ONE differentiable step:
+    # at a simple root the Newton map has zero derivative in λ, so the
+    # one-step composite has the exact fixed-point gradient at 1/NITERS of
+    # the backward cost of an unrolled chain.
+    lam = jax.lax.stop_gradient(
+        functools.reduce(
+            lambda l, _: newton_step(l), range(_NEWTON_ITERS),
+            jnp.sqrt(3.0 * frob2),
+        )
+    )
+    lam = newton_step(lam)
+
+    # adjugate of M = K - λI (symmetric): columns ∝ top eigenvector
+    m = [[k[i][j] for j in range(4)] for i in range(4)]
+    for i in range(4):
+        m[i][i] = m[i][i] - lam
+
+    def det3(rows, cols):
+        (a, b, cc), (d, e, f), (g, h, i_) = (
+            [m[r][c] for c in cols] for r in rows
+        )
+        return a * (e * i_ - f * h) - b * (d * i_ - f * g) + cc * (d * h - e * g)
+
+    cols = []
+    norms = []
+    for j in range(4):
+        rows_j = [r for r in range(4) if r != j]
+        col = []
+        for i in range(4):
+            cols_i = [c for c in range(4) if c != i]
+            sign = -1.0 if (i + j) % 2 else 1.0
+            # adj[i][j] = sign * minor with row j / col i removed
+            # (cofactor transpose); M symmetric => adj symmetric.
+            col.append(sign * det3(rows_j, cols_i))
+        cols.append(col)
+        norms.append(sum(x * x for x in col))
+
+    # branchless priority select of the largest-norm adjugate column
+    best_n = norms[0]
+    q = list(cols[0])
+    for jcol in range(1, 4):
+        take = norms[jcol] > best_n
+        q = [jnp.where(take, cols[jcol][i], q[i]) for i in range(4)]
+        best_n = jnp.where(take, norms[jcol], best_n)
+
+    qn = jnp.sqrt(q[0] * q[0] + q[1] * q[1] + q[2] * q[2] + q[3] * q[3])
+    w, x_, y_, z_ = (qi / qn for qi in q)
+
+    # row-vector rotation R = Rot(q)ᵀ: aligned_i = Σ_j v_j * R[j][i]
+    xx, yy, zz = x_ * x_, y_ * y_, z_ * z_
+    xy, xz, yz = x_ * y_, x_ * z_, y_ * z_
+    wx, wy, wz = w * x_, w * y_, w * z_
+    R = [
+        [1 - 2 * (yy + zz), 2 * (xy + wz), 2 * (xz - wy)],
+        [2 * (xy - wz), 1 - 2 * (xx + zz), 2 * (yz + wx)],
+        [2 * (xz + wy), 2 * (yz - wx), 1 - 2 * (xx + yy)],
+    ]
+
+    out = []
+    for atom in atoms:
+        v = tuple(atom[i] - c[i] for i in range(3))
+        out.append(
+            tuple(
+                v[0] * R[0][i] + v[1] * R[1][i] + v[2] * R[2][i]
+                for i in range(3)
+            )
+        )
+    return out
+
+
+def _features_tiles(atoms, spec: CompiledFeatures):
+    """All features on folded frames: list of vectors -> list of scalar
+    tiles in feature-list column order (reference column semantics:
+    type-grouped blocks + static perm, molann/ann.py:473/:351/:354)."""
+    rows = []
+    for (a0, a1, a2) in spec.angle_idx:
+        r21 = _sub3(atoms[a0], atoms[a1])
+        r23 = _sub3(atoms[a2], atoms[a1])
+        cos_angle = _dot3(r21, r23) / (_norm3(r21) * _norm3(r23))
+        rows.append(
+            jnp.arccos(cos_angle) if spec.use_angle_value else cos_angle
+        )
+    for (a0, a1) in spec.bond_idx:
+        rows.append(_norm3(_sub3(atoms[a1], atoms[a0])))
+    for (a0, a1, a2, a3) in spec.dihedral_idx:
+        r12 = _sub3(atoms[a1], atoms[a0])
+        r23 = _sub3(atoms[a2], atoms[a1])
+        r34 = _sub3(atoms[a3], atoms[a2])
+        n1 = _cross3(r12, r23)
+        n2 = _cross3(r23, r34)
+        cos_phi = _dot3(n1, n2)
+        sin_phi = _dot3(n1, r34) * _norm3(r23)
+        if spec.use_angle_value:
+            rows.append(jnp.arctan2(sin_phi, cos_phi))
+        else:
+            radius = jnp.sqrt(cos_phi * cos_phi + sin_phi * sin_phi)
+            rows.append(cos_phi / radius)
+            rows.append(sin_phi / radius)
+    for a in spec.position_idx:
+        rows.extend(atoms[a])
+
+    if spec.perm is not None:
+        rows = [rows[p] for p in spec.perm]
+    return rows
+
+
+def _mlp_tiles(rows, params, activation):
+    """MLP as unrolled scalar-weight madds: list of d tiles -> list of
+    d_out tiles. params: tuple of (Wt [d_out, d_in], b [d_out, 1])."""
+    h = rows
+    n = len(params)
+    for li, (wt, b) in enumerate(params):
+        d_out, d_in = wt.shape
+        nxt = []
+        for j in range(d_out):
+            # 0-d scalar weights -> splat broadcasts (see _align_tiles.ref)
+            acc = b[j, 0] + wt[j, 0] * h[0]
+            for kk in range(1, d_in):
+                acc = acc + wt[j, kk] * h[kk]
+            nxt.append(acc)
+        if li < n - 1:
+            nxt = [activation(t) for t in nxt]
+        h = nxt
+    return h
+
+
+def _forward_tiles(atoms, tensors, spec, align_idx, activation):
+    """Complete fused math on one folded tile (list-of-vectors in,
+    list-of-scalar-tiles out)."""
+    if align_idx is not None:
+        ref_rows, rest = tensors[0], tensors[1:]
+        atoms = _align_tiles(atoms, align_idx, ref_rows)
+    else:
+        rest = tensors
+    rows = _features_tiles(atoms, spec)
+    if rest:
+        params = tuple(
+            (rest[2 * i], rest[2 * i + 1]) for i in range(len(rest) // 2)
+        )
+        rows = _mlp_tiles(rows, params, activation)
+    return rows
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernels
+# ---------------------------------------------------------------------------
+
+
+def _fold_block(x_blk, n_atoms):
+    """[TILE, 3n] natural block -> list of n vectors of [S, C] tiles.
+
+    One in-VMEM transpose + reshape per tile; everything downstream is
+    full-tile elementwise math.
+    """
+    tile = x_blk.shape[0]
+    xt = x_blk.T.reshape(3 * n_atoms, _SUB, tile // _SUB)
+    return [
+        (xt[3 * a], xt[3 * a + 1], xt[3 * a + 2]) for a in range(n_atoms)
+    ]
+
+
+def _unfold_rows(rows, tile):
+    """List of k scalar [S, C] tiles -> [TILE, k] natural block."""
+    stacked = jnp.concatenate(
+        [r.reshape(1, tile) for r in rows], axis=0
+    )  # [k, TILE]
+    return stacked.T
+
+
+def _fwd_kernel(spec, align_idx, activation, n_atoms, x_ref, *rest):
+    y_ref = rest[-1]
+    tensors = [r[:] for r in rest[:-1]]
+    atoms = _fold_block(x_ref[:], n_atoms)
+    rows = _forward_tiles(atoms, tensors, spec, align_idx, activation)
+    y_ref[:] = _unfold_rows(rows, x_ref.shape[0])
+
+
+def _bwd_kernel(spec, align_idx, activation, n_atoms, x_ref, gy_ref, *rest):
+    # rest = (*tensor_in_refs, gx_ref, *gtensor_out_refs)
+    n_t = (len(rest) - 1) // 2
+    tensor_in = [r[:] for r in rest[:n_t]]
+    gx_ref = rest[n_t]
+    gtensor_refs = rest[n_t + 1 :]
+    tile = x_ref.shape[0]
+
+    def f(x_blk, tensors):
+        atoms = _fold_block(x_blk, n_atoms)
+        rows = _forward_tiles(atoms, tensors, spec, align_idx, activation)
+        return _unfold_rows(rows, tile)
+
+    _, vjp = jax.vjp(f, x_ref[:], tensor_in)
+    gx, gtensors = vjp(gy_ref[:])
+    gx_ref[:] = gx
+
+    is_first = pl.program_id(0) == 0
+    for ref, g in zip(gtensor_refs, gtensors):
+        @pl.when(is_first)
+        def _(ref=ref, g=g):
+            ref[:] = g
+
+        @pl.when(jnp.logical_not(is_first))
+        def _(ref=ref, g=g):
+            ref[:] = ref[:] + g
+
+
+def _out_dim(spec, params):
+    return params[-1][0].shape[0] if params else spec.out_dim
+
+
+def _tensor_list(align_idx, params, ref_x):
+    tensors = []
+    if align_idx is not None:
+        tensors.append(ref_x.reshape(-1, 1))
+    for (w, b) in params:
+        tensors.append(w)
+        tensors.append(b)
+    return tensors
+
+
+def _full_spec(p):
+    return pl.BlockSpec(
+        p.shape, lambda i: (0,) * p.ndim, memory_space=pltpu.VMEM
+    )
+
+
+def _as_packed(x):
+    """Accept [l, n, 3] or packed [l, 3n]; return ([l, 3n], n_atoms, packed).
+
+    IMPORTANT: on TPU a resident [l, n, 3] f32 array is tiled T(8,128) on
+    its minor dims — the trailing 3 pads to 128 lanes, a ~42x HBM blowup.
+    The packed [l, 3n] form (and this kernel's outputs) avoid that; keep
+    trajectories packed end-to-end on the hot path.
+    """
+    if x.ndim == 3:
+        return x.reshape(x.shape[0], x.shape[1] * 3), x.shape[1], False
+    return x, x.shape[1] // 3, True
+
+
+def _prep_input(xm, tile):
+    """Pad packed frames to a tile multiple (edge-mode keeps padded frames
+    numerically tame; they are sliced off afterwards)."""
+    l = xm.shape[0]
+    l_p = ((l + tile - 1) // tile) * tile
+    if l_p != l:
+        xm = jnp.pad(xm, ((0, l_p - l), (0, 0)), mode="edge")
+    return xm, l_p
+
+
+def _fwd_impl(spec, align_idx, activation, tile, interpret, params, ref_x, x):
+    xm0, n_atoms, _ = _as_packed(x)
+    l = xm0.shape[0]
+    d_out = _out_dim(spec, params)
+    xm, l_p = _prep_input(xm0, tile)
+
+    tensors = _tensor_list(align_idx, params, ref_x)
+    grid = (l_p // tile,)
+    in_specs = [
+        pl.BlockSpec(
+            (tile, 3 * n_atoms), lambda i: (i, 0), memory_space=pltpu.VMEM
+        )
+    ] + [_full_spec(t) for t in tensors]
+    y = pl.pallas_call(
+        functools.partial(_fwd_kernel, spec, align_idx, activation, n_atoms),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (tile, d_out), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((l_p, d_out), x.dtype),
+        interpret=interpret,
+    )(xm, *tensors)
+    return y[:l]
+
+
+def _bwd_impl(spec, align_idx, activation, tile, interpret, params, ref_x,
+              x, gy):
+    xm0, n_atoms, packed = _as_packed(x)
+    l = xm0.shape[0]
+    d_out = _out_dim(spec, params)
+    xm, l_p = _prep_input(xm0, tile)
+    # zero-pad the cotangent so padded frames contribute nothing
+    gym = jnp.pad(gy, ((0, l_p - l), (0, 0))) if l_p != l else gy
+
+    tensors = _tensor_list(align_idx, params, ref_x)
+    grid = (l_p // tile,)
+    in_specs = [
+        pl.BlockSpec(
+            (tile, 3 * n_atoms), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec((tile, d_out), lambda i: (i, 0), memory_space=pltpu.VMEM),
+    ] + [_full_spec(t) for t in tensors]
+    out_shapes = [jax.ShapeDtypeStruct((l_p, 3 * n_atoms), x.dtype)] + [
+        jax.ShapeDtypeStruct(t.shape, t.dtype) for t in tensors
+    ]
+    out_specs = [
+        pl.BlockSpec(
+            (tile, 3 * n_atoms), lambda i: (i, 0), memory_space=pltpu.VMEM
+        )
+    ] + [_full_spec(t) for t in tensors]
+    outs = pl.pallas_call(
+        functools.partial(_bwd_kernel, spec, align_idx, activation, n_atoms),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(xm, gym, *tensors)
+    gxm, *gtensors = outs
+    gx = gxm[:l] if packed else gxm[:l].reshape(l, n_atoms, 3)
+
+    if align_idx is not None:
+        gref = gtensors[0].reshape(ref_x.shape)
+        grest = gtensors[1:]
+    else:
+        gref = jnp.zeros_like(ref_x)
+        grest = gtensors
+    gparams = tuple(
+        (grest[2 * i], grest[2 * i + 1]) for i in range(len(grest) // 2)
+    )
+    return gparams, gref, gx
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
+def fused_apply(spec, align_idx, activation, tiles, interpret,
+                params, ref_x, x):
+    """Fused align+feature+MLP forward: ``x [l, n, 3] -> [l, d_out]``.
+
+    spec: :class:`~molann_tpu.spec.CompiledFeatures` (static).
+    align_idx: static tuple of local align-atom indices, or None.
+    activation: elementwise activation callable (static).
+    tiles: (fwd_tile, bwd_tile) frames per kernel invocation.
+    params: tuple of (Wt [d_out, d_in], b [d_out, 1]) — TRANSPOSED weights
+    relative to :class:`~molann_tpu.models.ann.SequentialNN`. Empty tuple
+    -> returns the features themselves.
+    ref_x: [n_align, 3] centered reference coordinates (pass a dummy
+    (0, 3) array when align_idx is None).
+
+    x may be [l, n, 3] (reference convention) or PACKED [l, 3n]; gradients
+    come back in the same form. Prefer packed on TPU: resident [l, n, 3]
+    arrays are lane-padded 3 -> 128 (~42x HBM waste).
+    """
+    return _fwd_impl(
+        spec, align_idx, activation, tiles[0], interpret, params, ref_x, x
+    )
+
+
+def _fused_fwd(spec, align_idx, activation, tiles, interpret,
+               params, ref_x, x):
+    y = _fwd_impl(
+        spec, align_idx, activation, tiles[0], interpret, params, ref_x, x
+    )
+    return y, (params, ref_x, x)
+
+
+def _fused_bwd(spec, align_idx, activation, tiles, interpret, res, gy):
+    params, ref_x, x = res
+    return _bwd_impl(
+        spec, align_idx, activation, tiles[1], interpret, params, ref_x, x, gy
+    )
+
+
+fused_apply.defvjp(_fused_fwd, _fused_bwd)
+
+
+def fused_model_forward(model, x, *, tile=DEFAULT_TILE,
+                        bwd_tile=DEFAULT_BWD_TILE, interpret=False):
+    """Run a ``MolANN`` (or ``PreprocessingANN``/``FeatureLayer``) through
+    the fused Pallas path. Equivalent to ``model(x)`` to float32 tolerance
+    (parity-tested); one kernel per frame tile instead of an XLA op graph.
+    Fully differentiable w.r.t. x, the MLP parameters, and ref_x.
+    """
+    from ..models.ann import (
+        FeatureLayer,
+        Identity,
+        MolANN,
+        PreprocessingANN,
+        SequentialNN,
+    )
+
+    nn = None
+    if isinstance(model, MolANN):
+        pp = model.preprocessing_layer
+        nn = model.ann_layers
+    elif isinstance(model, (PreprocessingANN, FeatureLayer)):
+        pp = model
+    else:
+        raise TypeError(f"cannot run {type(model).__name__} via the fused path")
+
+    if isinstance(pp, FeatureLayer):
+        flayer, align_layer = pp, None
+    else:
+        flayer = pp.feature_layer
+        align_layer = pp.align_layer
+        if isinstance(align_layer, Identity):
+            align_layer = None
+
+    spec = flayer.spec
+    if align_layer is not None:
+        align_idx = tuple(align_layer._local_align_atom_indices)
+        ref_x = align_layer.ref_x
+    else:
+        align_idx = None
+        ref_x = jnp.zeros((0, 3), dtype=x.dtype)
+
+    params = ()
+    activation = jnp.tanh
+    if nn is not None:
+        if not isinstance(nn, SequentialNN):
+            raise TypeError("fused path requires a SequentialNN head")
+        activation = nn.activation
+        params = tuple((w.T, b.reshape(-1, 1)) for (w, b) in nn.params)
+
+    return fused_apply(
+        spec, align_idx, activation, (tile, bwd_tile), interpret,
+        params, ref_x, x
+    )

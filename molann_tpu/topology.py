@@ -32,7 +32,13 @@ import re
 
 import numpy as np
 
-__all__ = ["Atom", "AtomGroup", "Universe", "SelectionError"]
+__all__ = [
+    "Atom",
+    "AtomGroup",
+    "FrozenAtomGroup",
+    "Universe",
+    "SelectionError",
+]
 
 
 class SelectionError(ValueError):
@@ -198,6 +204,55 @@ class AtomGroup:
 
     def __repr__(self):
         return f"<AtomGroup with {len(self)} atoms>"
+
+
+class FrozenAtomGroup:
+    """Standalone atom group: indices (+ optional positions), no universe.
+
+    Used when models are reloaded from checkpoints without any topology
+    front-end (mirroring the reference's TorchScript artifacts, which embed
+    index lists and need no MDAnalysis at load time). Implements the same
+    duck-typed surface as :class:`AtomGroup`.
+    """
+
+    __slots__ = ("_ix", "_positions")
+
+    def __init__(self, indices, positions=None):
+        self._ix = np.asarray(indices, dtype=np.int64).reshape(-1)
+        self._positions = (
+            None
+            if positions is None
+            else np.asarray(positions, dtype=np.float32).reshape(-1, 3)
+        )
+
+    @property
+    def ix(self):
+        return self._ix.copy()
+
+    @property
+    def positions(self):
+        if self._positions is None:
+            raise AttributeError("this FrozenAtomGroup carries no positions")
+        return self._positions.copy()
+
+    def __len__(self):
+        return len(self._ix)
+
+    def __iter__(self):
+        # yields hashable (group-less) atom handles; identity by index
+        for i in self._ix:
+            yield ("frozen-atom", int(i))
+
+    def __add__(self, other):
+        pos = None
+        if self._positions is not None and getattr(other, "_positions", None) is not None:
+            pos = np.concatenate([self._positions, other._positions])
+        return FrozenAtomGroup(
+            np.concatenate([self._ix, np.asarray(other.ix)]), pos
+        )
+
+    def __repr__(self):
+        return f"<FrozenAtomGroup with {len(self)} atoms>"
 
 
 class Universe:

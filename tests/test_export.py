@@ -1,0 +1,93 @@
+"""Export round-trip tests (SURVEY.md §4d): checkpoint + StableHLO."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from molann_tpu.io import (
+    export_stablehlo,
+    load_model,
+    load_stablehlo,
+    save_model,
+)
+from molann_tpu.systems import alanine_model
+
+
+@pytest.fixture(scope="module")
+def model_and_frames():
+    model, u = alanine_model()
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(
+        u.atoms.positions[None]
+        + 0.05 * rng.normal(size=(8, 22, 3)).astype(np.float32)
+    )
+    return model, x
+
+
+def test_checkpoint_roundtrip(tmp_path, model_and_frames):
+    model, x = model_and_frames
+    path = save_model(tmp_path / "model.npz", model)
+    loaded = load_model(path)
+    np.testing.assert_allclose(
+        np.asarray(loaded(x)), np.asarray(model(x)), atol=1e-7
+    )
+    # API survives the round trip
+    assert loaded.get_preprocessing_layer().output_dimension() == 8
+    flayer = loaded.preprocessing_layer.feature_layer
+    assert [f.get_name() for f in flayer.feature_list] == [
+        "d1", "d2", "b1", "b2", "a1", "a2",
+    ]
+    np.testing.assert_array_equal(
+        flayer.get_feature(0).get_atom_indices(), [5, 7, 9, 15]
+    )
+    df = flayer.get_feature_info()
+    assert len(df) == 6
+
+
+def test_checkpoint_no_topology_needed(tmp_path, model_and_frames):
+    """Loading must not need a Universe/PDB (TorchScript parity property)."""
+    model, x = model_and_frames
+    path = save_model(tmp_path / "model.npz", model)
+    loaded = load_model(path)
+    # grads still flow through the loaded model
+    g = jax.grad(lambda v: jnp.sum(loaded(v)))(x)
+    assert bool(jnp.isfinite(g).all())
+    # and it is still a pytree usable under jit
+    y = jax.jit(lambda m, v: m(v))(loaded, x)
+    assert y.shape == (8, 3)
+
+
+def test_checkpoint_sublayers(tmp_path, model_and_frames):
+    model, x = model_and_frames
+    # FeatureLayer and PreprocessingANN are independently saveable
+    pp = model.get_preprocessing_layer()
+    path = save_model(tmp_path / "pp.npz", pp)
+    loaded = load_model(path)
+    np.testing.assert_allclose(
+        np.asarray(loaded(x)), np.asarray(pp(x)), atol=1e-7
+    )
+
+
+def test_stablehlo_roundtrip(tmp_path, model_and_frames):
+    model, x = model_and_frames
+    blob = export_stablehlo(model, 22, tmp_path / "model.stablehlo")
+    fn = load_stablehlo(tmp_path / "model.stablehlo")
+    np.testing.assert_allclose(
+        np.asarray(fn(np.asarray(x))), np.asarray(model(x)), atol=1e-6
+    )
+    # batch-polymorphic: a different batch size works on the same artifact
+    x2 = np.asarray(x)[:3]
+    assert np.asarray(fn(x2)).shape == (3, 3)
+
+
+def test_stablehlo_with_gradient(tmp_path, model_and_frames):
+    model, x = model_and_frames
+    blob = export_stablehlo(model, 22, with_gradient=True)
+    fn = load_stablehlo(blob)
+    out, grad = fn(np.asarray(x))
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(model(x)), atol=1e-6
+    )
+    g_ref = jax.grad(lambda v: jnp.sum(model(v)))(x)
+    np.testing.assert_allclose(np.asarray(grad), np.asarray(g_ref), atol=1e-5)

