@@ -6,15 +6,23 @@ far larger than host RAM stream batch-by-batch into device memory. Batches
 are cropped to a multiple of the device count so static-shape sharding over
 the ``('data',)`` mesh always divides evenly.
 
-(A C++ prefetching reader backs this module when built — see
-molann_tpu/io/native_loader.py; this pure-numpy path is always available.)
+The hot path is :func:`packed_batch_iterator`: it yields PACKED
+``[batch, 3n]`` float32 batches (the layout the fused TPU kernels want)
+through the native C++ loader (native/traj_loader.cpp — mmap + threaded
+gather + async page prefetch of the NEXT batch while the current one is on
+device). Falls back to pure numpy when the native library is unavailable.
 """
 
 from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["TrajectoryDataset", "batch_iterator", "save_trajectory"]
+__all__ = [
+    "TrajectoryDataset",
+    "batch_iterator",
+    "packed_batch_iterator",
+    "save_trajectory",
+]
 
 
 def save_trajectory(path, frames):
@@ -71,4 +79,50 @@ def batch_iterator(dataset, batch_size, *, shuffle=True, seed=0,
         if not drop_remainder and n % batch_size:
             tail = np.sort(order[-(n % batch_size):])
             yield dataset[tail]
+        epoch += 1
+
+
+def packed_batch_iterator(path, batch_size, *, shuffle=True, seed=0,
+                          epochs=None, multiple_of=1, backend="auto",
+                          n_threads=None):
+    """Yield packed ``[batch, 3n]`` float32 batches from a .npy trajectory.
+
+    backend='native' uses the C++ loader (mmap + threaded gather); while a
+    batch is being consumed, the NEXT batch's pages are prefetched
+    asynchronously. backend='numpy' always works; 'auto' prefers native.
+    """
+    loader = None
+    if backend in ("auto", "native"):
+        try:
+            from ..io.native_loader import NativeTrajLoader
+
+            loader = NativeTrajLoader(path, n_threads=n_threads)
+        except Exception:
+            if backend == "native":
+                raise
+    if loader is None:
+        mm = np.load(path, mmap_mode="r")
+        n = mm.shape[0]
+        fpf = int(np.prod(mm.shape[1:]))
+    else:
+        n = loader.n_frames
+        fpf = loader.floats_per_frame
+
+    batch_size = max(multiple_of, (batch_size // multiple_of) * multiple_of)
+    rng = np.random.default_rng(seed)
+    epoch = 0
+    while epochs is None or epoch < epochs:
+        order = rng.permutation(n) if shuffle else np.arange(n)
+        starts = list(range(0, n - batch_size + 1, batch_size))
+        for bi, start in enumerate(starts):
+            idx = np.sort(order[start : start + batch_size])
+            if loader is not None:
+                if bi + 1 < len(starts):  # overlap IO with consumption
+                    nxt = starts[bi + 1]
+                    loader.prefetch(np.sort(order[nxt : nxt + batch_size]))
+                yield loader.read_batch(idx)
+            else:
+                yield np.asarray(mm[idx], dtype=np.float32).reshape(
+                    batch_size, fpf
+                )
         epoch += 1

@@ -1,0 +1,114 @@
+"""Native C++ trajectory loader: correctness + fallback behavior."""
+
+import numpy as np
+import pytest
+
+from molann_tpu.train.data import packed_batch_iterator, save_trajectory
+
+native = pytest.importorskip("molann_tpu.io.native_loader")
+
+if not native.available():
+    pytest.skip("native loader unavailable (no g++?)", allow_module_level=True)
+
+
+@pytest.fixture(scope="module")
+def traj(tmp_path_factory):
+    d = tmp_path_factory.mktemp("traj")
+    rng = np.random.default_rng(0)
+    frames = rng.normal(size=(500, 22, 3)).astype(np.float32)
+    path = save_trajectory(d / "t.npy", frames)
+    return str(path), frames
+
+
+def test_open_and_metadata(traj):
+    path, frames = traj
+    ld = native.NativeTrajLoader(path)
+    assert ld.n_frames == 500
+    assert ld.n_atoms == 22
+    assert ld.floats_per_frame == 66
+    ld.close()
+
+
+def test_read_batch_matches_numpy(traj):
+    path, frames = traj
+    ld = native.NativeTrajLoader(path)
+    idx = np.array([0, 7, 499, 3, 3, 250], dtype=np.int64)
+    got = ld.read_batch(idx)
+    np.testing.assert_array_equal(got, frames[idx].reshape(len(idx), 66))
+    ld.close()
+
+
+def test_read_batch_multithreaded(traj):
+    path, frames = traj
+    ld = native.NativeTrajLoader(path, n_threads=4)
+    rng = np.random.default_rng(1)
+    idx = rng.integers(0, 500, size=2048)
+    got = ld.read_batch(idx)
+    np.testing.assert_array_equal(got, frames[idx].reshape(2048, 66))
+    ld.close()
+
+
+def test_read_range(traj):
+    path, frames = traj
+    ld = native.NativeTrajLoader(path)
+    got = ld.read_range(10, 5)
+    np.testing.assert_array_equal(got, frames[10:15].reshape(5, 66))
+    ld.close()
+
+
+def test_out_of_range_raises(traj):
+    path, _ = traj
+    ld = native.NativeTrajLoader(path)
+    with pytest.raises(IndexError):
+        ld.read_batch(np.array([500], dtype=np.int64))
+    with pytest.raises(IndexError):
+        ld.read_range(490, 20)
+    ld.close()
+
+
+def test_prefetch_is_nonblocking(traj):
+    path, frames = traj
+    ld = native.NativeTrajLoader(path)
+    ld.prefetch(np.arange(500))
+    got = ld.read_batch(np.arange(100))
+    np.testing.assert_array_equal(got, frames[:100].reshape(100, 66))
+    ld.close()
+
+
+def test_rejects_bad_files(tmp_path):
+    p = tmp_path / "bad.npy"
+    p.write_bytes(b"this is not numpy data at all..")
+    with pytest.raises(OSError, match="not a .npy file"):
+        native.NativeTrajLoader(str(p))
+    # wrong dtype
+    q = tmp_path / "f64.npy"
+    np.save(q, np.zeros((4, 22, 3), dtype=np.float64))
+    with pytest.raises(OSError, match="float32"):
+        native.NativeTrajLoader(str(q))
+
+
+def test_packed_iterator_native_vs_numpy(traj):
+    path, frames = traj
+    batches_nat = list(
+        packed_batch_iterator(path, 128, shuffle=True, seed=5, epochs=1,
+                              backend="native")
+    )
+    batches_np = list(
+        packed_batch_iterator(path, 128, shuffle=True, seed=5, epochs=1,
+                              backend="numpy")
+    )
+    assert len(batches_nat) == len(batches_np) == 3
+    for a, b in zip(batches_nat, batches_np):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_packed_iterator_accepts_packed_files(tmp_path):
+    rng = np.random.default_rng(2)
+    packed = rng.normal(size=(100, 66)).astype(np.float32)
+    p = tmp_path / "packed.npy"
+    np.save(p, packed)
+    batches = list(
+        packed_batch_iterator(str(p), 50, shuffle=False, epochs=1,
+                              backend="native")
+    )
+    np.testing.assert_array_equal(np.concatenate(batches), packed)
