@@ -5,8 +5,18 @@ from .loop import (
     masked_optimizer,
     trainable_mask,
 )
-from .losses import autoencoder_loss, mse_loss, registry as loss_registry
-from .data import TrajectoryDataset, batch_iterator, save_trajectory
+from .losses import (
+    autoencoder_loss,
+    fused_mse_loss,
+    mse_loss,
+    registry as loss_registry,
+)
+from .data import (
+    TrajectoryDataset,
+    batch_iterator,
+    packed_batch_iterator,
+    save_trajectory,
+)
 from .forces import coordinate_gradients, force_fn
 
 __all__ = [
@@ -16,10 +26,12 @@ __all__ = [
     "TrainResult",
     "trainable_mask",
     "mse_loss",
+    "fused_mse_loss",
     "autoencoder_loss",
     "loss_registry",
     "TrajectoryDataset",
     "batch_iterator",
+    "packed_batch_iterator",
     "save_trajectory",
     "coordinate_gradients",
     "force_fn",

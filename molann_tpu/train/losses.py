@@ -9,13 +9,23 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-__all__ = ["mse_loss", "autoencoder_loss", "registry"]
+__all__ = ["mse_loss", "fused_mse_loss", "autoencoder_loss", "registry"]
 
 
 def mse_loss(model, batch):
     """Supervised regression: batch = ``(x [l,n,3], y [l,d])``."""
     x, y = batch
     pred = model(x)
+    return jnp.mean((pred - y) ** 2)
+
+
+def fused_mse_loss(model, batch, *, interpret=False):
+    """:func:`mse_loss` through the fused Pallas path — x may be packed
+    ``[l, 3n]`` (preferred on TPU, see molann_tpu/ops/fused.py)."""
+    from ..ops.fused import fused_model_forward
+
+    x, y = batch
+    pred = fused_model_forward(model, x, interpret=interpret)
     return jnp.mean((pred - y) ** 2)
 
 
@@ -38,4 +48,5 @@ def autoencoder_loss(encoder, decoder, preprocessing, x, weights=None):
 
 registry = {
     "mse": mse_loss,
+    "fused_mse": fused_mse_loss,
 }
