@@ -83,13 +83,17 @@ def _sub3(u, v):
     return (u[0] - v[0], u[1] - v[1], u[2] - v[2])
 
 
-def _align_tiles(atoms, align_idx, ref_rows):
+def _align_tiles(atoms, align_idx, ref_rows, needed=None):
     """Kabsch-align folded frames.
 
     atoms: list of n vectors (tuples of [S, C] tiles).
     align_idx: static local indices of the align atoms.
     ref_rows: ``[3*n_align, 1]`` centered reference coordinates (tensor
     input; entry (n, j) at row 3n+j).
+    needed: optional set of atom indices — only these are transformed
+    (others come back as None). Rotation-invariant features don't need
+    aligned coordinates, so the kernel only rotates atoms that feed
+    position features.
     Returns the aligned list of vectors. Same math as
     :func:`molann_tpu.ops.alignment.align_frames` with the QCP solver
     (reference semantics: molann/ann.py:157-199), unrolled per component.
@@ -222,7 +226,10 @@ def _align_tiles(atoms, align_idx, ref_rows):
     ]
 
     out = []
-    for atom in atoms:
+    for a, atom in enumerate(atoms):
+        if needed is not None and a not in needed:
+            out.append(None)
+            continue
         v = tuple(atom[i] - c[i] for i in range(3))
         out.append(
             tuple(
@@ -233,10 +240,17 @@ def _align_tiles(atoms, align_idx, ref_rows):
     return out
 
 
-def _features_tiles(atoms, spec: CompiledFeatures):
+def _features_tiles(atoms, spec: CompiledFeatures, pos_atoms=None):
     """All features on folded frames: list of vectors -> list of scalar
     tiles in feature-list column order (reference column semantics:
-    type-grouped blocks + static perm, molann/ann.py:473/:351/:354)."""
+    type-grouped blocks + static perm, molann/ann.py:473/:351/:354).
+
+    pos_atoms: optional per-atom override used for position features
+    (aligned coordinates); bond/angle/dihedral are rotation+translation
+    invariant and always read ``atoms``.
+    """
+    if pos_atoms is None:
+        pos_atoms = atoms
     rows = []
     for (a0, a1, a2) in spec.angle_idx:
         r21 = _sub3(atoms[a0], atoms[a1])
@@ -262,7 +276,7 @@ def _features_tiles(atoms, spec: CompiledFeatures):
             rows.append(cos_phi / radius)
             rows.append(sin_phi / radius)
     for a in spec.position_idx:
-        rows.extend(atoms[a])
+        rows.extend(pos_atoms[a])
 
     if spec.perm is not None:
         rows = [rows[p] for p in spec.perm]
@@ -291,13 +305,22 @@ def _mlp_tiles(rows, params, activation):
 
 def _forward_tiles(atoms, tensors, spec, align_idx, activation):
     """Complete fused math on one folded tile (list-of-vectors in,
-    list-of-scalar-tiles out)."""
+    list-of-scalar-tiles out).
+
+    Alignment only changes position features (the rest are rigid-motion
+    invariant — that's their point), so the QCP solve + rotation runs only
+    for atoms that feed position features, and is skipped entirely when
+    there are none. Outputs and gradients are mathematically identical to
+    the literal compose-then-evaluate order (parity-tested)."""
+    pos_atoms = None
     if align_idx is not None:
         ref_rows, rest = tensors[0], tensors[1:]
-        atoms = _align_tiles(atoms, align_idx, ref_rows)
+        if spec.position_idx:
+            needed = set(spec.position_idx)
+            pos_atoms = _align_tiles(atoms, align_idx, ref_rows, needed)
     else:
         rest = tensors
-    rows = _features_tiles(atoms, spec)
+    rows = _features_tiles(atoms, spec, pos_atoms)
     if rest:
         params = tuple(
             (rest[2 * i], rest[2 * i + 1]) for i in range(len(rest) // 2)

@@ -27,6 +27,9 @@ __all__ = [
     "alanine_pdb_text",
     "alanine_histogram_features",
     "alanine_model",
+    "synthetic_peptide",
+    "peptide_backbone_features",
+    "peptide_model",
 ]
 
 # (name, resname, resid, x, y, z)
@@ -99,13 +102,99 @@ def alanine_histogram_features(u: Universe):
     ]
 
 
-def alanine_model(hidden_dims=(5, 3), method="qcp", use_angle_value=False,
+def synthetic_peptide(n_residues: int = 10, seed: int = 0) -> Universe:
+    """A synthetic poly-alanine-like chain with ``5*n_residues`` atoms
+    (N, CA, C, O, CB per residue) in an idealized helical geometry.
+
+    Stand-in for larger test systems (e.g. a chignolin-scale mini-protein
+    at ``n_residues=10`` → 50 atoms, or hundreds of residues for scaling
+    studies) without shipping structure files.
+    """
+    rng = __import__("numpy").random.default_rng(seed)
+    import numpy as np
+
+    names, resids, resnames, coords = [], [], [], []
+    # crude helix: backbone advances along z, rotates in xy
+    for r in range(n_residues):
+        theta = 1.745 * r  # ~100 degrees per residue
+        cx, cy, cz = (
+            2.3 * np.cos(theta),
+            2.3 * np.sin(theta),
+            1.5 * r,
+        )
+        offsets = {
+            "N": (-0.7, -0.6, -0.4),
+            "CA": (0.0, 0.0, 0.0),
+            "C": (0.9, 0.5, 0.4),
+            "O": (1.1, 1.6, 0.3),
+            "CB": (-0.5, 0.8, 0.8),
+        }
+        for name, (dx, dy, dz) in offsets.items():
+            jitter = 0.05 * rng.normal(size=3)
+            coords.append((cx + dx + jitter[0], cy + dy + jitter[1],
+                           cz + dz + jitter[2]))
+            names.append(name)
+            resids.append(r + 1)
+            resnames.append("ALA")
+    return Universe.from_arrays(coords, names=names, resids=resids,
+                                resnames=resnames)
+
+
+def peptide_backbone_features(u: Universe):
+    """Backbone φ/ψ dihedrals, CA-CA pseudo-bonds, and N-CA-C angles for a
+    :func:`synthetic_peptide` universe — a realistically sized feature set
+    (≈ 4 features per residue) for scaling tests."""
+    sel = lambda name, resid: u.select_atoms(f"name {name} and resid {resid}")
+    feats = []
+    resids = sorted(set(int(r) for r in u.atoms.resids))
+    for r in resids:
+        if r > min(resids):
+            feats.append(Feature(
+                f"phi{r}", "dihedral",
+                sel("C", r - 1) + sel("N", r) + sel("CA", r) + sel("C", r),
+            ))
+            feats.append(Feature(
+                f"dCA{r}", "bond", sel("CA", r - 1) + sel("CA", r),
+            ))
+        if r < max(resids):
+            feats.append(Feature(
+                f"psi{r}", "dihedral",
+                sel("N", r) + sel("CA", r) + sel("C", r) + sel("N", r + 1),
+            ))
+        feats.append(Feature(
+            f"ang{r}", "angle", sel("N", r) + sel("CA", r) + sel("C", r),
+        ))
+    return feats
+
+
+def peptide_model(n_residues: int = 10, hidden_dims=(32, 2), method="qcp",
                   key=None):
+    """Flagship scaling model: synthetic peptide, alignment on the CA
+    trace, full backbone feature set → MLP. Returns ``(model, universe)``."""
+    u = synthetic_peptide(n_residues)
+    align = AlignmentLayer(u.select_atoms("name CA"), u.atoms, method=method)
+    flayer = FeatureLayer(peptide_backbone_features(u), u.atoms)
+    pp = PreprocessingANN(align, flayer)
+    nn = create_sequential_nn(
+        [pp.output_dimension(), *hidden_dims],
+        key=key if key is not None else jax.random.PRNGKey(0),
+    )
+    return MolANN(pp, nn), u
+
+
+def alanine_model(hidden_dims=(5, 3), method="qcp", use_angle_value=False,
+                  include_position=True, key=None):
     """The flagship demo/benchmark model: AlignmentLayer('bynum 1 2 5') →
-    histogram FeatureLayer → MLP. Returns ``(model, universe)``."""
+    FeatureLayer(position over resid 2 + the six histogram observables) →
+    MLP. The position feature keeps the Kabsch alignment load-bearing
+    (invariant features alone would make it a mathematical no-op).
+    Returns ``(model, universe)``."""
     u = alanine_universe()
     align = AlignmentLayer(u.select_atoms("bynum 1 2 5"), u.atoms, method=method)
-    flayer = FeatureLayer(alanine_histogram_features(u), u.atoms, use_angle_value)
+    feats = list(alanine_histogram_features(u))
+    if include_position:
+        feats.insert(0, Feature("p1", "position", u.select_atoms("resid 2")))
+    flayer = FeatureLayer(feats, u.atoms, use_angle_value)
     pp = PreprocessingANN(align, flayer)
     nn = create_sequential_nn(
         [pp.output_dimension(), *hidden_dims],

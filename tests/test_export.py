@@ -33,16 +33,16 @@ def test_checkpoint_roundtrip(tmp_path, model_and_frames):
         np.asarray(loaded(x)), np.asarray(model(x)), atol=1e-7
     )
     # API survives the round trip
-    assert loaded.get_preprocessing_layer().output_dimension() == 8
+    assert loaded.get_preprocessing_layer().output_dimension() == 38
     flayer = loaded.preprocessing_layer.feature_layer
     assert [f.get_name() for f in flayer.feature_list] == [
-        "d1", "d2", "b1", "b2", "a1", "a2",
+        "p1", "d1", "d2", "b1", "b2", "a1", "a2",
     ]
     np.testing.assert_array_equal(
-        flayer.get_feature(0).get_atom_indices(), [5, 7, 9, 15]
+        flayer.get_feature(1).get_atom_indices(), [5, 7, 9, 15]
     )
     df = flayer.get_feature_info()
-    assert len(df) == 6
+    assert len(df) == 7
 
 
 def test_checkpoint_no_topology_needed(tmp_path, model_and_frames):
