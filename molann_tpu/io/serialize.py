@@ -96,6 +96,11 @@ def _feature_from_dict(d, arrays):
 
 
 def _to_dict(obj, saver):
+    if isinstance(obj, (tuple, list)):
+        return {
+            "kind": "Tuple",
+            "items": [_to_dict(o, saver) for o in obj],
+        }
     if isinstance(obj, MolANN):
         return {
             "kind": "MolANN",
@@ -173,6 +178,8 @@ def _spec_from_dict(d):
 
 def _from_dict(d, arrays):
     kind = d["kind"]
+    if kind == "Tuple":
+        return tuple(_from_dict(item, arrays) for item in d["items"])
     if kind == "MolANN":
         return MolANN(
             _from_dict(d["preprocessing_layer"], arrays),

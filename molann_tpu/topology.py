@@ -351,8 +351,19 @@ class Universe:
 
 _KEYWORDS = {
     "and", "or", "not", "all", "bynum", "index", "resid", "name", "type",
-    "resname",
+    "resname", "protein", "backbone", "heavy", "hydrogen",
 }
+
+# Standard residue names recognized by the `protein` keyword (the common
+# MDAnalysis set: amino acids + caps + common variants).
+_PROTEIN_RESNAMES = {
+    "ALA", "ARG", "ASN", "ASP", "CYS", "GLN", "GLU", "GLY", "HIS", "ILE",
+    "LEU", "LYS", "MET", "PHE", "PRO", "SER", "THR", "TRP", "TYR", "VAL",
+    "ACE", "NME", "NMA", "HID", "HIE", "HIP", "HSD", "HSE", "HSP", "CYX",
+    "ASH", "GLH", "LYN", "MSE",
+}
+
+_BACKBONE_NAMES = {"N", "CA", "C", "O", "OXT"}
 
 _TOKEN_RE = re.compile(r"\(|\)|[^\s()]+")
 
@@ -427,6 +438,19 @@ class _Parser:
         n = self.u.n_atoms
         if tok == "all":
             return np.ones(n, dtype=bool)
+        if tok == "protein":
+            res = np.asarray(self.u._resnames)
+            return np.isin(res, sorted(_PROTEIN_RESNAMES))
+        if tok == "backbone":
+            res = np.asarray(self.u._resnames)
+            names = np.asarray(self.u._names)
+            return np.isin(res, sorted(_PROTEIN_RESNAMES)) & np.isin(
+                names, sorted(_BACKBONE_NAMES)
+            )
+        if tok == "hydrogen":
+            return np.asarray(self.u._types) == "H"
+        if tok == "heavy":
+            return np.asarray(self.u._types) != "H"
         if tok in ("bynum", "index", "resid"):
             values = self._collect_ranges(tok)
             if tok == "bynum":

@@ -11,6 +11,11 @@ from .losses import (
     mse_loss,
     registry as loss_registry,
 )
+from .checkpoint import (
+    latest_checkpoint,
+    load_training_state,
+    save_training_state,
+)
 from .data import (
     TrajectoryDataset,
     batch_iterator,
@@ -35,4 +40,7 @@ __all__ = [
     "save_trajectory",
     "coordinate_gradients",
     "force_fn",
+    "save_training_state",
+    "load_training_state",
+    "latest_checkpoint",
 ]

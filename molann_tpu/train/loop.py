@@ -104,14 +104,17 @@ class TrainResult:
 
 
 def fit(model, loss_fn, data_iter, *, optimizer=None, mesh=None,
-        num_steps=None, mask=None, log_every=0):
+        num_steps=None, mask=None, log_every=0,
+        checkpoint_dir=None, checkpoint_every=0, resume=True):
     """Train ``model`` with ``loss_fn(model, batch)`` over ``data_iter``.
 
-    Non-trainable leaves are frozen via ``optax.masked`` with
+    Non-trainable leaves are frozen via a masked optimizer with
     :func:`trainable_mask` (pass ``mask`` to override). When ``mesh`` is
     given, each batch is device_put sharded over the data axis before the
-    step. Returns :class:`TrainResult` with the trained model and the loss
-    trace.
+    step. With ``checkpoint_dir``, training state (model + optimizer +
+    step) is saved every ``checkpoint_every`` steps and, if ``resume``,
+    training continues from the latest checkpoint found there.
+    Returns :class:`TrainResult` with the trained model and the loss trace.
     """
     if optimizer is None:
         optimizer = optax.adam(1e-3)
@@ -119,20 +122,41 @@ def fit(model, loss_fn, data_iter, *, optimizer=None, mesh=None,
         mask = trainable_mask(model)
     optimizer = masked_optimizer(optimizer, mask)
     opt_state = optimizer.init(model)
+    start_step = 0
+
+    if checkpoint_dir is not None and resume:
+        from .checkpoint import latest_checkpoint, load_training_state
+
+        latest = latest_checkpoint(checkpoint_dir)
+        if latest is not None:
+            model, opt_state, start_step = load_training_state(
+                latest, optimizer
+            )
+
     step = make_train_step(loss_fn, optimizer, mesh)
 
     if mesh is not None:
         from ..parallel.data_parallel import shard_batch
+    if checkpoint_dir is not None:
+        from .checkpoint import save_training_state
 
     losses = []
-    for i, batch in enumerate(data_iter):
+    i = start_step
+    for batch in data_iter:
         if num_steps is not None and i >= num_steps:
             break
         if mesh is not None:
             batch = shard_batch(batch, mesh)
         model, opt_state, loss = step(model, opt_state, batch)
         losses.append(loss)
-        if log_every and (i + 1) % log_every == 0:
-            print(f"step {i + 1}: loss={float(loss):.6g}")
+        i += 1
+        if log_every and i % log_every == 0:
+            print(f"step {i}: loss={float(loss):.6g}")
+        if (
+            checkpoint_dir is not None
+            and checkpoint_every
+            and i % checkpoint_every == 0
+        ):
+            save_training_state(checkpoint_dir, model, opt_state, i)
     losses = [float(l) for l in losses]
     return TrainResult(model=model, losses=losses)

@@ -71,11 +71,22 @@ def test_atom_identity_and_iteration(universe):
 
 def test_selection_errors(universe):
     with pytest.raises(SelectionError):
-        universe.select_atoms("protein")  # outside supported subset
+        universe.select_atoms("around 5 resid 2")  # outside supported subset
     with pytest.raises(SelectionError):
         universe.select_atoms("")
     with pytest.raises(SelectionError):
         universe.select_atoms("bynum")
+
+
+def test_compound_selection_keywords(universe):
+    assert len(universe.select_atoms("protein")) == 22  # ACE/ALA/NME all in
+    bb = universe.select_atoms("backbone")
+    assert set(universe.atoms.names[bb.ix]) <= {"N", "CA", "C", "O"}
+    assert list(bb.ix) == [4, 5, 6, 8, 14, 15, 16]  # C/O(ACE) N/CA/C/O(ALA) N(NME)
+    h = universe.select_atoms("hydrogen")
+    heavy = universe.select_atoms("heavy")
+    assert len(h) + len(heavy) == 22
+    assert all(t == "H" for t in universe.atoms.types[h.ix])
 
 
 def test_guess_atom_type():
