@@ -23,29 +23,28 @@ import jax.numpy as jnp
 import numpy as np
 
 BASELINE_FRAMES_PER_SEC = 10_000_000.0
-N_FRAMES = 1 << 22  # 4M frames/step amortizes per-dispatch overhead
+N_FRAMES = 1 << 23  # 8M frames/step amortizes per-dispatch overhead
 
 
 def main():
-    from molann_tpu.ops.fused import fused_model_forward
+    from molann_tpu.ops.fused import fused_cv_forces
     from molann_tpu.systems import alanine_model
 
     model, u = alanine_model()
 
     rng = np.random.default_rng(0)
-    # packed [l, 3n] trajectory (resident [l, n, 3] would lane-pad 3->128)
+    # fully transposed [3n, l] trajectory — the fast storage layout on TPU
+    # (a resident [l, n, 3] array would lane-pad 3 -> 128, ~42x HBM waste)
     x = jnp.asarray(
-        u.atoms.positions.reshape(1, 66)
-        + 0.05 * rng.normal(size=(N_FRAMES, 66)).astype(np.float32)
+        u.atoms.positions.reshape(66, 1)
+        + 0.05 * rng.normal(size=(66, N_FRAMES)).astype(np.float32)
     )
 
     @jax.jit
     def fwd_bwd(m, xx):
-        # forward + full gradient w.r.t. coordinates (force evaluation)
-        out, grad = jax.value_and_grad(
-            lambda v: jnp.sum(fused_model_forward(m, v))
-        )(xx)
-        return out, grad
+        # single-kernel CV values + full coordinate gradients
+        # (the biased-MD force-evaluation workload)
+        return fused_cv_forces(m, xx, tile=1024, transposed_input=True)
 
     def run_once():
         out, g = fwd_bwd(model, x)

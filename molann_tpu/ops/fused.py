@@ -48,7 +48,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..spec import CompiledFeatures
 
-__all__ = ["fused_apply", "fused_model_forward"]
+__all__ = ["fused_apply", "fused_model_forward", "fused_cv_forces"]
 
 DEFAULT_TILE = 2048
 DEFAULT_BWD_TILE = 1024  # backward holds vjp residuals in VMEM
@@ -550,13 +550,9 @@ def _fused_bwd(spec, align_idx, activation, tiles, interpret, res, gy):
 fused_apply.defvjp(_fused_fwd, _fused_bwd)
 
 
-def fused_model_forward(model, x, *, tile=DEFAULT_TILE,
-                        bwd_tile=DEFAULT_BWD_TILE, interpret=False):
-    """Run a ``MolANN`` (or ``PreprocessingANN``/``FeatureLayer``) through
-    the fused Pallas path. Equivalent to ``model(x)`` to float32 tolerance
-    (parity-tested); one kernel per frame tile instead of an XLA op graph.
-    Fully differentiable w.r.t. x, the MLP parameters, and ref_x.
-    """
+def _extract_model(model, dtype):
+    """Decompose a model into (spec, align_idx, ref_x, params, activation)
+    for the fused kernels."""
     from ..models.ann import (
         FeatureLayer,
         Identity,
@@ -588,7 +584,7 @@ def fused_model_forward(model, x, *, tile=DEFAULT_TILE,
         ref_x = align_layer.ref_x
     else:
         align_idx = None
-        ref_x = jnp.zeros((0, 3), dtype=x.dtype)
+        ref_x = jnp.zeros((0, 3), dtype=dtype)
 
     params = ()
     activation = jnp.tanh
@@ -597,8 +593,156 @@ def fused_model_forward(model, x, *, tile=DEFAULT_TILE,
             raise TypeError("fused path requires a SequentialNN head")
         activation = nn.activation
         params = tuple((w.T, b.reshape(-1, 1)) for (w, b) in nn.params)
+    return spec, align_idx, ref_x, params, activation
 
+
+def fused_model_forward(model, x, *, tile=DEFAULT_TILE,
+                        bwd_tile=DEFAULT_BWD_TILE, interpret=False):
+    """Run a ``MolANN`` (or ``PreprocessingANN``/``FeatureLayer``) through
+    the fused Pallas path. Equivalent to ``model(x)`` to float32 tolerance
+    (parity-tested); one kernel per frame tile instead of an XLA op graph.
+    Fully differentiable w.r.t. x, the MLP parameters, and ref_x.
+    """
+    spec, align_idx, ref_x, params, activation = _extract_model(model, x.dtype)
     return fused_apply(
         spec, align_idx, activation, (tile, bwd_tile), interpret,
         params, ref_x, x
     )
+
+
+def _fold_block_t(xt_blk, n_atoms, tile):
+    """[3n, TILE] transposed block -> list of n vectors of [S, C] tiles.
+    Pure reshape — no in-VMEM transpose needed."""
+    xt = xt_blk.reshape(3 * n_atoms, _SUB, tile // _SUB)
+    return [
+        (xt[3 * a], xt[3 * a + 1], xt[3 * a + 2]) for a in range(n_atoms)
+    ]
+
+
+def _unfold_rows_t(rows, tile):
+    """List of k scalar [S, C] tiles -> [k, TILE] transposed block."""
+    return jnp.concatenate([r.reshape(1, tile) for r in rows], axis=0)
+
+
+def _cv_forces_kernel(spec, align_idx, activation, n_atoms, component,
+                      transposed_in, transposed_out, x_ref, *rest):
+    # rest = (*tensor_refs, y_ref, gx_ref)
+    n_t = len(rest) - 2
+    tensors = [r[:] for r in rest[:n_t]]
+    y_ref, gx_ref = rest[n_t], rest[n_t + 1]
+    tile = x_ref.shape[1] if transposed_in else x_ref.shape[0]
+
+    def f(x_blk):
+        if transposed_in:
+            atoms = _fold_block_t(x_blk, n_atoms, tile)
+        else:
+            atoms = _fold_block(x_blk, n_atoms)
+        rows = _forward_tiles(atoms, tensors, spec, align_idx, activation)
+        if transposed_out:
+            return _unfold_rows_t(rows, tile)  # [d_out, tile]
+        return _unfold_rows(rows, tile)  # [tile, d_out]
+
+    y, vjp = jax.vjp(f, x_ref[:])
+    if component is None:
+        ct = jnp.ones_like(y)
+    else:
+        axis = 0 if transposed_out else 1
+        col = jax.lax.broadcasted_iota(jnp.int32, y.shape, axis)
+        ct = (col == component).astype(y.dtype)
+    (gx,) = vjp(ct)
+    y_ref[:] = y
+    gx_ref[:] = gx
+
+
+def fused_cv_forces(model, x, *, component=None, tile=DEFAULT_BWD_TILE,
+                    transposed_input=False, transposed_outputs=False,
+                    interpret=False):
+    """The production serving op for biased MD: CV values AND their
+    coordinate gradients in ONE kernel (single HBM read of the
+    trajectory, no cotangent round-trip, no parameter-gradient state).
+
+    component: which output column to differentiate (None = sum of all —
+    the benchmark convention).
+    transposed_input: ``x`` is given as ``[3n, l]`` (frames minor) — the
+    zero-copy fast path: no in-kernel transpose and minimal HBM padding;
+    implies transposed outputs.
+    transposed_outputs: return ``y [d_out, l]`` and ``g [3n, l]`` instead
+    of ``[l, d_out]`` / ``[l, n, 3]``-shaped. On TPU, HBM-resident
+    ``[l, k]`` arrays with small k lane-pad k -> 128 (e.g. a [4M, 3] CV
+    array physically occupies 2 GB); the transposed form pads only
+    sublanes (~1.1-2.7x) and is the fast choice when the consumer can
+    take frames in the minor axis.
+
+    Returns ``(cv_values, gradients)``. (Forces are ``-gradients``.)
+    """
+    spec, align_idx, ref_x, params, activation = _extract_model(model, x.dtype)
+    # transposed [3n, l] input: the zero-copy fast path (no in-kernel
+    # transpose, minimal HBM padding).
+    transposed_in = transposed_input
+    if transposed_in:
+        n_atoms, l = x.shape[0] // 3, x.shape[1]
+        packed = True
+        l_p = ((l + tile - 1) // tile) * tile
+        xm = (
+            jnp.pad(x, ((0, 0), (0, l_p - l)), mode="edge")
+            if l_p != l else x
+        )
+        transposed_outputs = True  # transposed in => transposed out
+    else:
+        xm0, n_atoms, packed = _as_packed(x)
+        l = xm0.shape[0]
+        xm, l_p = _prep_input(xm0, tile)
+    d_out = _out_dim(spec, params)
+    if component is not None:
+        component = component % d_out
+
+    tensors = _tensor_list(align_idx, params, ref_x)
+    grid = (l_p // tile,)
+    if transposed_in:
+        x_spec = pl.BlockSpec(
+            (3 * n_atoms, tile), lambda i: (0, i), memory_space=pltpu.VMEM
+        )
+    else:
+        x_spec = pl.BlockSpec(
+            (tile, 3 * n_atoms), lambda i: (i, 0), memory_space=pltpu.VMEM
+        )
+    in_specs = [x_spec] + [_full_spec(t) for t in tensors]
+    if transposed_outputs:
+        out_shapes = [
+            jax.ShapeDtypeStruct((d_out, l_p), x.dtype),
+            jax.ShapeDtypeStruct((3 * n_atoms, l_p), x.dtype),
+        ]
+        out_specs = [
+            pl.BlockSpec((d_out, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * n_atoms, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ]
+    else:
+        out_shapes = [
+            jax.ShapeDtypeStruct((l_p, d_out), x.dtype),
+            jax.ShapeDtypeStruct((l_p, 3 * n_atoms), x.dtype),
+        ]
+        out_specs = [
+            pl.BlockSpec((tile, d_out), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 3 * n_atoms), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+    y, gx = pl.pallas_call(
+        functools.partial(
+            _cv_forces_kernel, spec, align_idx, activation, n_atoms,
+            component, transposed_in, transposed_outputs,
+        ),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(xm, *tensors)
+    if transposed_outputs:
+        return y[:, :l], gx[:, :l]
+    y, gx = y[:l], gx[:l]
+    if not packed:
+        gx = gx.reshape(l, n_atoms, 3)
+    return y, gx

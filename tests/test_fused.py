@@ -94,3 +94,46 @@ def test_packed_input_shape_roundtrip(model_and_frames):
 def test_fused_wrapper_rejects_unknown_models():
     with pytest.raises(TypeError):
         F.fused_model_forward(object(), jnp.zeros((4, 22, 3)))
+
+
+def cv_forces_reference(model, x, component=None):
+    """jnp-path oracle for fused_cv_forces."""
+    def objective(v):
+        out = model(v)
+        if component is not None:
+            out = out[:, component]
+        return jnp.sum(out)
+
+    return model(x), jax.grad(objective)(x)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("component", [None, 0])
+def test_cv_forces_interpret(model_and_frames, component):
+    """Single-kernel CV+forces op matches the jnp path (interpret mode)."""
+    model, x = model_and_frames
+    x = x[:32]
+    y_ref, g_ref = cv_forces_reference(model, x, component)
+    y, g = F.fused_cv_forces(
+        model, x, component=component, tile=32, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=5e-6)
+    scale = max(float(jnp.abs(g_ref).max()), 1.0)
+    np.testing.assert_allclose(
+        np.asarray(g), np.asarray(g_ref), atol=1e-5 * scale
+    )
+
+
+@pytest.mark.slow
+def test_cv_forces_transposed_interpret(model_and_frames):
+    model, x = model_and_frames
+    x = x[:32]
+    y_ref, g_ref = cv_forces_reference(model, x)
+    xt = x.reshape(32, 66).T
+    yt, gt = F.fused_cv_forces(
+        model, xt, tile=32, transposed_input=True, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(yt.T), np.asarray(y_ref), atol=5e-6)
+    np.testing.assert_allclose(
+        np.asarray(gt.T), np.asarray(g_ref.reshape(32, 66)), atol=1e-5
+    )
