@@ -1,0 +1,224 @@
+"""Command-line tools: evaluate CVs/forces and export models from files.
+
+The reference ships no CLI (SURVEY.md §5.6 — the feature file is its whole
+config system); these commands wrap the framework for production batch use:
+
+    python -m molann_tpu info model.npz
+    python -m molann_tpu evaluate model.npz traj.npy --out cvs.npy
+    python -m molann_tpu forces model.npz traj.npy --component 0 --out f.npy
+    python -m molann_tpu export model.npz --n-atoms 22 --out model.stablehlo
+    python -m molann_tpu build model.pdb features.txt --section Output \\
+        --align "bynum 1 2 5" --mlp 8 5 3 --out model.npz
+
+Trajectories are ``.npy`` files ([n_frames, n_atoms, 3] or packed
+[n_frames, 3n] float32); evaluation streams batches through the native
+loader and, on TPU, the fused kernels.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def _load_model(path):
+    from .io import load_model
+
+    return load_model(path)
+
+
+def cmd_info(args):
+    model = _load_model(args.model)
+    from .models.ann import MolANN
+
+    print(f"model: {type(model).__name__}")
+    if isinstance(model, MolANN):
+        pp = model.get_preprocessing_layer()
+        fl = pp.feature_layer
+        print(f"output dimension (features): {pp.output_dimension()}")
+        print(f"MLP dims: {list(model.ann_layers.layer_dims)}")
+        print("features:")
+        print(fl.get_feature_info().to_string())
+        align = pp.align_layer
+        if hasattr(align, "ref_x"):
+            print(f"alignment: {len(align.align_atom_indices)} atoms, "
+                  f"method={align.method}")
+        else:
+            print("alignment: none")
+    return 0
+
+
+def _evaluate(args, want_forces):
+    import jax
+    import jax.numpy as jnp
+
+    from .ops.fused import fused_cv_forces, fused_model_forward
+    from .train.data import packed_batch_iterator
+    from .train.forces import coordinate_gradients
+
+    model = _load_model(args.model)
+    # fused Pallas kernels on TPU (or under --interpret); plain XLA
+    # otherwise — CPU/GPU backends don't run compiled Mosaic kernels.
+    use_fused = args.interpret or jax.default_backend() == "tpu"
+    outs = []
+    grads = []
+    n_done = 0
+    mm = np.load(args.traj, mmap_mode="r")
+    n_frames = mm.shape[0]
+    del mm
+    component = getattr(args, "component", None)
+    for xb in packed_batch_iterator(
+        args.traj, args.batch_size, shuffle=False, epochs=1,
+        drop_remainder=False, backend=args.backend,
+    ):
+        x = jnp.asarray(xb)
+        if want_forces:
+            if use_fused:
+                y, g = fused_cv_forces(
+                    model, x, component=component,
+                    tile=args.tile, interpret=args.interpret,
+                )
+            else:
+                x3 = x.reshape(x.shape[0], -1, 3)
+                y = model(x3)
+                g = coordinate_gradients(model, x3, component).reshape(
+                    x.shape
+                )
+            grads.append(np.asarray(g))
+        else:
+            if use_fused:
+                y = fused_model_forward(
+                    model, x, tile=args.tile, interpret=args.interpret
+                )
+            else:
+                y = model(x.reshape(x.shape[0], -1, 3))
+        outs.append(np.asarray(y))
+        n_done += xb.shape[0]
+        if args.verbose:
+            print(f"\r{n_done}/{n_frames} frames", end="", file=sys.stderr)
+    if args.verbose:
+        print(file=sys.stderr)
+    y_all = np.concatenate(outs)
+    np.save(args.out, y_all)
+    print(f"wrote {args.out}: {y_all.shape}")
+    if want_forces:
+        g_all = -np.concatenate(grads)  # force convention
+        np.save(args.forces_out, g_all)
+        print(f"wrote {args.forces_out}: {g_all.shape}")
+    return 0
+
+
+def cmd_evaluate(args):
+    return _evaluate(args, want_forces=False)
+
+
+def cmd_forces(args):
+    return _evaluate(args, want_forces=True)
+
+
+def cmd_export(args):
+    from .io import export_stablehlo
+
+    model = _load_model(args.model)
+    export_stablehlo(
+        model, n_atoms=args.n_atoms, path=args.out,
+        with_gradient=args.with_gradient,
+    )
+    print(f"wrote {args.out}")
+    return 0
+
+
+def cmd_build(args):
+    from .ann import (
+        AlignmentLayer,
+        FeatureLayer,
+        MolANN,
+        PreprocessingANN,
+        create_sequential_nn,
+    )
+    from .feature import FeatureFileReader
+    from .io import save_model
+    from .topology import Universe
+
+    u = Universe(args.pdb)
+    features = FeatureFileReader(args.features, args.section, u).read()
+    if not features:
+        print(f"error: no features in section [{args.section}]",
+              file=sys.stderr)
+        return 1
+    flayer = FeatureLayer(features, u.atoms, args.use_angle_value)
+    align = (
+        AlignmentLayer(u.select_atoms(args.align), u.atoms)
+        if args.align else None
+    )
+    pp = PreprocessingANN(align, flayer)
+    dims = [pp.output_dimension(), *args.mlp] if args.mlp else None
+    if dims:
+        model = MolANN(pp, create_sequential_nn(dims))
+    else:
+        model = pp
+    save_model(args.out, model)
+    print(f"wrote {args.out} (feature dim {pp.output_dimension()})")
+    return 0
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(
+        prog="molann_tpu", description=__doc__,
+        formatter_class=argparse.RawDescriptionHelpFormatter,
+    )
+    sub = p.add_subparsers(dest="command", required=True)
+
+    pi = sub.add_parser("info", help="describe a saved model")
+    pi.add_argument("model")
+    pi.set_defaults(fn=cmd_info)
+
+    def add_eval_args(sp):
+        sp.add_argument("model")
+        sp.add_argument("traj", help=".npy trajectory")
+        sp.add_argument("--out", default="cvs.npy")
+        sp.add_argument("--batch-size", type=int, default=1 << 20)
+        sp.add_argument("--tile", type=int, default=1024)
+        sp.add_argument("--backend", default="auto",
+                        choices=["auto", "native", "numpy"])
+        sp.add_argument("--interpret", action="store_true",
+                        help="run kernels in interpret mode (CPU)")
+        sp.add_argument("--verbose", action="store_true")
+
+    pe = sub.add_parser("evaluate", help="evaluate CV values over a trajectory")
+    add_eval_args(pe)
+    pe.set_defaults(fn=cmd_evaluate)
+
+    pf = sub.add_parser("forces", help="evaluate CVs + biasing forces")
+    add_eval_args(pf)
+    pf.add_argument("--component", type=int, default=None)
+    pf.add_argument("--forces-out", default="forces.npy")
+    pf.set_defaults(fn=cmd_forces)
+
+    px = sub.add_parser("export", help="export a StableHLO artifact")
+    px.add_argument("model")
+    px.add_argument("--n-atoms", type=int, required=True)
+    px.add_argument("--out", default="model.stablehlo")
+    px.add_argument("--with-gradient", action="store_true")
+    px.set_defaults(fn=cmd_export)
+
+    pb = sub.add_parser("build", help="build a model from PDB + feature file")
+    pb.add_argument("pdb")
+    pb.add_argument("features")
+    pb.add_argument("--section", required=True)
+    pb.add_argument("--align", default=None,
+                    help="selection string for the alignment group")
+    pb.add_argument("--mlp", type=int, nargs="*", default=None,
+                    help="hidden/output dims appended after the feature dim")
+    pb.add_argument("--use-angle-value", action="store_true")
+    pb.add_argument("--out", default="model.npz")
+    pb.set_defaults(fn=cmd_build)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

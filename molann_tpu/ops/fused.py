@@ -53,7 +53,24 @@ __all__ = ["fused_apply", "fused_model_forward", "fused_cv_forces"]
 DEFAULT_TILE = 2048
 DEFAULT_BWD_TILE = 1024  # backward holds vjp residuals in VMEM
 _NEWTON_ITERS = 12
-_SUB = 8  # sublane fold of the frame axis
+_SUB = 8  # max sublane fold of the frame axis
+
+
+def _sub_for(tile: int) -> int:
+    """Sublane fold for a tile: folded lanes must stay >= 128 (Mosaic
+    cannot shape-cast below a full lane tile), so small tiles fold less."""
+    return max(1, min(_SUB, tile // 128))
+
+
+def _check_tile(tile: int, interpret: bool):
+    """Compiled Mosaic kernels need the full (8, 128) fold — reshapes with
+    fewer than 128 folded lanes fail layout inference. Interpret mode (and
+    therefore the CPU tests) is unrestricted."""
+    if not interpret and tile % (128 * _SUB):
+        raise ValueError(
+            f"fused kernels require tile to be a multiple of 1024 when "
+            f"compiled (got {tile}); small tiles work with interpret=True"
+        )
 
 
 # ---------------------------------------------------------------------------
@@ -240,6 +257,77 @@ def _align_tiles(atoms, align_idx, ref_rows, needed=None):
     return out
 
 
+def _angle_row(atoms, idx, use_angle_value):
+    a0, a1, a2 = idx
+    r21 = _sub3(atoms[a0], atoms[a1])
+    r23 = _sub3(atoms[a2], atoms[a1])
+    cos_angle = _dot3(r21, r23) / (_norm3(r21) * _norm3(r23))
+    return jnp.arccos(cos_angle) if use_angle_value else cos_angle
+
+
+def _bond_row(atoms, idx):
+    a0, a1 = idx
+    return _norm3(_sub3(atoms[a1], atoms[a0]))
+
+
+def _dihedral_rows(atoms, idx, use_angle_value):
+    a0, a1, a2, a3 = idx
+    r12 = _sub3(atoms[a1], atoms[a0])
+    r23 = _sub3(atoms[a2], atoms[a1])
+    r34 = _sub3(atoms[a3], atoms[a2])
+    n1 = _cross3(r12, r23)
+    n2 = _cross3(r23, r34)
+    cos_phi = _dot3(n1, n2)
+    sin_phi = _dot3(n1, r34) * _norm3(r23)
+    if use_angle_value:
+        return [jnp.arctan2(sin_phi, cos_phi)]
+    radius = jnp.sqrt(cos_phi * cos_phi + sin_phi * sin_phi)
+    return [cos_phi / radius, sin_phi / radius]
+
+
+def _feature_blocks(spec: CompiledFeatures, align_idx):
+    """Independent feature blocks in intermediate (type-grouped) row order.
+
+    Each block is ``(n_rows, fn(atoms, ref_rows) -> rows)`` computable on
+    its own — the unit of the interleaved-remat backward (one block's
+    intermediates live at a time). The position block embeds the Kabsch
+    alignment when present.
+    """
+    blocks = []
+    for idx in spec.angle_idx:
+        blocks.append((
+            1,
+            lambda atoms, ref, idx=idx: [
+                _angle_row(atoms, idx, spec.use_angle_value)
+            ],
+        ))
+    for idx in spec.bond_idx:
+        blocks.append((1, lambda atoms, ref, idx=idx: [_bond_row(atoms, idx)]))
+    d_width = 1 if spec.use_angle_value else 2
+    for idx in spec.dihedral_idx:
+        blocks.append((
+            d_width,
+            lambda atoms, ref, idx=idx: _dihedral_rows(
+                atoms, idx, spec.use_angle_value
+            ),
+        ))
+    if spec.position_idx:
+        def f_pos(atoms, ref_rows):
+            if align_idx is not None:
+                src = _align_tiles(
+                    atoms, align_idx, ref_rows, set(spec.position_idx)
+                )
+            else:
+                src = atoms
+            rows = []
+            for a in spec.position_idx:
+                rows.extend(src[a])
+            return rows
+
+        blocks.append((3 * len(spec.position_idx), f_pos))
+    return blocks
+
+
 def _features_tiles(atoms, spec: CompiledFeatures, pos_atoms=None):
     """All features on folded frames: list of vectors -> list of scalar
     tiles in feature-list column order (reference column semantics:
@@ -252,29 +340,12 @@ def _features_tiles(atoms, spec: CompiledFeatures, pos_atoms=None):
     if pos_atoms is None:
         pos_atoms = atoms
     rows = []
-    for (a0, a1, a2) in spec.angle_idx:
-        r21 = _sub3(atoms[a0], atoms[a1])
-        r23 = _sub3(atoms[a2], atoms[a1])
-        cos_angle = _dot3(r21, r23) / (_norm3(r21) * _norm3(r23))
-        rows.append(
-            jnp.arccos(cos_angle) if spec.use_angle_value else cos_angle
-        )
-    for (a0, a1) in spec.bond_idx:
-        rows.append(_norm3(_sub3(atoms[a1], atoms[a0])))
-    for (a0, a1, a2, a3) in spec.dihedral_idx:
-        r12 = _sub3(atoms[a1], atoms[a0])
-        r23 = _sub3(atoms[a2], atoms[a1])
-        r34 = _sub3(atoms[a3], atoms[a2])
-        n1 = _cross3(r12, r23)
-        n2 = _cross3(r23, r34)
-        cos_phi = _dot3(n1, n2)
-        sin_phi = _dot3(n1, r34) * _norm3(r23)
-        if spec.use_angle_value:
-            rows.append(jnp.arctan2(sin_phi, cos_phi))
-        else:
-            radius = jnp.sqrt(cos_phi * cos_phi + sin_phi * sin_phi)
-            rows.append(cos_phi / radius)
-            rows.append(sin_phi / radius)
+    for idx in spec.angle_idx:
+        rows.append(_angle_row(atoms, idx, spec.use_angle_value))
+    for idx in spec.bond_idx:
+        rows.append(_bond_row(atoms, idx))
+    for idx in spec.dihedral_idx:
+        rows.extend(_dihedral_rows(atoms, idx, spec.use_angle_value))
     for a in spec.position_idx:
         rows.extend(pos_atoms[a])
 
@@ -341,7 +412,8 @@ def _fold_block(x_blk, n_atoms):
     full-tile elementwise math.
     """
     tile = x_blk.shape[0]
-    xt = x_blk.T.reshape(3 * n_atoms, _SUB, tile // _SUB)
+    sub = _sub_for(tile)
+    xt = x_blk.T.reshape(3 * n_atoms, sub, tile // sub)
     return [
         (xt[3 * a], xt[3 * a + 1], xt[3 * a + 2]) for a in range(n_atoms)
     ]
@@ -435,6 +507,7 @@ def _prep_input(xm, tile):
 
 
 def _fwd_impl(spec, align_idx, activation, tile, interpret, params, ref_x, x):
+    _check_tile(tile, interpret)
     xm0, n_atoms, _ = _as_packed(x)
     l = xm0.shape[0]
     d_out = _out_dim(spec, params)
@@ -462,6 +535,7 @@ def _fwd_impl(spec, align_idx, activation, tile, interpret, params, ref_x, x):
 
 def _bwd_impl(spec, align_idx, activation, tile, interpret, params, ref_x,
               x, gy):
+    _check_tile(tile, interpret)
     xm0, n_atoms, packed = _as_packed(x)
     l = xm0.shape[0]
     d_out = _out_dim(spec, params)
@@ -613,7 +687,8 @@ def fused_model_forward(model, x, *, tile=DEFAULT_TILE,
 def _fold_block_t(xt_blk, n_atoms, tile):
     """[3n, TILE] transposed block -> list of n vectors of [S, C] tiles.
     Pure reshape — no in-VMEM transpose needed."""
-    xt = xt_blk.reshape(3 * n_atoms, _SUB, tile // _SUB)
+    sub = _sub_for(tile)
+    xt = xt_blk.reshape(3 * n_atoms, sub, tile // sub)
     return [
         (xt[3 * a], xt[3 * a + 1], xt[3 * a + 2]) for a in range(n_atoms)
     ]
@@ -625,38 +700,99 @@ def _unfold_rows_t(rows, tile):
 
 
 def _cv_forces_kernel(spec, align_idx, activation, n_atoms, component,
-                      transposed_in, transposed_out, x_ref, *rest):
+                      transposed_in, transposed_out, remat, x_ref, *rest):
     # rest = (*tensor_refs, y_ref, gx_ref)
     n_t = len(rest) - 2
     tensors = [r[:] for r in rest[:n_t]]
     y_ref, gx_ref = rest[n_t], rest[n_t + 1]
     tile = x_ref.shape[1] if transposed_in else x_ref.shape[0]
 
-    def f(x_blk):
+    def fold(x_blk):
         if transposed_in:
-            atoms = _fold_block_t(x_blk, n_atoms, tile)
-        else:
-            atoms = _fold_block(x_blk, n_atoms)
-        rows = _forward_tiles(atoms, tensors, spec, align_idx, activation)
+            return _fold_block_t(x_blk, n_atoms, tile)
+        return _fold_block(x_blk, n_atoms)
+
+    def f(x_blk):
+        rows = _forward_tiles(
+            fold(x_blk), tensors, spec, align_idx, activation
+        )
         if transposed_out:
             return _unfold_rows_t(rows, tile)  # [d_out, tile]
         return _unfold_rows(rows, tile)  # [tile, d_out]
 
-    y, vjp = jax.vjp(f, x_ref[:])
-    if component is None:
-        ct = jnp.ones_like(y)
-    else:
+    def make_ct(y):
+        if component is None:
+            return jnp.ones_like(y)
         axis = 0 if transposed_out else 1
         col = jax.lax.broadcasted_iota(jnp.int32, y.shape, axis)
-        ct = (col == component).astype(y.dtype)
-    (gx,) = vjp(ct)
+        return (col == component).astype(y.dtype)
+
+    if not remat:
+        y, vjp = jax.vjp(f, x_ref[:])
+        (gx,) = vjp(make_ct(y))
+        y_ref[:] = y
+        gx_ref[:] = gx
+        return
+
+    # Interleaved-remat backward for large systems: holding the vjp
+    # residuals of EVERY feature at once scales VMEM with
+    # (n_features + n_atoms) x tile and OOMs for hundreds of atoms.
+    # Instead: (1) forward all feature rows residual-free, (2) vjp only
+    # the small MLP head to get per-feature-row cotangents, (3) re-derive
+    # each feature block with its own short-lived vjp and accumulate gx.
+    # Features are computed twice (standard remat trade) but peak VMEM is
+    # one block's working set. (jax.checkpoint itself does not lower
+    # through Pallas — remat2 is unimplemented in Mosaic — hence manual.)
+    ref_rows = tensors[0] if align_idx is not None else None
+    mlp_tensors = tensors[1:] if align_idx is not None else tensors
+    params = tuple(
+        (mlp_tensors[2 * i], mlp_tensors[2 * i + 1])
+        for i in range(len(mlp_tensors) // 2)
+    )
+    blocks = _feature_blocks(spec, align_idx)
+    sub = _sub_for(tile)
+
+    x_blk = x_ref[:]
+    atoms = fold(x_blk)
+    feat_rows = []  # intermediate (type-grouped) order
+    for _, fn_k in blocks:
+        feat_rows.extend(fn_k(atoms, ref_rows))
+
+    def head(rows_vec):
+        # rows_vec: [d, tile] stacked intermediate rows -> model output
+        rows = [
+            rows_vec[i : i + 1].reshape(sub, tile // sub)
+            for i in range(rows_vec.shape[0])
+        ]
+        if spec.perm is not None:
+            rows = [rows[p] for p in spec.perm]
+        if params:
+            rows = _mlp_tiles(rows, params, activation)
+        if transposed_out:
+            return _unfold_rows_t(rows, tile)
+        return _unfold_rows(rows, tile)
+
+    feat_mat = _unfold_rows_t(feat_rows, tile)  # [d, tile]
+    y, head_vjp = jax.vjp(head, feat_mat)
+    (g_feat,) = head_vjp(make_ct(y))  # [d, tile], intermediate row order
     y_ref[:] = y
+
+    gx = None
+    row0 = 0
+    for n_rows, fn_k in blocks:
+        def f_k(xb, fn_k=fn_k):
+            return _unfold_rows_t(fn_k(fold(xb), ref_rows), tile)
+
+        _, vjp_k = jax.vjp(f_k, x_blk)
+        (gxk,) = vjp_k(g_feat[row0 : row0 + n_rows])
+        gx = gxk if gx is None else gx + gxk
+        row0 += n_rows
     gx_ref[:] = gx
 
 
 def fused_cv_forces(model, x, *, component=None, tile=DEFAULT_BWD_TILE,
                     transposed_input=False, transposed_outputs=False,
-                    interpret=False):
+                    remat=False, interpret=False):
     """The production serving op for biased MD: CV values AND their
     coordinate gradients in ONE kernel (single HBM read of the
     trajectory, no cotangent round-trip, no parameter-gradient state).
@@ -676,6 +812,7 @@ def fused_cv_forces(model, x, *, component=None, tile=DEFAULT_BWD_TILE,
     Returns ``(cv_values, gradients)``. (Forces are ``-gradients``.)
     """
     spec, align_idx, ref_x, params, activation = _extract_model(model, x.dtype)
+    _check_tile(tile, interpret)
     # transposed [3n, l] input: the zero-copy fast path (no in-kernel
     # transpose, minimal HBM padding).
     transposed_in = transposed_input
@@ -732,7 +869,7 @@ def fused_cv_forces(model, x, *, component=None, tile=DEFAULT_BWD_TILE,
     y, gx = pl.pallas_call(
         functools.partial(
             _cv_forces_kernel, spec, align_idx, activation, n_atoms,
-            component, transposed_in, transposed_outputs,
+            component, transposed_in, transposed_outputs, remat,
         ),
         grid=grid,
         in_specs=in_specs,

@@ -84,7 +84,7 @@ def batch_iterator(dataset, batch_size, *, shuffle=True, seed=0,
 
 def packed_batch_iterator(path, batch_size, *, shuffle=True, seed=0,
                           epochs=None, multiple_of=1, backend="auto",
-                          n_threads=None):
+                          drop_remainder=True, n_threads=None):
     """Yield packed ``[batch, 3n]`` float32 batches from a .npy trajectory.
 
     backend='native' uses the C++ loader (mmap + threaded gather); while a
@@ -124,5 +124,13 @@ def packed_batch_iterator(path, batch_size, *, shuffle=True, seed=0,
             else:
                 yield np.asarray(mm[idx], dtype=np.float32).reshape(
                     batch_size, fpf
+                )
+        if not drop_remainder and n % batch_size:
+            tail = np.sort(order[-(n % batch_size):])
+            if loader is not None:
+                yield loader.read_batch(tail)
+            else:
+                yield np.asarray(mm[tail], dtype=np.float32).reshape(
+                    len(tail), fpf
                 )
         epoch += 1

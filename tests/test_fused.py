@@ -42,7 +42,7 @@ def tiles_forward(model, x):
     params = tuple(
         (w.T, b.reshape(-1, 1)) for (w, b) in model.ann_layers.params
     )
-    xt = x.reshape(l, 66).T.reshape(66, F._SUB, l // F._SUB)
+    xt = x.reshape(l, 66).T.reshape(66, F._sub_for(l), l // F._sub_for(l))
     atoms = [(xt[3 * a], xt[3 * a + 1], xt[3 * a + 2]) for a in range(22)]
     tensors = [ref_rows]
     for (w, b) in params:

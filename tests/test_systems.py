@@ -73,7 +73,7 @@ def test_peptide_fused_tile_math(rng):
     params = tuple(
         (w.T, b.reshape(-1, 1)) for (w, b) in model.ann_layers.params
     )
-    xt = x.reshape(l, 3 * n).T.reshape(3 * n, F._SUB, l // F._SUB)
+    xt = x.reshape(l, 3 * n).T.reshape(3 * n, F._sub_for(l), l // F._sub_for(l))
     atoms = [(xt[3 * a], xt[3 * a + 1], xt[3 * a + 2]) for a in range(n)]
     tensors = [align_layer.ref_x.reshape(-1, 1)]
     for (w, b) in params:
