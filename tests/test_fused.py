@@ -125,6 +125,46 @@ def test_cv_forces_interpret(model_and_frames, component):
 
 
 @pytest.mark.slow
+def test_cv_forces_remat_interpret():
+    """Interleaved-remat backward (large-system path) is exact."""
+    from molann_tpu.ann import (
+        AlignmentLayer,
+        FeatureLayer,
+        MolANN,
+        PreprocessingANN,
+        create_sequential_nn,
+    )
+    from molann_tpu.feature import Feature
+    from molann_tpu.systems import peptide_backbone_features, synthetic_peptide
+
+    u = synthetic_peptide(4)
+    feats = [
+        Feature("pos", "position", u.select_atoms("name CA"))
+    ] + peptide_backbone_features(u)
+    pp = PreprocessingANN(
+        AlignmentLayer(u.select_atoms("name CA"), u.atoms),
+        FeatureLayer(feats, u.atoms),
+    )
+    model = MolANN(
+        pp, create_sequential_nn([pp.output_dimension(), 8, 2],
+                                 key=jax.random.PRNGKey(0))
+    )
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(
+        u.atoms.positions[None]
+        + 0.02 * rng.normal(size=(32, u.n_atoms, 3)).astype(np.float32)
+    )
+    y_ref = model(x)
+    g_ref = jax.grad(lambda v: jnp.sum(model(v)))(x)
+    y, g = F.fused_cv_forces(model, x, tile=32, interpret=True, remat=True)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=5e-6)
+    scale = float(jnp.abs(g_ref).max())
+    np.testing.assert_allclose(
+        np.asarray(g), np.asarray(g_ref), atol=5e-5 * scale
+    )
+
+
+@pytest.mark.slow
 def test_cv_forces_transposed_interpret(model_and_frames):
     model, x = model_and_frames
     x = x[:32]
