@@ -13,6 +13,7 @@ ICI data-parallel training, and StableHLO export.
 """
 
 from . import ann, feature, ops, spec, topology  # noqa: F401
+from .ops.fused import fused_cv_forces, fused_model_forward  # noqa: F401
 from .ann import (  # noqa: F401
     AlignmentLayer,
     FeatureLayer,
@@ -42,4 +43,6 @@ __all__ = [
     "Atom",
     "AtomGroup",
     "Universe",
+    "fused_model_forward",
+    "fused_cv_forces",
 ]

@@ -1,4 +1,4 @@
-from . import alignment, features  # noqa: F401
+from . import alignment, features, fused  # noqa: F401
 from .alignment import align_frames, rotation_eigh, rotation_qcp, rotation_svd
 from .features import (
     angle_features,
@@ -7,6 +7,7 @@ from .features import (
     dihedral_features,
     position_features,
 )
+from .fused import fused_apply, fused_cv_forces, fused_model_forward
 
 __all__ = [
     "align_frames",
@@ -18,4 +19,7 @@ __all__ = [
     "dihedral_features",
     "position_features",
     "apply_compiled_features",
+    "fused_apply",
+    "fused_model_forward",
+    "fused_cv_forces",
 ]
