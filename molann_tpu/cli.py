@@ -50,6 +50,38 @@ def cmd_info(args):
     return 0
 
 
+def _model_dims(model):
+    """(n_input_atoms, d_out) of a saved model."""
+    from .models.ann import FeatureLayer, MolANN, PreprocessingANN
+
+    if isinstance(model, MolANN):
+        n = model.preprocessing_layer.feature_layer.spec.n_input_atoms
+        return n, model.ann_layers.output_dimension()
+    if isinstance(model, PreprocessingANN):
+        return model.feature_layer.spec.n_input_atoms, model.output_dimension()
+    if isinstance(model, FeatureLayer):
+        return model.spec.n_input_atoms, model.output_dimension()
+    raise TypeError(f"cannot evaluate a {type(model).__name__}")
+
+
+def _check_traj(path, n_atoms):
+    """Validate trajectory shape/dtype against the model (explicit errors —
+    the layer-level asserts vanish under ``python -O``)."""
+    mm = np.load(path, mmap_mode="r")
+    shape = tuple(mm.shape)
+    ok = (
+        (len(shape) == 3 and shape[1] == n_atoms and shape[2] == 3)
+        or (len(shape) == 2 and shape[1] == 3 * n_atoms)
+    )
+    if not ok:
+        raise SystemExit(
+            f"error: trajectory {path} has shape {shape}; the model takes "
+            f"{n_atoms} atoms — expected [n_frames, {n_atoms}, 3] or packed "
+            f"[n_frames, {3 * n_atoms}]"
+        )
+    return shape[0]
+
+
 def _evaluate(args, want_forces):
     import jax
     import jax.numpy as jnp
@@ -59,15 +91,24 @@ def _evaluate(args, want_forces):
     from .train.forces import coordinate_gradients
 
     model = _load_model(args.model)
+    n_atoms, d_out = _model_dims(model)
+    n_frames = _check_traj(args.traj, n_atoms)
     # fused Pallas kernels on TPU (or under --interpret); plain XLA
     # otherwise — CPU/GPU backends don't run compiled Mosaic kernels.
     use_fused = args.interpret or jax.default_backend() == "tpu"
-    outs = []
-    grads = []
+    # Stream results straight to disk-backed arrays: a forces run over a
+    # big trajectory would otherwise hold a trajectory-sized gradient
+    # array in host RAM, defeating the streaming loader.
+    y_out = np.lib.format.open_memmap(
+        args.out, mode="w+", dtype=np.float32, shape=(n_frames, d_out)
+    )
+    g_out = None
+    if want_forces:
+        g_out = np.lib.format.open_memmap(
+            args.forces_out, mode="w+", dtype=np.float32,
+            shape=(n_frames, 3 * n_atoms),
+        )
     n_done = 0
-    mm = np.load(args.traj, mmap_mode="r")
-    n_frames = mm.shape[0]
-    del mm
     component = getattr(args, "component", None)
     for xb in packed_batch_iterator(
         args.traj, args.batch_size, shuffle=False, epochs=1,
@@ -86,7 +127,9 @@ def _evaluate(args, want_forces):
                 g = coordinate_gradients(model, x3, component).reshape(
                     x.shape
                 )
-            grads.append(np.asarray(g))
+            g_out[n_done : n_done + xb.shape[0]] = np.negative(
+                np.asarray(g)
+            )  # force convention
         else:
             if use_fused:
                 y = fused_model_forward(
@@ -94,19 +137,17 @@ def _evaluate(args, want_forces):
                 )
             else:
                 y = model(x.reshape(x.shape[0], -1, 3))
-        outs.append(np.asarray(y))
+        y_out[n_done : n_done + xb.shape[0]] = np.asarray(y)
         n_done += xb.shape[0]
         if args.verbose:
             print(f"\r{n_done}/{n_frames} frames", end="", file=sys.stderr)
     if args.verbose:
         print(file=sys.stderr)
-    y_all = np.concatenate(outs)
-    np.save(args.out, y_all)
-    print(f"wrote {args.out}: {y_all.shape}")
+    y_out.flush()
+    print(f"wrote {args.out}: {y_out.shape}")
     if want_forces:
-        g_all = -np.concatenate(grads)  # force convention
-        np.save(args.forces_out, g_all)
-        print(f"wrote {args.forces_out}: {g_all.shape}")
+        g_out.flush()
+        print(f"wrote {args.forces_out}: {g_out.shape}")
     return 0
 
 
@@ -180,7 +221,9 @@ def main(argv=None):
         sp.add_argument("traj", help=".npy trajectory")
         sp.add_argument("--out", default="cvs.npy")
         sp.add_argument("--batch-size", type=int, default=1 << 20)
-        sp.add_argument("--tile", type=int, default=1024)
+        sp.add_argument("--tile", type=int, default=None,
+                        help="frames per kernel tile (default: auto-sized "
+                             "per fused mode)")
         sp.add_argument("--backend", default="auto",
                         choices=["auto", "native", "numpy"])
         sp.add_argument("--interpret", action="store_true",

@@ -48,12 +48,34 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..spec import CompiledFeatures
 
-__all__ = ["fused_apply", "fused_model_forward", "fused_cv_forces"]
+__all__ = [
+    "fused_apply",
+    "fused_model_forward",
+    "fused_cv_forces",
+    "fused_train_grads",
+    "select_mode",
+    "qcp_rotation",
+]
 
 DEFAULT_TILE = 2048
 DEFAULT_BWD_TILE = 1024  # backward holds vjp residuals in VMEM
 _NEWTON_ITERS = 12
 _SUB = 8  # max sublane fold of the frame axis
+
+# Envelope of the unrolled (fully-immediate) kernels: past this the Mosaic
+# op count (and compile time) grows too large and the blocked formulation
+# (ops/fused_blocked.py, O(1) op count) takes over.
+UNROLLED_MAX_ATOMS = 64
+UNROLLED_MAX_COLS = 96
+
+
+def select_mode(spec, n_atoms: int) -> str:
+    """Pick the fused formulation for a system size: ``"unrolled"`` bakes
+    everything in as immediates (fastest for small systems), ``"blocked"``
+    keeps the kernel op count O(1) (compiles fast at any scale)."""
+    if spec.out_dim <= UNROLLED_MAX_COLS and n_atoms <= UNROLLED_MAX_ATOMS:
+        return "unrolled"
+    return "blocked"
 
 
 def _sub_for(tile: int) -> int:
@@ -100,43 +122,18 @@ def _sub3(u, v):
     return (u[0] - v[0], u[1] - v[1], u[2] - v[2])
 
 
-def _align_tiles(atoms, align_idx, ref_rows, needed=None):
-    """Kabsch-align folded frames.
+def qcp_rotation(H):
+    """Horn/QCP optimal rotation from a per-frame covariance.
 
-    atoms: list of n vectors (tuples of [S, C] tiles).
-    align_idx: static local indices of the align atoms.
-    ref_rows: ``[3*n_align, 1]`` centered reference coordinates (tensor
-    input; entry (n, j) at row 3n+j).
-    needed: optional set of atom indices — only these are transformed
-    (others come back as None). Rotation-invariant features don't need
-    aligned coordinates, so the kernel only rotates atoms that feed
-    position features.
-    Returns the aligned list of vectors. Same math as
-    :func:`molann_tpu.ops.alignment.align_frames` with the QCP solver
-    (reference semantics: molann/ann.py:157-199), unrolled per component.
+    H: 3x3 nested list of same-shaped arrays (any tile shape — one
+    covariance entry per frame). Returns the 3x3 nested list R such that
+    row-vector application ``aligned_i = Σ_j v_j * R[j][i]`` reproduces the
+    reference Kabsch semantics (molann/ann.py:157-199): largest-eigenvalue
+    quaternion of Horn's symmetric 4x4 via Newton on the characteristic
+    polynomial + adjugate eigenvector, fully differentiable (one
+    differentiable Newton step composed on a stop-gradient fixed point).
+    Shared by the unrolled and blocked fused kernels.
     """
-    idx = align_idx
-    n_a = float(len(idx))
-
-    def ref(n, j):
-        # 0-d scalar extract: Mosaic lowers scalar*vector as a splat
-        # (a [1,1]->[S,C] vector.broadcast is not implemented)
-        return ref_rows[3 * n + j, 0]
-
-    c = tuple(
-        sum(atoms[a][i] for a in idx) / n_a for i in range(3)
-    )
-
-    # covariance H[i][j] = sum_n (sub_n_i - c_i) * ref[n][j]
-    H = [[None] * 3 for _ in range(3)]
-    for i in range(3):
-        for j in range(3):
-            acc = None
-            for n, a in enumerate(idx):
-                term = (atoms[a][i] - c[i]) * ref(n, j)
-                acc = term if acc is None else acc + term
-            H[i][j] = acc
-
     Sxx, Sxy, Sxz = H[0]
     Syx, Syy, Syz = H[1]
     Szx, Szy, Szz = H[2]
@@ -236,11 +233,51 @@ def _align_tiles(atoms, align_idx, ref_rows, needed=None):
     xx, yy, zz = x_ * x_, y_ * y_, z_ * z_
     xy, xz, yz = x_ * y_, x_ * z_, y_ * z_
     wx, wy, wz = w * x_, w * y_, w * z_
-    R = [
+    return [
         [1 - 2 * (yy + zz), 2 * (xy + wz), 2 * (xz - wy)],
         [2 * (xy - wz), 1 - 2 * (xx + zz), 2 * (yz + wx)],
         [2 * (xz + wy), 2 * (yz - wx), 1 - 2 * (xx + yy)],
     ]
+
+
+def _align_tiles(atoms, align_idx, ref_rows, needed=None):
+    """Kabsch-align folded frames.
+
+    atoms: list of n vectors (tuples of [S, C] tiles).
+    align_idx: static local indices of the align atoms.
+    ref_rows: ``[3*n_align, 1]`` centered reference coordinates (tensor
+    input; entry (n, j) at row 3n+j).
+    needed: optional set of atom indices — only these are transformed
+    (others come back as None). Rotation-invariant features don't need
+    aligned coordinates, so the kernel only rotates atoms that feed
+    position features.
+    Returns the aligned list of vectors. Same math as
+    :func:`molann_tpu.ops.alignment.align_frames` with the QCP solver
+    (reference semantics: molann/ann.py:157-199), unrolled per component.
+    """
+    idx = align_idx
+    n_a = float(len(idx))
+
+    def ref(n, j):
+        # 0-d scalar extract: Mosaic lowers scalar*vector as a splat
+        # (a [1,1]->[S,C] vector.broadcast is not implemented)
+        return ref_rows[3 * n + j, 0]
+
+    c = tuple(
+        sum(atoms[a][i] for a in idx) / n_a for i in range(3)
+    )
+
+    # covariance H[i][j] = sum_n (sub_n_i - c_i) * ref[n][j]
+    H = [[None] * 3 for _ in range(3)]
+    for i in range(3):
+        for j in range(3):
+            acc = None
+            for n, a in enumerate(idx):
+                term = (atoms[a][i] - c[i]) * ref(n, j)
+                acc = term if acc is None else acc + term
+            H[i][j] = acc
+
+    R = qcp_rotation(H)
 
     out = []
     for a, atom in enumerate(atoms):
@@ -670,18 +707,221 @@ def _extract_model(model, dtype):
     return spec, align_idx, ref_x, params, activation
 
 
-def fused_model_forward(model, x, *, tile=DEFAULT_TILE,
-                        bwd_tile=DEFAULT_BWD_TILE, interpret=False):
+def fused_model_forward(model, x, *, tile=None, bwd_tile=None,
+                        interpret=False, mode="auto"):
     """Run a ``MolANN`` (or ``PreprocessingANN``/``FeatureLayer``) through
     the fused Pallas path. Equivalent to ``model(x)`` to float32 tolerance
     (parity-tested); one kernel per frame tile instead of an XLA op graph.
     Fully differentiable w.r.t. x, the MLP parameters, and ref_x.
+
+    mode: ``"auto"`` (size-based — see :func:`select_mode`), ``"unrolled"``
+    (immediates kernel), or ``"blocked"`` (O(1)-op-count kernel for large
+    systems). Tiles default per mode (blocked auto-sizes from a VMEM
+    model).
     """
     spec, align_idx, ref_x, params, activation = _extract_model(model, x.dtype)
+    n_atoms = spec.n_input_atoms
+    if mode == "auto":
+        mode = select_mode(spec, n_atoms)
+    if mode == "blocked":
+        from .fused_blocked import blocked_apply
+
+        return blocked_apply(
+            spec, align_idx, activation, (tile, bwd_tile), interpret,
+            params, ref_x, x
+        )
+    if tile is None:
+        tile = DEFAULT_TILE
+    if bwd_tile is None:
+        bwd_tile = DEFAULT_BWD_TILE
     return fused_apply(
         spec, align_idx, activation, (tile, bwd_tile), interpret,
         params, ref_x, x
     )
+
+
+def _train_kernel(spec, align_idx, activation, n_atoms, inv_count, l_total,
+                  transposed_in, x_ref, yt_ref, *rest):
+    """Fused MSE training kernel: loss + parameter/ref gradients in ONE
+    kernel, NO coordinate-gradient compute or HBM write.
+
+    The parameter-only training path previously paid for the gx output it
+    discarded (round-1 ROADMAP #3); differentiating w.r.t. the (closed
+    over) tensors only skips the entire gx accumulation chain and its
+    trajectory-sized HBM write. rest = (*tensor_refs, loss_ref,
+    *gtensor_refs); loss/gtensors accumulate across the sequential grid.
+    """
+    n_t = (len(rest) - 1) // 2
+    tensor_in = [r[:] for r in rest[:n_t]]
+    loss_ref = rest[n_t]
+    gtensor_refs = rest[n_t + 1 :]
+    tile = x_ref.shape[1] if transposed_in else x_ref.shape[0]
+    x_blk = x_ref[:]
+    # Compare in the FOLDED layout: fold the target once (fwd-direction
+    # reshape, same as the x fold) instead of unfolding the prediction —
+    # the unfold's reshape has no Mosaic backward lowering.
+    sub = _sub_for(tile)
+    cols = tile // sub
+    ytm = yt_ref[:] if transposed_in else yt_ref[:].T  # [d, tile]
+    ytf = ytm.reshape(ytm.shape[0], sub, cols)  # same fold as _fold_block_t
+    yt_rows = [ytf[i] for i in range(ytf.shape[0])]
+
+    # mask padded frames in the (only partially valid) last tile; folded
+    # frame index = sublane * cols + lane
+    base = pl.program_id(0) * tile
+    fidx = (
+        base
+        + jax.lax.broadcasted_iota(jnp.int32, (sub, cols), 0) * cols
+        + jax.lax.broadcasted_iota(jnp.int32, (sub, cols), 1)
+    )
+    mask = (fidx < l_total).astype(x_blk.dtype)
+
+    def fold(xb):
+        if transposed_in:
+            return _fold_block_t(xb, n_atoms, tile)
+        return _fold_block(xb, n_atoms)
+
+    def loss_fn(tensors):
+        rows = _forward_tiles(fold(x_blk), tensors, spec, align_idx,
+                              activation)
+        acc = None
+        for r, t in zip(rows, yt_rows):
+            e = (r - t) * mask
+            s = jnp.sum(e * e)
+            acc = s if acc is None else acc + s
+        return acc * inv_count
+
+    loss, vjp = jax.vjp(loss_fn, tensor_in)
+    (gtensors,) = vjp(jnp.ones((), x_blk.dtype))
+
+    is_first = pl.program_id(0) == 0
+    for ref, g in zip((loss_ref, *gtensor_refs),
+                      (loss.reshape(1, 1), *gtensors)):
+        @pl.when(is_first)
+        def _(ref=ref, g=g):
+            ref[:] = g
+
+        @pl.when(jnp.logical_not(is_first))
+        def _(ref=ref, g=g):
+            ref[:] = ref[:] + g
+
+
+def _grads_like(model, gparams, gref):
+    """Assemble a gradient pytree with ``model``'s structure from the
+    kernel's flat (params, ref_x) gradients; all other leaves get zeros.
+    gparams follow the KERNEL convention ((gWt [d_out, d_in],
+    gb [d_out, 1]) per layer) and are transposed back here."""
+    flat, treedef = jax.tree_util.tree_flatten_with_path(model)
+    gp = []
+    for (gwt, gb) in gparams:
+        gp.extend([gwt.T, gb.reshape(-1)])
+    gp_iter = iter(gp)
+    out = []
+    for path, leaf in flat:
+        names = [
+            k.name for k in path if isinstance(k, jax.tree_util.GetAttrKey)
+        ]
+        if "params" in names:
+            out.append(next(gp_iter))
+        elif names and names[-1] == "ref_x":
+            out.append(gref.reshape(jnp.shape(leaf)))
+        else:
+            out.append(jnp.zeros_like(leaf))
+    assert next(gp_iter, None) is None, "unconsumed parameter gradients"
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
+def fused_train_grads(model, x, y_target, *, tile=None, interpret=False,
+                      transposed_input=False, mode="auto"):
+    """MSE loss AND its parameter/ref gradients in one fused kernel.
+
+    The single-kernel training path: one HBM read of the trajectory batch,
+    no coordinate gradients computed or written (the generic
+    ``jax.grad(fused_mse_loss)`` route runs a forward kernel plus a
+    backward kernel that also produces — and discards — gx).
+
+    x: ``[l, n, 3]``, packed ``[l, 3n]``, or (with ``transposed_input``)
+    ``[3n, l]``; y_target: ``[l, d_out]`` (or ``[d_out, l]`` transposed).
+    Returns ``(loss, grads)`` where grads is a pytree shaped like
+    ``model`` (zeros on non-trainable leaves except ``ref_x``) — feed it
+    straight to ``optimizer.update``. Loss = ``mean((model(x) - y)**2)``
+    (matches :func:`molann_tpu.train.losses.mse_loss`).
+    """
+    spec, align_idx, ref_x, params, activation = _extract_model(model, x.dtype)
+    if mode == "auto":
+        mode = select_mode(spec, spec.n_input_atoms)
+    if mode == "blocked":
+        from .fused_blocked import blocked_train_grads
+
+        loss, gparams, gref = blocked_train_grads(
+            spec, align_idx, activation, params, ref_x, x, y_target,
+            tile=tile, interpret=interpret,
+        )
+        return loss, _grads_like(model, gparams, gref)
+    if tile is None:
+        tile = DEFAULT_BWD_TILE
+    _check_tile(tile, interpret)
+
+    if transposed_input:
+        n_atoms, l = x.shape[0] // 3, x.shape[1]
+        l_p = ((l + tile - 1) // tile) * tile
+        xm = jnp.pad(x, ((0, 0), (0, l_p - l)), mode="edge") if l_p != l else x
+        ytm = (
+            jnp.pad(y_target, ((0, 0), (0, l_p - l)))
+            if l_p != l else y_target
+        )
+    else:
+        xm0, n_atoms, _ = _as_packed(x)
+        l = xm0.shape[0]
+        xm, l_p = _prep_input(xm0, tile)
+        ytm = (
+            jnp.pad(y_target, ((0, l_p - l), (0, 0)))
+            if l_p != l else y_target
+        )
+    d_out = _out_dim(spec, params)
+    inv_count = 1.0 / (float(l) * float(d_out))
+
+    tensors = _tensor_list(align_idx, params, ref_x)
+    grid = (l_p // tile,)
+    if transposed_input:
+        x_spec = pl.BlockSpec((3 * n_atoms, tile), lambda i: (0, i),
+                              memory_space=pltpu.VMEM)
+        yt_spec = pl.BlockSpec((d_out, tile), lambda i: (0, i),
+                               memory_space=pltpu.VMEM)
+    else:
+        x_spec = pl.BlockSpec((tile, 3 * n_atoms), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)
+        yt_spec = pl.BlockSpec((tile, d_out), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)
+    loss_spec = pl.BlockSpec((1, 1), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
+    out_shapes = [jax.ShapeDtypeStruct((1, 1), x.dtype)] + [
+        jax.ShapeDtypeStruct(t.shape, t.dtype) for t in tensors
+    ]
+    out_specs = [loss_spec] + [_full_spec(t) for t in tensors]
+    outs = pl.pallas_call(
+        functools.partial(
+            _train_kernel, spec, align_idx, activation, n_atoms,
+            inv_count, l, transposed_input,
+        ),
+        grid=grid,
+        in_specs=[x_spec, yt_spec] + [_full_spec(t) for t in tensors],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(xm, ytm, *tensors)
+    loss, *gtensors = outs
+    loss = loss[0, 0]
+    if align_idx is not None:
+        gref = gtensors[0].reshape(ref_x.shape)
+        grest = gtensors[1:]
+    else:
+        gref = jnp.zeros_like(ref_x)
+        grest = gtensors
+    gparams = tuple(
+        (grest[2 * i], grest[2 * i + 1]) for i in range(len(grest) // 2)
+    )
+    return loss, _grads_like(model, gparams, gref)
 
 
 def _fold_block_t(xt_blk, n_atoms, tile):
@@ -790,9 +1030,9 @@ def _cv_forces_kernel(spec, align_idx, activation, n_atoms, component,
     gx_ref[:] = gx
 
 
-def fused_cv_forces(model, x, *, component=None, tile=DEFAULT_BWD_TILE,
+def fused_cv_forces(model, x, *, component=None, tile=None,
                     transposed_input=False, transposed_outputs=False,
-                    remat=False, interpret=False):
+                    remat=False, interpret=False, mode="auto"):
     """The production serving op for biased MD: CV values AND their
     coordinate gradients in ONE kernel (single HBM read of the
     trajectory, no cotangent round-trip, no parameter-gradient state).
@@ -801,17 +1041,33 @@ def fused_cv_forces(model, x, *, component=None, tile=DEFAULT_BWD_TILE,
     the benchmark convention).
     transposed_input: ``x`` is given as ``[3n, l]`` (frames minor) — the
     zero-copy fast path: no in-kernel transpose and minimal HBM padding;
-    implies transposed outputs.
+    implies transposed outputs. (The blocked mode additionally accepts
+    component-major ``[3, n, l]`` directly — its zero-copy layout.)
     transposed_outputs: return ``y [d_out, l]`` and ``g [3n, l]`` instead
     of ``[l, d_out]`` / ``[l, n, 3]``-shaped. On TPU, HBM-resident
     ``[l, k]`` arrays with small k lane-pad k -> 128 (e.g. a [4M, 3] CV
     array physically occupies 2 GB); the transposed form pads only
     sublanes (~1.1-2.7x) and is the fast choice when the consumer can
     take frames in the minor axis.
+    mode: ``"auto"`` / ``"unrolled"`` / ``"blocked"`` (see
+    :func:`select_mode`).
 
     Returns ``(cv_values, gradients)``. (Forces are ``-gradients``.)
     """
     spec, align_idx, ref_x, params, activation = _extract_model(model, x.dtype)
+    if mode == "auto":
+        mode = select_mode(spec, spec.n_input_atoms)
+    if mode == "blocked":
+        from .fused_blocked import blocked_cv_forces
+
+        out_layout = "t" if (transposed_input or transposed_outputs) else None
+        return blocked_cv_forces(
+            spec, align_idx, activation, params, ref_x, x,
+            component=component, tile=tile, interpret=interpret,
+            out_layout=out_layout,
+        )
+    if tile is None:
+        tile = DEFAULT_BWD_TILE
     _check_tile(tile, interpret)
     # transposed [3n, l] input: the zero-copy fast path (no in-kernel
     # transpose, minimal HBM padding).

@@ -1,0 +1,805 @@
+"""Blocked fused align+feature+MLP Pallas kernels for LARGE systems.
+
+The unrolled kernels in :mod:`molann_tpu.ops.fused` bake every gather index
+and MLP weight in as an immediate — unbeatable for alanine-scale systems
+but the Mosaic op count grows linearly with atoms x features and compile
+time explodes past ~50 atoms / ~85 feature columns (round-1 ROADMAP #1).
+This module is the scale formulation: the kernel's op count is O(1) in the
+number of atoms and features, so a 300-atom / 240-feature peptide compiles
+in seconds and still runs fused.
+
+Design (TPU-first, no reference counterpart — the reference evaluates
+features in a per-feature Python loop, molann/ann.py:473):
+
+- **Gathers become one MXU matmul.** All per-feature atom gathers and
+  coordinate differences (bond/angle/dihedral edge vectors) fold into a
+  single constant *edge matrix* ``D [m, n]`` built on the host from the
+  compiled spec: ``E_i = D @ x_i`` per component, where ``x`` is
+  component-major ``[3, n, TILE]``. D is exactly 0/+-1, hence bf16-exact,
+  so the matmul runs as a 3-pass hi/mid/lo split (f32-accurate at half the
+  passes of ``Precision.HIGHEST`` — see :func:`_split3_mm`); one matmul
+  per component replaces every gather in the model.
+- **Feature math vectorizes over the feature axis.** Segments of E hold
+  all r21/r23/r12/r23/r34 edge vectors stacked ``[n_feat, TILE]`` — the
+  feature axis rides the sublanes, so bond norms, angle cosines, and
+  dihedral cross products are full-tile VPU ops regardless of count.
+- **Alignment covariance is a matmul** (``refT @ centered``), the QCP
+  quaternion solve is the shared :func:`molann_tpu.ops.fused.qcp_rotation`
+  chain on per-frame [1, TILE] rows, and the rotation applies to all
+  position atoms at once as 9 broadcast multiply-adds on ``[np, TILE]``.
+- **The MLP is MXU matmuls** on transposed activations ``[d, TILE]``; the
+  static output-column permutation (feature-list order, reference
+  molann/ann.py:473) folds into the first weight matrix for free.
+
+Backward kernels evaluate ``jax.vjp`` of the same tile function *inside*
+the kernel — the VJP of the edge matmul is ``D^T @ g_E`` (another matmul),
+so gradients keep the O(1) op-count property. Parameter/ref gradients
+accumulate across the sequential TPU grid into revisited output blocks.
+
+Tile sizes need only be lane-aligned (multiples of 128) — the blocked
+layout never folds the frame axis across sublanes, so the unrolled path's
+1024-fold constraint does not apply; :func:`auto_tile` picks the largest
+tile fitting a VMEM budget.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..spec import CompiledFeatures
+from .fused import qcp_rotation
+
+__all__ = [
+    "BlockedLayout",
+    "blocked_layout",
+    "auto_tile",
+    "blocked_apply",
+    "blocked_cv_forces",
+    "blocked_train_grads",
+]
+
+_HIGHEST = jax.lax.Precision.HIGHEST
+
+
+def _dot(a, b):
+    return jnp.dot(
+        a, b, precision=_HIGHEST, preferred_element_type=jnp.float32
+    )
+
+
+def _bdot(a, b):
+    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+
+def _split3_mm(Db, x):
+    """f32-accurate matmul in 3 MXU passes: ``Db [m, n] bf16 x x [n, T] f32``.
+
+    Requires Db EXACTLY representable in bf16 (the edge matrix is 0/+-1 by
+    construction — centroid subtraction happens in-kernel, not in D). x is
+    split ``x = hi + mid + lo`` with each part bf16 (residual magnitude
+    falls 2^-8 per level, so the dropped tail is ~2^-25 relative — at or
+    below a single f32 rounding). Each pass is a native bf16xbf16->f32 MXU
+    matmul; f32 ``Precision.HIGHEST`` costs 6 such passes for the same
+    accuracy, so this is ~2x on the dominant matmuls.
+    """
+    hi32 = x.astype(jnp.bfloat16).astype(jnp.float32)
+    r = x - hi32
+    mid32 = r.astype(jnp.bfloat16).astype(jnp.float32)
+    lo = (r - mid32).astype(jnp.bfloat16)
+    acc = _bdot(Db, lo)
+    acc = acc + _bdot(Db, mid32.astype(jnp.bfloat16))
+    acc = acc + _bdot(Db, hi32.astype(jnp.bfloat16))
+    return acc
+
+
+@jax.custom_vjp
+def _edges_op(Db, DbT, x):
+    """Edge matmul ``Db @ x`` with a 3-pass backward through the
+    pre-transposed ``DbT`` (keeps the cotangent matmul at 3 passes too —
+    jax's automatic vjp would promote it to a 6-pass f32 dot)."""
+    return _split3_mm(Db, x)
+
+
+def _edges_fwd(Db, DbT, x):
+    return _split3_mm(Db, x), (Db, DbT)
+
+
+def _edges_bwd(res, g):
+    Db, DbT = res
+    return jnp.zeros_like(Db), jnp.zeros_like(DbT), _split3_mm(DbT, g)
+
+
+_edges_op.defvjp(_edges_fwd, _edges_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Host-side layout compiler: CompiledFeatures -> edge matrix + row plan
+# ---------------------------------------------------------------------------
+
+
+class BlockedLayout:
+    """Static plan for the blocked kernels (host-side, hashable identity).
+
+    Attributes:
+      D: ``[m, n]`` float32 numpy edge matrix (per-component).
+      Segment offsets into the m rows of ``E_i = D @ x_i``:
+        ``o_r21/o_r23`` (na rows each), ``o_b`` (nb), ``o_d12/o_d23/o_d34``
+        (nd each), ``o_al`` (n_align, centered align coords), ``o_pos``
+        (np, centered position coords).
+      perm_b: ``[d]`` int64 — final feature column c reads PADDED blocked
+        row ``perm_b[c]``. Blocked row order is type-grouped
+        component-major with every block 8-row aligned: ``[angles | bonds |
+        dih_cos.. | dih_sin.. (or phi..) | pos_x.. | pos_y.. | pos_z..]``;
+        ``d_pad`` total rows. The perm + padding fold into the first MLP
+        weight matrix (zero columns for pad rows) — free at run time.
+    """
+
+    def __init__(self, spec: CompiledFeatures, align_idx):
+        na = spec.n_angles
+        nb = spec.n_bonds
+        nd = spec.n_dihedrals
+        npos = spec.n_position_atoms
+        n = spec.n_input_atoms
+        uav = spec.use_angle_value
+        w = 1 if uav else 2
+
+        self.na, self.nb, self.nd, self.npos = na, nb, nd, npos
+        self.n_atoms = n
+        self.use_angle_value = uav
+        # Alignment only matters for position features (bond/angle/dihedral
+        # are rigid-motion invariant) — same rule as the unrolled kernels.
+        self.has_align = align_idx is not None and npos > 0
+        self.n_align = len(align_idx) if self.has_align else 0
+
+        # Every segment offset is padded to a sublane multiple (8 f32 rows):
+        # unaligned sublane slices/concats force Mosaic relayout copies on
+        # EVERY op touching them (measured ~3x kernel slowdown); aligned
+        # offsets make each segment view free. Pad rows of D are zero.
+        def up8(v):
+            return (v + 7) // 8 * 8
+
+        o = 0
+        self.o_r21 = o
+        o = up8(o + na)
+        self.o_r23 = o
+        o = up8(o + na)
+        self.o_b = o
+        o = up8(o + nb)
+        self.o_d12 = o
+        o = up8(o + nd)
+        self.o_d23 = o
+        o = up8(o + nd)
+        self.o_d34 = o
+        o = up8(o + nd)
+        self.o_al = o
+        o = up8(o + self.n_align)
+        self.o_pos = o
+        o = up8(o + npos)
+        self.m = o
+
+        D = np.zeros((self.m, n), dtype=np.float32)
+        for k, (a0, a1, a2) in enumerate(spec.angle_idx):
+            D[self.o_r21 + k, a0] += 1.0  # r21 = x[a0] - x[a1]
+            D[self.o_r21 + k, a1] -= 1.0
+            D[self.o_r23 + k, a2] += 1.0  # r23 = x[a2] - x[a1]
+            D[self.o_r23 + k, a1] -= 1.0
+        for k, (a0, a1) in enumerate(spec.bond_idx):
+            D[self.o_b + k, a1] += 1.0  # ||x[a1] - x[a0]||
+            D[self.o_b + k, a0] -= 1.0
+        for k, (a0, a1, a2, a3) in enumerate(spec.dihedral_idx):
+            D[self.o_d12 + k, a1] += 1.0
+            D[self.o_d12 + k, a0] -= 1.0
+            D[self.o_d23 + k, a2] += 1.0
+            D[self.o_d23 + k, a1] -= 1.0
+            D[self.o_d34 + k, a3] += 1.0
+            D[self.o_d34 + k, a2] -= 1.0
+        if self.has_align:
+            # raw gathers only — the centroid subtraction happens in-kernel
+            # so D stays exactly 0/+-1 (bf16-exact, enabling the 3-pass
+            # split matmul)
+            for k, a in enumerate(align_idx):
+                D[self.o_al + k, a] += 1.0
+        for k, a in enumerate(spec.position_idx):
+            D[self.o_pos + k, a] += 1.0
+        self.D = D
+
+        # Padded blocked feature-row plan (same 8-alignment rationale):
+        # [angles | bonds | dih_cos | dih_sin (or phi) | pos_x | pos_y |
+        # pos_z], each block starting on a sublane boundary; pad rows are
+        # zeros in the kernel (and zero columns of the folded W1).
+        f = 0
+        self.f_ang = f
+        f = up8(f + na)
+        self.f_b = f
+        f = up8(f + nb)
+        self.f_d = f  # cos block (or phi when use_angle_value)
+        f = up8(f + nd)
+        if not uav:
+            self.f_dsin = f
+            f = up8(f + nd)
+        self.f_pos = f  # 3 component blocks, each aligned
+        pos_blk = up8(npos)
+        f += 3 * pos_blk if npos else 0
+        self.pos_blk = pos_blk
+        self.d_pad = max(f, 8)
+
+        # blocked PADDED row index for each spec-intermediate row
+        d = spec.out_dim
+        s2b = np.empty(d, dtype=np.int64)
+        s2b[:na] = self.f_ang + np.arange(na)
+        s2b[na : na + nb] = self.f_b + np.arange(nb)
+        base_s = na + nb
+        if uav:
+            s2b[base_s : base_s + nd] = self.f_d + np.arange(nd)
+        else:
+            for k in range(nd):
+                s2b[base_s + 2 * k] = self.f_d + k
+                s2b[base_s + 2 * k + 1] = self.f_dsin + k
+        base_s = na + nb + w * nd
+        for a in range(npos):
+            for i in range(3):
+                s2b[base_s + 3 * a + i] = self.f_pos + i * pos_blk + a
+        spec_perm = (
+            np.asarray(spec.perm, dtype=np.int64)
+            if spec.perm is not None
+            else np.arange(d)
+        )
+        self.perm_b = s2b[spec_perm]
+        self.out_dim = d
+
+
+@functools.lru_cache(maxsize=64)
+def blocked_layout(spec: CompiledFeatures, align_idx) -> BlockedLayout:
+    return BlockedLayout(spec, align_idx)
+
+
+def auto_tile(lay: BlockedLayout, d_out: int, *, backward: bool,
+              budget_bytes: int = 10 * 1024 * 1024) -> int:
+    """Largest lane-aligned tile whose working set fits a VMEM budget.
+
+    Rough model (f32 columns per frame): the x block (3n) + edge matrix
+    rows (m per component, live twice through the math), feature rows,
+    output — times ~3 extra for vjp residuals in backward kernels.
+    """
+    cols = 3 * lay.n_atoms + 3 * lay.m * 2 + lay.out_dim + d_out
+    if backward:
+        cols = 3 * lay.n_atoms * 2 + 3 * lay.m * 5 + lay.out_dim * 3 + d_out
+    fixed = lay.D.size * 4 * 2  # D resident (+ once more as vjp residual)
+    tile = ((budget_bytes - fixed) // (4 * cols)) // 128 * 128
+    return int(max(128, min(2048, tile)))
+
+
+# ---------------------------------------------------------------------------
+# Tile math (component-major blocks)
+# ---------------------------------------------------------------------------
+
+
+def _blk_forward(x_cmaj, D, DT, tensors, lay: BlockedLayout, activation):
+    """Fused forward on one tile: ``x [3, n, T] -> [k, T]``.
+
+    D/DT: bf16 edge matrix and its transpose (DT feeds the backward's
+    cotangent matmul). tensors: ``([refT] + [W1', b1, W2, b2, ...])`` —
+    refT is ``ref_x.T`` [3, n_align]; W1' has its input columns
+    pre-permuted/padded so the blocked row layout feeds it directly. With
+    no MLP the result is the PADDED feature rows in blocked order (callers
+    gather the real columns outside).
+    """
+    E = [_edges_op(D, DT, x_cmaj[i]) for i in range(3)]  # 3 x [m, T]
+
+    def seg(i, o, k):
+        return E[i][o : o + k]
+
+    if lay.has_align:
+        refT, rest = tensors[0], tensors[1:]
+    else:
+        refT, rest = None, tensors
+
+    T = x_cmaj.shape[2]
+    blocks = []
+    row = [0]
+
+    def put(block, at):
+        # keep every block on its padded (sublane-aligned) start row
+        if at > row[0]:
+            blocks.append(jnp.zeros((at - row[0], T), x_cmaj.dtype))
+        blocks.append(block)
+        row[0] = at + block.shape[0]
+
+    if lay.na:
+        r21 = [seg(i, lay.o_r21, lay.na) for i in range(3)]
+        r23 = [seg(i, lay.o_r23, lay.na) for i in range(3)]
+        dot = sum(r21[i] * r23[i] for i in range(3))
+        n21 = jnp.sqrt(sum(r21[i] * r21[i] for i in range(3)))
+        n23 = jnp.sqrt(sum(r23[i] * r23[i] for i in range(3)))
+        cos = dot / (n21 * n23)
+        put(jnp.arccos(cos) if lay.use_angle_value else cos, lay.f_ang)
+    if lay.nb:
+        b = [seg(i, lay.o_b, lay.nb) for i in range(3)]
+        put(jnp.sqrt(sum(b[i] * b[i] for i in range(3))), lay.f_b)
+    if lay.nd:
+        r12 = [seg(i, lay.o_d12, lay.nd) for i in range(3)]
+        r23 = [seg(i, lay.o_d23, lay.nd) for i in range(3)]
+        r34 = [seg(i, lay.o_d34, lay.nd) for i in range(3)]
+        n1 = [
+            r12[1] * r23[2] - r12[2] * r23[1],
+            r12[2] * r23[0] - r12[0] * r23[2],
+            r12[0] * r23[1] - r12[1] * r23[0],
+        ]
+        n2 = [
+            r23[1] * r34[2] - r23[2] * r34[1],
+            r23[2] * r34[0] - r23[0] * r34[2],
+            r23[0] * r34[1] - r23[1] * r34[0],
+        ]
+        cos_phi = sum(n1[i] * n2[i] for i in range(3))
+        sin_phi = sum(n1[i] * r34[i] for i in range(3)) * jnp.sqrt(
+            sum(r23[i] * r23[i] for i in range(3))
+        )
+        if lay.use_angle_value:
+            put(jnp.arctan2(sin_phi, cos_phi), lay.f_d)
+        else:
+            radius = jnp.sqrt(cos_phi * cos_phi + sin_phi * sin_phi)
+            put(cos_phi / radius, lay.f_d)
+            put(sin_phi / radius, lay.f_dsin)
+    if lay.npos:
+        V = [seg(i, lay.o_pos, lay.npos) for i in range(3)]
+        if lay.has_align:
+            C = [seg(i, lay.o_al, lay.n_align) for i in range(3)]
+            # centroid of the align subset (D rows are raw gathers)
+            c = [
+                jnp.sum(C[i], axis=0, keepdims=True) / float(lay.n_align)
+                for i in range(3)
+            ]
+            C = [C[i] - c[i] for i in range(3)]
+            V = [V[i] - c[i] for i in range(3)]
+            # covariance H[i][j] = sum_n centered[n, i] * ref[n, j]
+            Hm = [_dot(refT, C[i]) for i in range(3)]  # [3, T] each
+            H = [[Hm[i][j : j + 1] for j in range(3)] for i in range(3)]
+            R = qcp_rotation(H)  # [1, T] entries, broadcast over sublanes
+            V = [
+                V[0] * R[0][i] + V[1] * R[1][i] + V[2] * R[2][i]
+                for i in range(3)
+            ]
+        for i in range(3):
+            put(V[i], lay.f_pos + i * lay.pos_blk)
+    if row[0] < lay.d_pad:
+        blocks.append(jnp.zeros((lay.d_pad - row[0], T), x_cmaj.dtype))
+
+    feats = blocks[0] if len(blocks) == 1 else jnp.concatenate(blocks, 0)
+    h = feats
+    n_layers = len(rest) // 2
+    for li in range(n_layers):
+        w, b = rest[2 * li], rest[2 * li + 1]
+        h = _dot(w, h) + b
+        if li < n_layers - 1:
+            h = activation(h)
+    return h
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernels
+# ---------------------------------------------------------------------------
+
+
+def _blk_fwd_kernel(lay, activation, x_ref, d_ref, dt_ref, *rest):
+    y_ref = rest[-1]
+    tensors = [r[:] for r in rest[:-1]]
+    y_ref[:] = _blk_forward(
+        x_ref[:], d_ref[:], dt_ref[:], tensors, lay, activation
+    )
+
+
+def _blk_bwd_kernel(lay, activation, x_ref, gy_ref, d_ref, dt_ref, *rest):
+    # rest = (*tensor_in_refs, gx_ref, *gtensor_out_refs)
+    n_t = (len(rest) - 1) // 2
+    tensor_in = [r[:] for r in rest[:n_t]]
+    gx_ref = rest[n_t]
+    gtensor_refs = rest[n_t + 1 :]
+    D, DT = d_ref[:], dt_ref[:]
+
+    def f(x_blk, tensors):
+        return _blk_forward(x_blk, D, DT, tensors, lay, activation)
+
+    _, vjp = jax.vjp(f, x_ref[:], tensor_in)
+    gx, gtensors = vjp(gy_ref[:])
+    gx_ref[:] = gx
+
+    is_first = pl.program_id(0) == 0
+    for ref, g in zip(gtensor_refs, gtensors):
+        @pl.when(is_first)
+        def _(ref=ref, g=g):
+            ref[:] = g
+
+        @pl.when(jnp.logical_not(is_first))
+        def _(ref=ref, g=g):
+            ref[:] = ref[:] + g
+
+
+def _blk_train_kernel(lay, activation, inv_count, l_total, x_ref, yt_ref,
+                      d_ref, dt_ref, *rest):
+    """Blocked fused MSE training kernel: loss + parameter/ref gradients,
+    no coordinate-gradient compute/write (see fused._train_kernel)."""
+    n_t = (len(rest) - 1) // 2
+    tensor_in = [r[:] for r in rest[:n_t]]
+    loss_ref = rest[n_t]
+    gtensor_refs = rest[n_t + 1 :]
+    D, DT = d_ref[:], dt_ref[:]
+    x_blk = x_ref[:]
+    yt = yt_ref[:]  # [d_out, tile]
+    tile = x_blk.shape[2]
+
+    base = pl.program_id(0) * tile
+    fidx = base + jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)
+    mask = (fidx < l_total).astype(x_blk.dtype)
+
+    def loss_fn(tensors):
+        y = _blk_forward(x_blk, D, DT, tensors, lay, activation)
+        e = (y - yt) * mask
+        return jnp.sum(e * e) * inv_count
+
+    loss, vjp = jax.vjp(loss_fn, tensor_in)
+    (gtensors,) = vjp(jnp.ones((), x_blk.dtype))
+
+    is_first = pl.program_id(0) == 0
+    for ref, g in zip((loss_ref, *gtensor_refs),
+                      (loss.reshape(1, 1), *gtensors)):
+        @pl.when(is_first)
+        def _(ref=ref, g=g):
+            ref[:] = g
+
+        @pl.when(jnp.logical_not(is_first))
+        def _(ref=ref, g=g):
+            ref[:] = ref[:] + g
+
+
+def blocked_train_grads(spec, align_idx, activation, params, ref_x, x,
+                        y_target, *, tile=None, interpret=False):
+    """Blocked single-kernel MSE training grads. x in any
+    :func:`_to_cmajor` layout; y_target ``[l, d_out]`` or ``[d_out, l]``.
+    Returns ``(loss, gparams, gref)`` in the kernel param convention.
+    Requires an MLP head (params non-empty): training a bare FeatureLayer
+    has no trainable parameters.
+    """
+    if not params:
+        raise ValueError("blocked_train_grads requires an MLP head")
+    lay = blocked_layout(spec, align_idx)
+    if tile is None:
+        tile = auto_tile(lay, _head_dim(lay, params), backward=True)
+    _check_tile(tile, interpret)
+    xc, _ = _to_cmajor(x, lay.n_atoms)
+    xc, l, l_p = _pad_frames(xc, tile)
+    d_out = _head_dim(lay, params)
+    ytm = y_target.T if y_target.shape == (l, d_out) else y_target
+    if l_p != l:
+        ytm = jnp.pad(ytm, ((0, 0), (0, l_p - l)))
+    D = jnp.asarray(lay.D, dtype=jnp.bfloat16)
+    DT = jnp.asarray(lay.D.T, dtype=jnp.bfloat16)
+    tensors = _blk_tensors(lay, params, ref_x)
+    inv_count = 1.0 / (float(l) * float(d_out))
+
+    out_shapes = [jax.ShapeDtypeStruct((1, 1), x.dtype)] + [
+        jax.ShapeDtypeStruct(t.shape, t.dtype) for t in tensors
+    ]
+    out_specs = [
+        pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    ] + [_full_spec(t) for t in tensors]
+    outs = pl.pallas_call(
+        functools.partial(_blk_train_kernel, lay, activation, inv_count, l),
+        grid=(l_p // tile,),
+        in_specs=[
+            _x_spec(lay.n_atoms, tile),
+            pl.BlockSpec((d_out, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            _full_spec(D),
+            _full_spec(DT),
+        ]
+        + [_full_spec(t) for t in tensors],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(xc, ytm, D, DT, *tensors)
+    loss, *gtensors = outs
+    gparams, gref = _unfold_tensor_grads(lay, params, ref_x, gtensors)
+    return loss[0, 0], gparams, gref
+
+
+def _blk_cv_forces_kernel(lay, activation, component, x_ref, d_ref, dt_ref,
+                          *rest):
+    # rest = (*tensor_refs, y_ref, gx_ref)
+    n_t = len(rest) - 2
+    tensors = [r[:] for r in rest[:n_t]]
+    y_ref, gx_ref = rest[n_t], rest[n_t + 1]
+    D, DT = d_ref[:], dt_ref[:]
+
+    def f(x_blk):
+        return _blk_forward(x_blk, D, DT, tensors, lay, activation)
+
+    y, vjp = jax.vjp(f, x_ref[:])
+    if component is None:
+        ct = jnp.ones_like(y)
+    else:
+        row = jax.lax.broadcasted_iota(jnp.int32, y.shape, 0)
+        ct = (row == component).astype(y.dtype)
+    (gx,) = vjp(ct)
+    y_ref[:] = y
+    gx_ref[:] = gx
+
+
+# ---------------------------------------------------------------------------
+# Wrappers
+# ---------------------------------------------------------------------------
+
+
+def _to_cmajor(x, n_atoms):
+    """Normalize input to component-major ``[3, n, l]``.
+
+    Accepts ``[l, n, 3]`` (reference convention), packed ``[l, 3n]``,
+    transposed-packed ``[3n, l]`` (atom-major rows), or cmajor ``[3, n, l]``
+    already. Returns ``(x_cmaj, layout_tag)``; gradients are returned in
+    the same layout via :func:`_from_cmajor`.
+    """
+    if x.ndim == 3:
+        if x.shape[0] == 3 and x.shape[1] == n_atoms and x.shape[2] != 3:
+            return x, "cmajor"
+        return jnp.transpose(x, (2, 1, 0)), "lnd"
+    if x.shape[1] == 3 * n_atoms:  # [l, 3n]
+        l = x.shape[0]
+        return jnp.transpose(x.reshape(l, n_atoms, 3), (2, 1, 0)), "packed"
+    # [3n, l]
+    return jnp.transpose(x.reshape(n_atoms, 3, x.shape[1]), (1, 0, 2)), "t"
+
+
+def _from_cmajor(g, tag):
+    if tag == "cmajor":
+        return g
+    if tag == "lnd":
+        return jnp.transpose(g, (2, 1, 0))
+    if tag == "packed":
+        l = g.shape[2]
+        return jnp.transpose(g, (2, 1, 0)).reshape(l, -1)
+    n, l = g.shape[1], g.shape[2]
+    return jnp.transpose(g, (1, 0, 2)).reshape(3 * n, l)
+
+
+def _pad_frames(xc, tile):
+    l = xc.shape[2]
+    l_p = ((l + tile - 1) // tile) * tile
+    if l_p != l:
+        xc = jnp.pad(xc, ((0, 0), (0, 0), (0, l_p - l)), mode="edge")
+    return xc, l, l_p
+
+
+def _blk_tensors(lay, params, ref_x):
+    """Kernel tensor list: refT then MLP weights. The final-column
+    permutation AND the padded-row layout fold into W1 (pad rows read
+    zero columns)."""
+    tensors = []
+    if lay.has_align:
+        tensors.append(ref_x.T)
+    for li, (w, b) in enumerate(params):
+        if li == 0:
+            wp = jnp.zeros((w.shape[0], lay.d_pad), w.dtype)
+            w = wp.at[:, jnp.asarray(lay.perm_b)].set(w)
+        tensors.append(w)
+        tensors.append(b)
+    return tensors
+
+
+def _unfold_tensor_grads(lay, params, ref_x, gtensors):
+    if lay.has_align:
+        gref = gtensors[0].T
+        grest = list(gtensors[1:])
+    else:
+        gref = jnp.zeros_like(ref_x)
+        grest = list(gtensors)
+    gparams = []
+    for li in range(len(grest) // 2):
+        gw, gb = grest[2 * li], grest[2 * li + 1]
+        if li == 0:
+            gw = gw[:, jnp.asarray(lay.perm_b)]  # un-fold perm + padding
+        gparams.append((gw, gb))
+    return tuple(gparams), gref
+
+
+def _full_spec(t):
+    return pl.BlockSpec(
+        t.shape, lambda i, _nd=t.ndim: (0,) * _nd, memory_space=pltpu.VMEM
+    )
+
+
+def _x_spec(n_atoms, tile):
+    return pl.BlockSpec(
+        (3, n_atoms, tile), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+    )
+
+
+def _check_tile(tile, interpret):
+    if not interpret and tile % 128:
+        raise ValueError(
+            f"blocked kernels require lane-aligned tiles (multiples of 128) "
+            f"when compiled (got {tile})"
+        )
+
+
+def _blk_fwd_impl(spec, align_idx, activation, tile, interpret,
+                  params, ref_x, x):
+    lay = blocked_layout(spec, align_idx)
+    if tile is None:
+        tile = auto_tile(lay, _head_dim(lay, params), backward=False)
+    _check_tile(tile, interpret)
+    xc, tag = _to_cmajor(x, lay.n_atoms)
+    xc, l, l_p = _pad_frames(xc, tile)
+    D = jnp.asarray(lay.D, dtype=jnp.bfloat16)  # exactly 0/+-1
+    DT = jnp.asarray(lay.D.T, dtype=jnp.bfloat16)
+    tensors = _blk_tensors(lay, params, ref_x)
+    d_out = _head_dim(lay, params)
+
+    y = pl.pallas_call(
+        functools.partial(_blk_fwd_kernel, lay, activation),
+        grid=(l_p // tile,),
+        in_specs=[_x_spec(lay.n_atoms, tile), _full_spec(D), _full_spec(DT)]
+        + [_full_spec(t) for t in tensors],
+        out_specs=pl.BlockSpec(
+            (d_out, tile), lambda i: (0, i), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((d_out, l_p), x.dtype),
+        interpret=interpret,
+    )(xc, D, DT, *tensors)
+    y = y[:, :l]
+    if not params:
+        y = y[jnp.asarray(lay.perm_b)]
+    return y.T
+
+
+def _head_dim(lay, params):
+    """Kernel output rows: MLP head dim, or the PADDED feature rows (the
+    wrapper gathers the real columns outside the kernel)."""
+    return params[-1][0].shape[0] if params else lay.d_pad
+
+
+def _blk_bwd_impl(spec, align_idx, activation, tile, interpret,
+                  params, ref_x, x, gy):
+    lay = blocked_layout(spec, align_idx)
+    if tile is None:
+        tile = auto_tile(lay, _head_dim(lay, params), backward=True)
+    _check_tile(tile, interpret)
+    xc, tag = _to_cmajor(x, lay.n_atoms)
+    xc, l, l_p = _pad_frames(xc, tile)
+    D = jnp.asarray(lay.D, dtype=jnp.bfloat16)
+    DT = jnp.asarray(lay.D.T, dtype=jnp.bfloat16)
+    tensors = _blk_tensors(lay, params, ref_x)
+    d_out = _head_dim(lay, params)
+
+    gyt = gy.T  # [d_out, l]
+    if not params:
+        # forward gathered real rows outside the kernel; scatter the
+        # cotangent back into the padded row layout (pad rows get zero)
+        gyt = jnp.zeros((lay.d_pad, gyt.shape[1]), gyt.dtype).at[
+            jnp.asarray(lay.perm_b)
+        ].set(gyt)
+    if l_p != l:
+        gyt = jnp.pad(gyt, ((0, 0), (0, l_p - l)))
+
+    out_shapes = [jax.ShapeDtypeStruct((3, lay.n_atoms, l_p), x.dtype)] + [
+        jax.ShapeDtypeStruct(t.shape, t.dtype) for t in tensors
+    ]
+    out_specs = [_x_spec(lay.n_atoms, tile)] + [_full_spec(t) for t in tensors]
+    outs = pl.pallas_call(
+        functools.partial(_blk_bwd_kernel, lay, activation),
+        grid=(l_p // tile,),
+        in_specs=[
+            _x_spec(lay.n_atoms, tile),
+            pl.BlockSpec((d_out, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            _full_spec(D),
+            _full_spec(DT),
+        ]
+        + [_full_spec(t) for t in tensors],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(xc, gyt, D, DT, *tensors)
+    gxc, *gtensors = outs
+    gx = _from_cmajor(gxc[:, :, :l], tag)
+    gparams, gref = _unfold_tensor_grads(lay, params, ref_x, gtensors)
+    return gparams, gref, gx
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
+def blocked_apply(spec, align_idx, activation, tiles, interpret,
+                  params, ref_x, x):
+    """Blocked fused forward: ``x -> [l, d_out]``.
+
+    Same contract as :func:`molann_tpu.ops.fused.fused_apply` (params as
+    transposed ``(Wt [d_out, d_in], b [d_out, 1])`` tuples, ref_x
+    ``[n_align, 3]``) but with O(1) kernel op count — use for systems past
+    the unrolled path's compile-time envelope. ``tiles`` entries may be
+    None to auto-size from the VMEM model.
+    """
+    return _blk_fwd_impl(
+        spec, align_idx, activation, tiles[0], interpret, params, ref_x, x
+    )
+
+
+def _blocked_fwd(spec, align_idx, activation, tiles, interpret,
+                 params, ref_x, x):
+    y = _blk_fwd_impl(
+        spec, align_idx, activation, tiles[0], interpret, params, ref_x, x
+    )
+    return y, (params, ref_x, x)
+
+
+def _blocked_bwd(spec, align_idx, activation, tiles, interpret, res, gy):
+    params, ref_x, x = res
+    return _blk_bwd_impl(
+        spec, align_idx, activation, tiles[1], interpret, params, ref_x,
+        x, gy,
+    )
+
+
+blocked_apply.defvjp(_blocked_fwd, _blocked_bwd)
+
+
+def blocked_cv_forces(spec, align_idx, activation, params, ref_x, x, *,
+                      component=None, tile=None, interpret=False,
+                      out_layout=None):
+    """Single-kernel CV values + coordinate gradients, blocked formulation.
+
+    Accepts any layout :func:`_to_cmajor` understands; the fastest is
+    component-major ``[3, n, l]`` (zero-copy in AND out, minimal HBM
+    padding). ``out_layout``: ``None`` follows the input convention
+    (standard ``[l, d]`` + gradient shaped like x for frame-major inputs,
+    transposed/cmajor for those inputs), or force ``"standard"`` / ``"t"``
+    (``[d, l]`` + ``[3n, l]``) / ``"cmajor"`` (``[d, l]`` + ``[3, n, l]``).
+    """
+    lay = blocked_layout(spec, align_idx)
+    if tile is None:
+        tile = auto_tile(lay, _head_dim(lay, params), backward=True)
+    _check_tile(tile, interpret)
+    xc, tag = _to_cmajor(x, lay.n_atoms)
+    if out_layout is None:
+        out_layout = {
+            "lnd": "standard", "packed": "standard", "t": "t",
+            "cmajor": "cmajor",
+        }[tag]
+    xc, l, l_p = _pad_frames(xc, tile)
+    D = jnp.asarray(lay.D, dtype=jnp.bfloat16)
+    DT = jnp.asarray(lay.D.T, dtype=jnp.bfloat16)
+    tensors = _blk_tensors(lay, params, ref_x)
+    d_out = _head_dim(lay, params)
+    if component is not None:
+        component = component % d_out
+        if not params:
+            # kernel rows are blocked order; map the requested final column
+            component = int(lay.perm_b[component])
+
+    y, gx = pl.pallas_call(
+        functools.partial(_blk_cv_forces_kernel, lay, activation, component),
+        grid=(l_p // tile,),
+        in_specs=[_x_spec(lay.n_atoms, tile), _full_spec(D), _full_spec(DT)]
+        + [_full_spec(t) for t in tensors],
+        out_specs=[
+            pl.BlockSpec((d_out, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            _x_spec(lay.n_atoms, tile),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((d_out, l_p), x.dtype),
+            jax.ShapeDtypeStruct((3, lay.n_atoms, l_p), x.dtype),
+        ],
+        interpret=interpret,
+    )(xc, D, DT, *tensors)
+    y = y[:, :l]
+    gx = gx[:, :, :l]
+    if not params:
+        y = y[jnp.asarray(lay.perm_b)]
+    if out_layout == "cmajor":
+        return y, gx
+    if out_layout == "t":
+        return y, _from_cmajor(gx, "t")
+    return y.T, _from_cmajor(gx, tag if tag in ("lnd", "packed") else "lnd")

@@ -45,18 +45,18 @@ def psum_mean_grads(grads, axis: str = DATA_AXIS):
 
 
 def make_data_parallel_fn(per_shard_fn, mesh: Mesh, *,
-                          model_replicated: bool = True,
                           axis: str = DATA_AXIS,
                           reduce_output: str | None = "mean"):
     """Wrap ``per_shard_fn(model, batch) -> value`` into an SPMD function.
 
     The returned function takes the same ``(model, batch)`` but executes one
     program per device via ``shard_map``: ``batch`` is split on its leading
-    dim over ``axis``, ``model`` is replicated, and the scalar/array output
+    dim over ``axis``, ``model`` is replicated (parameters are KB-scale —
+    sharding them would only add collectives), and the scalar/array output
     is ``psum``/``pmean``-reduced across devices (``reduce_output``:
     ``'mean'``, ``'sum'`` or ``None`` to keep per-shard outputs stacked).
     """
-    model_spec = P() if model_replicated else P()
+    model_spec = P()
     out_spec = P() if reduce_output else P(axis)
 
     def spmd_fn(model, batch):

@@ -1,6 +1,7 @@
 from .loop import (
     TrainResult,
     fit,
+    make_fused_train_step,
     make_train_step,
     masked_optimizer,
     trainable_mask,
@@ -26,6 +27,7 @@ from .forces import coordinate_gradients, force_fn
 
 __all__ = [
     "make_train_step",
+    "make_fused_train_step",
     "masked_optimizer",
     "fit",
     "TrainResult",

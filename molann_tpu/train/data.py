@@ -76,8 +76,10 @@ def batch_iterator(dataset, batch_size, *, shuffle=True, seed=0,
         for start in range(0, n - batch_size + 1, batch_size):
             idx = np.sort(order[start : start + batch_size])
             yield dataset[idx]
-        if not drop_remainder and n % batch_size:
-            tail = np.sort(order[-(n % batch_size):])
+        rem = (n % batch_size) // multiple_of * multiple_of
+        if not drop_remainder and rem:
+            # tail trimmed to multiple_of so sharding still divides evenly
+            tail = np.sort(order[n - n % batch_size :][:rem])
             yield dataset[tail]
         epoch += 1
 
@@ -125,8 +127,10 @@ def packed_batch_iterator(path, batch_size, *, shuffle=True, seed=0,
                 yield np.asarray(mm[idx], dtype=np.float32).reshape(
                     batch_size, fpf
                 )
-        if not drop_remainder and n % batch_size:
-            tail = np.sort(order[-(n % batch_size):])
+        rem = (n % batch_size) // multiple_of * multiple_of
+        if not drop_remainder and rem:
+            # tail trimmed to multiple_of so sharding still divides evenly
+            tail = np.sort(order[n - n % batch_size :][:rem])
             if loader is not None:
                 yield loader.read_batch(tail)
             else:

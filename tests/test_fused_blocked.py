@@ -1,0 +1,199 @@
+"""Blocked fused-kernel parity tests (ops/fused_blocked.py).
+
+The blocked formulation keeps the kernel op count O(1) in atoms/features
+(edge-matrix matmuls + vectorized per-type math) so 300+-atom systems
+compile; these tests pin its numerics against the reference-path model and
+the unrolled kernels in interpret mode. Compiled parity on real TPU is
+exercised by scripts/tpu_validation.py (artifact committed per round).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from molann_tpu.feature import Feature
+from molann_tpu.models.ann import (
+    AlignmentLayer,
+    FeatureLayer,
+    PreprocessingANN,
+)
+from molann_tpu.ops import fused_blocked as FB
+from molann_tpu.ops.fused import fused_cv_forces, fused_model_forward, select_mode
+from molann_tpu.systems import (
+    alanine_histogram_features,
+    alanine_model,
+    alanine_universe,
+    peptide_model,
+)
+
+
+@pytest.fixture(scope="module")
+def rng_module():
+    return np.random.default_rng(11)
+
+
+def frames_for(u, l, rng):
+    n = len(u.atoms)
+    return jnp.asarray(
+        u.atoms.positions[None]
+        + 0.05 * rng.normal(size=(l, n, 3)).astype(np.float32)
+    )
+
+
+def blocked_fwd(model, x):
+    return fused_model_forward(
+        model, x, tile=32, bwd_tile=32, interpret=True, mode="blocked"
+    )
+
+
+@pytest.mark.parametrize("use_angle_value", [False, True])
+def test_blocked_forward_matches_model(rng_module, use_angle_value):
+    model, u = alanine_model(use_angle_value=use_angle_value)
+    x = frames_for(u, 32, rng_module)
+    np.testing.assert_allclose(
+        np.asarray(blocked_fwd(model, x)), np.asarray(model(x)), atol=5e-6
+    )
+
+
+def test_blocked_gradients_match_model(rng_module):
+    model, u = alanine_model()
+    x = frames_for(u, 32, rng_module)
+
+    def loss_ref(m, v):
+        return jnp.sum(jnp.sin(m(v)))
+
+    def loss_blk(m, v):
+        return jnp.sum(jnp.sin(blocked_fwd(m, v)))
+
+    gm_r, gx_r = jax.grad(loss_ref, argnums=(0, 1))(model, x)
+    gm_b, gx_b = jax.grad(loss_blk, argnums=(0, 1))(model, x)
+    scale = np.abs(np.asarray(gx_r)).max()
+    np.testing.assert_allclose(
+        np.asarray(gx_b), np.asarray(gx_r), atol=5e-5 * scale
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(gm_r), jax.tree_util.tree_leaves(gm_b)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=1e-4
+        )
+
+
+def test_blocked_peptide_parity(rng_module):
+    """A multi-residue peptide (the blocked path's raison d'etre)."""
+    model, u = peptide_model(n_residues=6)
+    x = frames_for(u, 32, rng_module)
+    np.testing.assert_allclose(
+        np.asarray(blocked_fwd(model, x)), np.asarray(model(x)), atol=1e-5
+    )
+    g_r = jax.grad(lambda v: model(v).sum())(x)
+    _, g_b = fused_cv_forces(model, x, tile=32, interpret=True, mode="blocked")
+    scale = np.abs(np.asarray(g_r)).max()
+    np.testing.assert_allclose(
+        np.asarray(g_b), np.asarray(g_r), atol=5e-5 * max(scale, 1.0)
+    )
+
+
+def test_blocked_no_mlp_perm_and_component(rng_module):
+    """FeatureLayer-only model: the output permutation is applied outside
+    the kernel; component selection must address the FINAL column."""
+    u = alanine_universe()
+    feats = [Feature("p1", "position", u.select_atoms("resid 2"))]
+    feats += alanine_histogram_features(u)
+    fl = FeatureLayer(feats, u.atoms)
+    al = AlignmentLayer(u.select_atoms("bynum 1 2 5"), u.atoms)
+    pp = PreprocessingANN(al, fl)
+    x = frames_for(u, 32, rng_module)
+    np.testing.assert_allclose(
+        np.asarray(blocked_fwd(pp, x)), np.asarray(pp(x)), atol=5e-6
+    )
+    for comp in (0, 5, 30):
+        y_b, g_b = fused_cv_forces(
+            pp, x, component=comp, tile=32, interpret=True, mode="blocked"
+        )
+        g_r = jax.grad(lambda v: pp(v)[:, comp].sum())(x)
+        np.testing.assert_allclose(
+            np.asarray(y_b), np.asarray(pp(x)), atol=5e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(g_b), np.asarray(g_r), atol=2e-5
+        )
+
+
+def test_blocked_layout_invariants():
+    model, u = peptide_model(n_residues=4)
+    spec = model.preprocessing_layer.feature_layer.spec
+    lay = FB.blocked_layout(spec, None)
+    # all segment offsets sublane-aligned
+    for o in (lay.o_r21, lay.o_r23, lay.o_b, lay.o_d12, lay.o_d23,
+              lay.o_d34, lay.o_al, lay.o_pos, lay.f_ang, lay.f_b, lay.f_d,
+              lay.f_pos, lay.d_pad, lay.m):
+        assert o % 8 == 0
+    # D exactly representable in bf16 (enables the 3-pass split matmul)
+    assert set(np.unique(lay.D)) <= {-1.0, 0.0, 1.0}
+    # perm_b is an injection into the padded rows
+    assert len(set(lay.perm_b.tolist())) == spec.out_dim
+    assert lay.perm_b.max() < lay.d_pad
+
+
+def test_split3_matmul_is_f32_accurate(rng_module):
+    D = np.zeros((16, 24), np.float32)
+    idx = rng_module.integers(0, 24, size=(16, 2))
+    for r, (a, b) in enumerate(idx):
+        D[r, a] += 1.0
+        D[r, b] -= 1.0
+    x = (100.0 * rng_module.normal(size=(24, 64))).astype(np.float32)
+    got = np.asarray(FB._split3_mm(jnp.asarray(D, jnp.bfloat16), jnp.asarray(x)))
+    want = D.astype(np.float64) @ x.astype(np.float64)
+    np.testing.assert_allclose(got, want, rtol=3e-7, atol=1e-4)
+
+
+def test_auto_tile_lane_aligned():
+    model, _ = peptide_model(n_residues=6)
+    spec = model.preprocessing_layer.feature_layer.spec
+    lay = FB.blocked_layout(spec, None)
+    for backward in (False, True):
+        t = FB.auto_tile(lay, 2, backward=backward)
+        assert t % 128 == 0 and 128 <= t <= 2048
+
+
+def test_select_mode_dispatch():
+    small, _ = alanine_model()
+    big, _ = peptide_model(n_residues=30)
+    s_spec = small.preprocessing_layer.feature_layer.spec
+    b_spec = big.preprocessing_layer.feature_layer.spec
+    assert select_mode(s_spec, s_spec.n_input_atoms) == "unrolled"
+    assert select_mode(b_spec, b_spec.n_input_atoms) == "blocked"
+
+
+def test_blocked_layout_conversions(rng_module):
+    """All four input layouts give identical results; gradients come back
+    in the input's layout."""
+    model, u = alanine_model()
+    l, n = 32, 22
+    x = np.asarray(frames_for(u, l, rng_module))
+    kw = dict(tile=32, interpret=True, mode="blocked")
+    y0, g0 = fused_cv_forces(model, jnp.asarray(x), **kw)
+    assert g0.shape == (l, n, 3)
+    # packed [l, 3n]
+    y1, g1 = fused_cv_forces(model, jnp.asarray(x.reshape(l, 3 * n)), **kw)
+    assert g1.shape == (l, 3 * n)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(g1).reshape(l, n, 3), np.asarray(g0), atol=1e-6
+    )
+    # transposed [3n, l]
+    y2, g2 = fused_cv_forces(
+        model, jnp.asarray(x.reshape(l, 3 * n).T), transposed_input=True, **kw
+    )
+    assert y2.shape[1] == l and g2.shape == (3 * n, l)
+    np.testing.assert_allclose(np.asarray(y2).T, np.asarray(y0), atol=1e-6)
+    # component-major [3, n, l]
+    xc = jnp.asarray(np.transpose(x, (2, 1, 0)))
+    y3, g3 = fused_cv_forces(model, xc, **kw)
+    assert g3.shape == (3, n, l)
+    np.testing.assert_allclose(np.asarray(y3).T, np.asarray(y0), atol=1e-6)
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(g3), (2, 1, 0)), np.asarray(g0), atol=1e-6
+    )
