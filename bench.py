@@ -4,10 +4,19 @@ Measures frames/sec/chip for the flagship MolANN model (AlignmentLayer +
 histogram FeatureLayer + MLP) computing the forward pass AND gradients
 w.r.t. atomic coordinates (the force-evaluation workload of biased MD /
 CV training — BASELINE.json north-star), through the fused Pallas kernel
-path (molann_tpu/ops/fused.py) on packed [l, 3n] trajectories.
+path (molann_tpu/ops/fused.py) on transposed [3n, l] trajectories.
 
 Prints ONE JSON line:
-    {"metric": ..., "value": N, "unit": "frames/sec/chip", "vs_baseline": N}
+    {"metric": ..., "value": N, "unit": "frames/sec/chip",
+     "vs_baseline": N, "wall_frames_per_sec": N,
+     "device_frames_per_sec": N, ...}
+
+``value`` (the headline) is WALL-clock single-dispatch throughput,
+including the fixed per-dispatch host overhead of this environment's
+remote-TPU tunnel (~25-35 ms), amortized over a 16M-frame batch.
+``device_frames_per_sec`` isolates device time by timing PIPELINE_DEPTH
+back-to-back async dispatches with a single host sync — what a production
+loop that keeps the device queue full actually sustains.
 
 vs_baseline is measured against the driver-set target of 10M frames/sec/chip
 (the reference publishes no performance numbers — BASELINE.md).
@@ -23,7 +32,8 @@ import jax.numpy as jnp
 import numpy as np
 
 BASELINE_FRAMES_PER_SEC = 10_000_000.0
-N_FRAMES = 1 << 23  # 8M frames/step amortizes per-dispatch overhead
+N_FRAMES = 1 << 24  # 16.7M frames (4.4 GB in + 4.4 GB gradients out)
+PIPELINE_DEPTH = 4
 
 
 def main():
@@ -32,13 +42,17 @@ def main():
 
     model, u = alanine_model()
 
-    rng = np.random.default_rng(0)
-    # fully transposed [3n, l] trajectory — the fast storage layout on TPU
-    # (a resident [l, n, 3] array would lane-pad 3 -> 128, ~42x HBM waste)
-    x = jnp.asarray(
-        u.atoms.positions.reshape(66, 1)
-        + 0.05 * rng.normal(size=(66, N_FRAMES)).astype(np.float32)
-    )
+    # Transposed [3n, l] trajectory — the fast storage layout on TPU (a
+    # resident [l, n, 3] array would lane-pad 3 -> 128, ~42x HBM waste).
+    # Generated on device: the remote-TPU tunnel makes host->device copies
+    # of multi-GB arrays impractically slow and they are not the thing
+    # being measured.
+    base = jnp.asarray(u.atoms.positions.reshape(66, 1))
+    x = jax.jit(
+        lambda b: b + 0.05 * jax.random.normal(
+            jax.random.PRNGKey(0), (66, N_FRAMES), jnp.float32)
+    )(base)
+    float(x[0, 0])  # materialize before timing
 
     @jax.jit
     def fwd_bwd(m, xx):
@@ -55,21 +69,40 @@ def main():
     run_once()  # warmup/compile
 
     times = []
-    for _ in range(10):
+    for _ in range(6):
         t0 = time.perf_counter()
         run_once()
         times.append(time.perf_counter() - t0)
+    wall = N_FRAMES / min(times)
 
-    best = min(times)
-    frames_per_sec = N_FRAMES / best
+    # device throughput: keep the queue full, sync once
+    def run_pipelined():
+        r = None
+        for _ in range(PIPELINE_DEPTH):
+            del r
+            r = fwd_bwd(model, x)
+        return float(r[1][0, 0])
+
+    run_pipelined()
+    times = []
+    for _ in range(4):
+        t0 = time.perf_counter()
+        run_pipelined()
+        times.append(time.perf_counter() - t0)
+    device = PIPELINE_DEPTH * N_FRAMES / min(times)
+
     print(
         json.dumps(
             {
                 "metric": "alanine-dipeptide frames/sec/chip "
                 "(fused align+feature+MLP fwd+bwd, Pallas)",
-                "value": round(frames_per_sec, 1),
+                "value": round(wall, 1),
                 "unit": "frames/sec/chip",
-                "vs_baseline": round(frames_per_sec / BASELINE_FRAMES_PER_SEC, 4),
+                "vs_baseline": round(wall / BASELINE_FRAMES_PER_SEC, 4),
+                "wall_frames_per_sec": round(wall, 1),
+                "device_frames_per_sec": round(device, 1),
+                "n_frames": N_FRAMES,
+                "pipeline_depth": PIPELINE_DEPTH,
             }
         )
     )

@@ -13,7 +13,11 @@ ICI data-parallel training, and StableHLO export.
 """
 
 from . import ann, feature, ops, spec, topology  # noqa: F401
-from .ops.fused import fused_cv_forces, fused_model_forward  # noqa: F401
+from .ops.fused import (  # noqa: F401
+    fused_cv_forces,
+    fused_model_forward,
+    fused_train_grads,
+)
 from .ann import (  # noqa: F401
     AlignmentLayer,
     FeatureLayer,
@@ -45,4 +49,5 @@ __all__ = [
     "Universe",
     "fused_model_forward",
     "fused_cv_forces",
+    "fused_train_grads",
 ]

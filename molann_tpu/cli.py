@@ -6,13 +6,17 @@ config system); these commands wrap the framework for production batch use:
     python -m molann_tpu info model.npz
     python -m molann_tpu evaluate model.npz traj.npy --out cvs.npy
     python -m molann_tpu forces model.npz traj.npy --component 0 --out f.npy
+    python -m molann_tpu convert traj.dcd traj.npy --packed
     python -m molann_tpu export model.npz --n-atoms 22 --out model.stablehlo
     python -m molann_tpu build model.pdb features.txt --section Output \\
         --align "bynum 1 2 5" --mlp 8 5 3 --out model.npz
 
 Trajectories are ``.npy`` files ([n_frames, n_atoms, 3] or packed
-[n_frames, 3n] float32); evaluation streams batches through the native
-loader and, on TPU, the fused kernels.
+[n_frames, 3n] float32) or CHARMM/NAMD ``.dcd``; evaluation streams
+batches through the native loader and, on TPU, the fused kernels
+(unrolled or blocked, auto-selected by system size — large systems never
+fall back to the slow XLA path silently). Outputs stream to disk-backed
+memmaps, so trajectory-sized results never sit in host RAM.
 """
 
 from __future__ import annotations
@@ -64,22 +68,41 @@ def _model_dims(model):
     raise TypeError(f"cannot evaluate a {type(model).__name__}")
 
 
-def _check_traj(path, n_atoms):
-    """Validate trajectory shape/dtype against the model (explicit errors —
-    the layer-level asserts vanish under ``python -O``)."""
+def _traj_dims(path):
+    """(n_frames, floats_per_frame) of a .npy or .dcd trajectory."""
+    if str(path).lower().endswith(".dcd"):
+        try:
+            from .io.native_loader import NativeTrajLoader
+
+            ldr = NativeTrajLoader(path)
+            return ldr.n_frames, ldr.floats_per_frame
+        except Exception:
+            from .io.dcd import read_dcd
+
+            frames, _ = read_dcd(path)
+            return frames.shape[0], 3 * frames.shape[1]
     mm = np.load(path, mmap_mode="r")
     shape = tuple(mm.shape)
-    ok = (
-        (len(shape) == 3 and shape[1] == n_atoms and shape[2] == 3)
-        or (len(shape) == 2 and shape[1] == 3 * n_atoms)
+    if len(shape) == 3 and shape[2] == 3:
+        return shape[0], 3 * shape[1]
+    if len(shape) == 2:
+        return shape[0], shape[1]
+    raise SystemExit(
+        f"error: trajectory {path} has shape {shape}; expected "
+        "[n_frames, n_atoms, 3] or packed [n_frames, 3n]"
     )
-    if not ok:
+
+
+def _check_traj(path, n_atoms):
+    """Validate trajectory shape against the model (explicit errors — the
+    layer-level asserts vanish under ``python -O``)."""
+    n_frames, fpf = _traj_dims(path)
+    if fpf != 3 * n_atoms:
         raise SystemExit(
-            f"error: trajectory {path} has shape {shape}; the model takes "
-            f"{n_atoms} atoms — expected [n_frames, {n_atoms}, 3] or packed "
-            f"[n_frames, {3 * n_atoms}]"
+            f"error: trajectory {path} has {fpf // 3} atoms per frame; the "
+            f"model takes {n_atoms}"
         )
-    return shape[0]
+    return n_frames
 
 
 def _evaluate(args, want_forces):
@@ -157,6 +180,56 @@ def cmd_evaluate(args):
 
 def cmd_forces(args):
     return _evaluate(args, want_forces=True)
+
+
+def cmd_convert(args):
+    """Convert between trajectory formats, streaming chunk-by-chunk (never
+    holds the full trajectory in RAM). ``.dcd/.npy -> .npy`` (frames or
+    packed layout) and ``.npy -> .dcd``."""
+    n_frames, fpf = _traj_dims(args.traj)
+    n_atoms = fpf // 3
+    chunk = max(1, int(args.chunk))
+    out = str(args.out)
+
+    def chunks():
+        # native loader preferred (mmap + threaded gather); pure-python
+        # fallbacks keep the command working without a compiler
+        try:
+            from .io.native_loader import NativeTrajLoader
+
+            ldr = NativeTrajLoader(args.traj)
+            for s in range(0, n_frames, chunk):
+                c = min(chunk, n_frames - s)
+                yield s, ldr.read_range(s, c)
+            return
+        except Exception:
+            pass
+        if str(args.traj).lower().endswith(".dcd"):
+            from .io.dcd import read_dcd
+
+            frames, _ = read_dcd(args.traj)
+            flat = frames.reshape(n_frames, fpf)
+        else:
+            flat = np.load(args.traj, mmap_mode="r").reshape(n_frames, fpf)
+        for s in range(0, n_frames, chunk):
+            c = min(chunk, n_frames - s)
+            yield s, np.asarray(flat[s : s + c], dtype=np.float32)
+
+    if out.lower().endswith(".dcd"):
+        from .io.dcd import write_dcd
+
+        buf = np.concatenate([c for _, c in chunks()])
+        write_dcd(out, buf.reshape(n_frames, n_atoms, 3))
+    else:
+        shape = (n_frames, fpf) if args.packed else (n_frames, n_atoms, 3)
+        dst = np.lib.format.open_memmap(
+            out, mode="w+", dtype=np.float32, shape=shape
+        )
+        for s, c in chunks():
+            dst[s : s + c.shape[0]] = c.reshape((c.shape[0],) + shape[1:])
+        dst.flush()
+    print(f"wrote {out}: {n_frames} frames x {n_atoms} atoms")
+    return 0
 
 
 def cmd_export(args):
@@ -239,6 +312,18 @@ def main(argv=None):
     pf.add_argument("--component", type=int, default=None)
     pf.add_argument("--forces-out", default="forces.npy")
     pf.set_defaults(fn=cmd_forces)
+
+    pc = sub.add_parser(
+        "convert", help="convert trajectories (.dcd/.npy -> .npy/.dcd)"
+    )
+    pc.add_argument("traj", help="input trajectory (.dcd or .npy)")
+    pc.add_argument("out", help="output path (.npy or .dcd)")
+    pc.add_argument("--packed", action="store_true",
+                    help="write packed [n_frames, 3n] instead of "
+                         "[n_frames, n_atoms, 3] (.npy outputs only)")
+    pc.add_argument("--chunk", type=int, default=1 << 16,
+                    help="frames per streaming chunk")
+    pc.set_defaults(fn=cmd_convert)
 
     px = sub.add_parser("export", help="export a StableHLO artifact")
     px.add_argument("model")

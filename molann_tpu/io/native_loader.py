@@ -93,7 +93,10 @@ def available() -> bool:
 
 
 class NativeTrajLoader:
-    """Native mmap + threaded-gather reader for .npy trajectories.
+    """Native mmap + threaded-gather reader for .npy / .dcd trajectories.
+
+    Format is auto-detected by magic; DCD frames (X/Y/Z component planes)
+    are interleaved to the packed atom-major layout during the gather.
 
     Frames come back PACKED ``[count, 3n]`` float32 — the layout the fused
     TPU kernels want (see molann_tpu/ops/fused.py on why resident

@@ -1,4 +1,4 @@
-from . import alignment, features, fused  # noqa: F401
+from . import alignment, features, fused, fused_blocked  # noqa: F401
 from .alignment import align_frames, rotation_eigh, rotation_qcp, rotation_svd
 from .features import (
     angle_features,
@@ -7,7 +7,13 @@ from .features import (
     dihedral_features,
     position_features,
 )
-from .fused import fused_apply, fused_cv_forces, fused_model_forward
+from .fused import (
+    fused_apply,
+    fused_cv_forces,
+    fused_model_forward,
+    fused_train_grads,
+)
+from .fused_blocked import blocked_apply, blocked_cv_forces, blocked_train_grads
 
 __all__ = [
     "align_frames",
@@ -22,4 +28,8 @@ __all__ = [
     "fused_apply",
     "fused_model_forward",
     "fused_cv_forces",
+    "fused_train_grads",
+    "blocked_apply",
+    "blocked_cv_forces",
+    "blocked_train_grads",
 ]

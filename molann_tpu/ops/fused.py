@@ -84,14 +84,26 @@ def _sub_for(tile: int) -> int:
     return max(1, min(_SUB, tile // 128))
 
 
-def _check_tile(tile: int, interpret: bool):
+def _check_tile(tile: int, interpret: bool, backward: bool = False):
     """Compiled Mosaic kernels need the full (8, 128) fold — reshapes with
-    fewer than 128 folded lanes fail layout inference. Interpret mode (and
-    therefore the CPU tests) is unrestricted."""
-    if not interpret and tile % (128 * _SUB):
+    fewer than 128 folded lanes fail layout inference. Kernels that
+    differentiate through the fold/unfold (backward + CV-forces) are
+    additionally capped at tile=1024: the unfold's TRANSPOSE reshape
+    ((1, tile) -> (8, tile/8)) only lowers when the folded lane count is
+    exactly 128. Interpret mode (and therefore the CPU tests) is
+    unrestricted."""
+    if interpret:
+        return
+    if tile % (128 * _SUB):
         raise ValueError(
             f"fused kernels require tile to be a multiple of 1024 when "
             f"compiled (got {tile}); small tiles work with interpret=True"
+        )
+    if backward and tile != 128 * _SUB:
+        raise ValueError(
+            f"fused backward/CV-forces kernels require tile == 1024 when "
+            f"compiled (got {tile}): Mosaic cannot lower the reverse-mode "
+            f"unfold reshape for wider folds"
         )
 
 
@@ -572,7 +584,7 @@ def _fwd_impl(spec, align_idx, activation, tile, interpret, params, ref_x, x):
 
 def _bwd_impl(spec, align_idx, activation, tile, interpret, params, ref_x,
               x, gy):
-    _check_tile(tile, interpret)
+    _check_tile(tile, interpret, backward=True)
     xm0, n_atoms, packed = _as_packed(x)
     l = xm0.shape[0]
     d_out = _out_dim(spec, params)
@@ -708,7 +720,7 @@ def _extract_model(model, dtype):
 
 
 def fused_model_forward(model, x, *, tile=None, bwd_tile=None,
-                        interpret=False, mode="auto"):
+                        interpret=False, mode="auto", precision="exact"):
     """Run a ``MolANN`` (or ``PreprocessingANN``/``FeatureLayer``) through
     the fused Pallas path. Equivalent to ``model(x)`` to float32 tolerance
     (parity-tested); one kernel per frame tile instead of an XLA op graph.
@@ -717,7 +729,10 @@ def fused_model_forward(model, x, *, tile=None, bwd_tile=None,
     mode: ``"auto"`` (size-based — see :func:`select_mode`), ``"unrolled"``
     (immediates kernel), or ``"blocked"`` (O(1)-op-count kernel for large
     systems). Tiles default per mode (blocked auto-sizes from a VMEM
-    model).
+    model). precision (blocked mode): ``"exact"`` (f32-faithful, default),
+    ``"tf32"`` (~1e-5 relative), or ``"bf16"`` (~2e-3 relative, fastest) —
+    see docs/design.md for the error budget; the unrolled kernel has no
+    matmuls and ignores it.
     """
     spec, align_idx, ref_x, params, activation = _extract_model(model, x.dtype)
     n_atoms = spec.n_input_atoms
@@ -728,7 +743,7 @@ def fused_model_forward(model, x, *, tile=None, bwd_tile=None,
 
         return blocked_apply(
             spec, align_idx, activation, (tile, bwd_tile), interpret,
-            params, ref_x, x
+            precision, params, ref_x, x
         )
     if tile is None:
         tile = DEFAULT_TILE
@@ -832,7 +847,8 @@ def _grads_like(model, gparams, gref):
 
 
 def fused_train_grads(model, x, y_target, *, tile=None, interpret=False,
-                      transposed_input=False, mode="auto"):
+                      transposed_input=False, mode="auto",
+                      precision="exact"):
     """MSE loss AND its parameter/ref gradients in one fused kernel.
 
     The single-kernel training path: one HBM read of the trajectory batch,
@@ -855,7 +871,7 @@ def fused_train_grads(model, x, y_target, *, tile=None, interpret=False,
 
         loss, gparams, gref = blocked_train_grads(
             spec, align_idx, activation, params, ref_x, x, y_target,
-            tile=tile, interpret=interpret,
+            tile=tile, interpret=interpret, precision=precision,
         )
         return loss, _grads_like(model, gparams, gref)
     if tile is None:
@@ -1032,7 +1048,8 @@ def _cv_forces_kernel(spec, align_idx, activation, n_atoms, component,
 
 def fused_cv_forces(model, x, *, component=None, tile=None,
                     transposed_input=False, transposed_outputs=False,
-                    remat=False, interpret=False, mode="auto"):
+                    remat=False, interpret=False, mode="auto",
+                    precision="exact"):
     """The production serving op for biased MD: CV values AND their
     coordinate gradients in ONE kernel (single HBM read of the
     trajectory, no cotangent round-trip, no parameter-gradient state).
@@ -1064,11 +1081,11 @@ def fused_cv_forces(model, x, *, component=None, tile=None,
         return blocked_cv_forces(
             spec, align_idx, activation, params, ref_x, x,
             component=component, tile=tile, interpret=interpret,
-            out_layout=out_layout,
+            out_layout=out_layout, precision=precision,
         )
     if tile is None:
         tile = DEFAULT_BWD_TILE
-    _check_tile(tile, interpret)
+    _check_tile(tile, interpret, backward=True)
     # transposed [3n, l] input: the zero-copy fast path (no in-kernel
     # transpose, minimal HBM padding).
     transposed_in = transposed_input

@@ -77,8 +77,9 @@ def _bdot(a, b):
     return jnp.dot(a, b, preferred_element_type=jnp.float32)
 
 
-def _split3_mm(Db, x):
-    """f32-accurate matmul in 3 MXU passes: ``Db [m, n] bf16 x x [n, T] f32``.
+def _split3_mm(Db, x, passes=3):
+    """f32-accurate matmul in <=3 MXU passes: ``Db [m, n] bf16 x x [n, T]
+    f32``.
 
     Requires Db EXACTLY representable in bf16 (the edge matrix is 0/+-1 by
     construction — centroid subtraction happens in-kernel, not in D). x is
@@ -87,10 +88,18 @@ def _split3_mm(Db, x):
     below a single f32 rounding). Each pass is a native bf16xbf16->f32 MXU
     matmul; f32 ``Precision.HIGHEST`` costs 6 such passes for the same
     accuracy, so this is ~2x on the dominant matmuls.
+
+    passes: 3 = f32-exact (default), 2 = ~2^-17 relative, 1 = plain bf16
+    (~2^-9 relative — the opt-in reduced-precision training mode).
     """
     hi32 = x.astype(jnp.bfloat16).astype(jnp.float32)
+    if passes == 1:
+        return _bdot(Db, hi32.astype(jnp.bfloat16))
     r = x - hi32
     mid32 = r.astype(jnp.bfloat16).astype(jnp.float32)
+    if passes == 2:
+        acc = _bdot(Db, mid32.astype(jnp.bfloat16))
+        return acc + _bdot(Db, hi32.astype(jnp.bfloat16))
     lo = (r - mid32).astype(jnp.bfloat16)
     acc = _bdot(Db, lo)
     acc = acc + _bdot(Db, mid32.astype(jnp.bfloat16))
@@ -98,24 +107,27 @@ def _split3_mm(Db, x):
     return acc
 
 
-@jax.custom_vjp
-def _edges_op(Db, DbT, x):
-    """Edge matmul ``Db @ x`` with a 3-pass backward through the
-    pre-transposed ``DbT`` (keeps the cotangent matmul at 3 passes too —
-    jax's automatic vjp would promote it to a 6-pass f32 dot)."""
-    return _split3_mm(Db, x)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _edges_op(passes, Db, DbT, x):
+    """Edge matmul ``Db @ x`` with a matching-pass backward through the
+    pre-transposed ``DbT`` (keeps the cotangent matmul at the same pass
+    count — jax's automatic vjp would promote it to a 6-pass f32 dot)."""
+    return _split3_mm(Db, x, passes)
 
 
-def _edges_fwd(Db, DbT, x):
-    return _split3_mm(Db, x), (Db, DbT)
+def _edges_fwd(passes, Db, DbT, x):
+    return _split3_mm(Db, x, passes), (Db, DbT)
 
 
-def _edges_bwd(res, g):
+def _edges_bwd(passes, res, g):
     Db, DbT = res
-    return jnp.zeros_like(Db), jnp.zeros_like(DbT), _split3_mm(DbT, g)
+    return jnp.zeros_like(Db), jnp.zeros_like(DbT), _split3_mm(DbT, g, passes)
 
 
 _edges_op.defvjp(_edges_fwd, _edges_bwd)
+
+# precision name -> split passes for the edge matmuls
+_PRECISION_PASSES = {"exact": 3, "tf32": 2, "bf16": 1}
 
 
 # ---------------------------------------------------------------------------
@@ -280,7 +292,8 @@ def auto_tile(lay: BlockedLayout, d_out: int, *, backward: bool,
 # ---------------------------------------------------------------------------
 
 
-def _blk_forward(x_cmaj, D, DT, tensors, lay: BlockedLayout, activation):
+def _blk_forward(x_cmaj, D, DT, tensors, lay: BlockedLayout, activation,
+                 passes=3):
     """Fused forward on one tile: ``x [3, n, T] -> [k, T]``.
 
     D/DT: bf16 edge matrix and its transpose (DT feeds the backward's
@@ -290,7 +303,7 @@ def _blk_forward(x_cmaj, D, DT, tensors, lay: BlockedLayout, activation):
     no MLP the result is the PADDED feature rows in blocked order (callers
     gather the real columns outside).
     """
-    E = [_edges_op(D, DT, x_cmaj[i]) for i in range(3)]  # 3 x [m, T]
+    E = [_edges_op(passes, D, DT, x_cmaj[i]) for i in range(3)]  # 3 x [m, T]
 
     def seg(i, o, k):
         return E[i][o : o + k]
@@ -386,15 +399,16 @@ def _blk_forward(x_cmaj, D, DT, tensors, lay: BlockedLayout, activation):
 # ---------------------------------------------------------------------------
 
 
-def _blk_fwd_kernel(lay, activation, x_ref, d_ref, dt_ref, *rest):
+def _blk_fwd_kernel(lay, activation, passes, x_ref, d_ref, dt_ref, *rest):
     y_ref = rest[-1]
     tensors = [r[:] for r in rest[:-1]]
     y_ref[:] = _blk_forward(
-        x_ref[:], d_ref[:], dt_ref[:], tensors, lay, activation
+        x_ref[:], d_ref[:], dt_ref[:], tensors, lay, activation, passes
     )
 
 
-def _blk_bwd_kernel(lay, activation, x_ref, gy_ref, d_ref, dt_ref, *rest):
+def _blk_bwd_kernel(lay, activation, passes, x_ref, gy_ref, d_ref, dt_ref,
+                    *rest):
     # rest = (*tensor_in_refs, gx_ref, *gtensor_out_refs)
     n_t = (len(rest) - 1) // 2
     tensor_in = [r[:] for r in rest[:n_t]]
@@ -403,7 +417,7 @@ def _blk_bwd_kernel(lay, activation, x_ref, gy_ref, d_ref, dt_ref, *rest):
     D, DT = d_ref[:], dt_ref[:]
 
     def f(x_blk, tensors):
-        return _blk_forward(x_blk, D, DT, tensors, lay, activation)
+        return _blk_forward(x_blk, D, DT, tensors, lay, activation, passes)
 
     _, vjp = jax.vjp(f, x_ref[:], tensor_in)
     gx, gtensors = vjp(gy_ref[:])
@@ -420,8 +434,8 @@ def _blk_bwd_kernel(lay, activation, x_ref, gy_ref, d_ref, dt_ref, *rest):
             ref[:] = ref[:] + g
 
 
-def _blk_train_kernel(lay, activation, inv_count, l_total, x_ref, yt_ref,
-                      d_ref, dt_ref, *rest):
+def _blk_train_kernel(lay, activation, passes, inv_count, l_total, x_ref,
+                      yt_ref, d_ref, dt_ref, *rest):
     """Blocked fused MSE training kernel: loss + parameter/ref gradients,
     no coordinate-gradient compute/write (see fused._train_kernel)."""
     n_t = (len(rest) - 1) // 2
@@ -438,7 +452,7 @@ def _blk_train_kernel(lay, activation, inv_count, l_total, x_ref, yt_ref,
     mask = (fidx < l_total).astype(x_blk.dtype)
 
     def loss_fn(tensors):
-        y = _blk_forward(x_blk, D, DT, tensors, lay, activation)
+        y = _blk_forward(x_blk, D, DT, tensors, lay, activation, passes)
         e = (y - yt) * mask
         return jnp.sum(e * e) * inv_count
 
@@ -458,7 +472,8 @@ def _blk_train_kernel(lay, activation, inv_count, l_total, x_ref, yt_ref,
 
 
 def blocked_train_grads(spec, align_idx, activation, params, ref_x, x,
-                        y_target, *, tile=None, interpret=False):
+                        y_target, *, tile=None, interpret=False,
+                        precision="exact"):
     """Blocked single-kernel MSE training grads. x in any
     :func:`_to_cmajor` layout; y_target ``[l, d_out]`` or ``[d_out, l]``.
     Returns ``(loss, gparams, gref)`` in the kernel param convention.
@@ -488,8 +503,10 @@ def blocked_train_grads(spec, align_idx, activation, params, ref_x, x,
     out_specs = [
         pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
     ] + [_full_spec(t) for t in tensors]
+    passes = _PRECISION_PASSES[precision]
     outs = pl.pallas_call(
-        functools.partial(_blk_train_kernel, lay, activation, inv_count, l),
+        functools.partial(
+            _blk_train_kernel, lay, activation, passes, inv_count, l),
         grid=(l_p // tile,),
         in_specs=[
             _x_spec(lay.n_atoms, tile),
@@ -508,8 +525,8 @@ def blocked_train_grads(spec, align_idx, activation, params, ref_x, x,
     return loss[0, 0], gparams, gref
 
 
-def _blk_cv_forces_kernel(lay, activation, component, x_ref, d_ref, dt_ref,
-                          *rest):
+def _blk_cv_forces_kernel(lay, activation, passes, component, x_ref, d_ref,
+                          dt_ref, *rest):
     # rest = (*tensor_refs, y_ref, gx_ref)
     n_t = len(rest) - 2
     tensors = [r[:] for r in rest[:n_t]]
@@ -517,7 +534,7 @@ def _blk_cv_forces_kernel(lay, activation, component, x_ref, d_ref, dt_ref,
     D, DT = d_ref[:], dt_ref[:]
 
     def f(x_blk):
-        return _blk_forward(x_blk, D, DT, tensors, lay, activation)
+        return _blk_forward(x_blk, D, DT, tensors, lay, activation, passes)
 
     y, vjp = jax.vjp(f, x_ref[:])
     if component is None:
@@ -627,7 +644,8 @@ def _check_tile(tile, interpret):
 
 
 def _blk_fwd_impl(spec, align_idx, activation, tile, interpret,
-                  params, ref_x, x):
+                  params, ref_x, x, precision="exact"):
+    passes = _PRECISION_PASSES[precision]
     lay = blocked_layout(spec, align_idx)
     if tile is None:
         tile = auto_tile(lay, _head_dim(lay, params), backward=False)
@@ -640,7 +658,7 @@ def _blk_fwd_impl(spec, align_idx, activation, tile, interpret,
     d_out = _head_dim(lay, params)
 
     y = pl.pallas_call(
-        functools.partial(_blk_fwd_kernel, lay, activation),
+        functools.partial(_blk_fwd_kernel, lay, activation, passes),
         grid=(l_p // tile,),
         in_specs=[_x_spec(lay.n_atoms, tile), _full_spec(D), _full_spec(DT)]
         + [_full_spec(t) for t in tensors],
@@ -663,7 +681,8 @@ def _head_dim(lay, params):
 
 
 def _blk_bwd_impl(spec, align_idx, activation, tile, interpret,
-                  params, ref_x, x, gy):
+                  params, ref_x, x, gy, precision="exact"):
+    passes = _PRECISION_PASSES[precision]
     lay = blocked_layout(spec, align_idx)
     if tile is None:
         tile = auto_tile(lay, _head_dim(lay, params), backward=True)
@@ -690,7 +709,7 @@ def _blk_bwd_impl(spec, align_idx, activation, tile, interpret,
     ]
     out_specs = [_x_spec(lay.n_atoms, tile)] + [_full_spec(t) for t in tensors]
     outs = pl.pallas_call(
-        functools.partial(_blk_bwd_kernel, lay, activation),
+        functools.partial(_blk_bwd_kernel, lay, activation, passes),
         grid=(l_p // tile,),
         in_specs=[
             _x_spec(lay.n_atoms, tile),
@@ -710,8 +729,8 @@ def _blk_bwd_impl(spec, align_idx, activation, tile, interpret,
     return gparams, gref, gx
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
-def blocked_apply(spec, align_idx, activation, tiles, interpret,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5))
+def blocked_apply(spec, align_idx, activation, tiles, interpret, precision,
                   params, ref_x, x):
     """Blocked fused forward: ``x -> [l, d_out]``.
 
@@ -722,23 +741,26 @@ def blocked_apply(spec, align_idx, activation, tiles, interpret,
     None to auto-size from the VMEM model.
     """
     return _blk_fwd_impl(
-        spec, align_idx, activation, tiles[0], interpret, params, ref_x, x
+        spec, align_idx, activation, tiles[0], interpret, params, ref_x, x,
+        precision,
     )
 
 
-def _blocked_fwd(spec, align_idx, activation, tiles, interpret,
+def _blocked_fwd(spec, align_idx, activation, tiles, interpret, precision,
                  params, ref_x, x):
     y = _blk_fwd_impl(
-        spec, align_idx, activation, tiles[0], interpret, params, ref_x, x
+        spec, align_idx, activation, tiles[0], interpret, params, ref_x, x,
+        precision,
     )
     return y, (params, ref_x, x)
 
 
-def _blocked_bwd(spec, align_idx, activation, tiles, interpret, res, gy):
+def _blocked_bwd(spec, align_idx, activation, tiles, interpret, precision,
+                 res, gy):
     params, ref_x, x = res
     return _blk_bwd_impl(
         spec, align_idx, activation, tiles[1], interpret, params, ref_x,
-        x, gy,
+        x, gy, precision,
     )
 
 
@@ -747,7 +769,7 @@ blocked_apply.defvjp(_blocked_fwd, _blocked_bwd)
 
 def blocked_cv_forces(spec, align_idx, activation, params, ref_x, x, *,
                       component=None, tile=None, interpret=False,
-                      out_layout=None):
+                      out_layout=None, precision="exact"):
     """Single-kernel CV values + coordinate gradients, blocked formulation.
 
     Accepts any layout :func:`_to_cmajor` understands; the fastest is
@@ -778,8 +800,10 @@ def blocked_cv_forces(spec, align_idx, activation, params, ref_x, x, *,
             # kernel rows are blocked order; map the requested final column
             component = int(lay.perm_b[component])
 
+    passes = _PRECISION_PASSES[precision]
     y, gx = pl.pallas_call(
-        functools.partial(_blk_cv_forces_kernel, lay, activation, component),
+        functools.partial(
+            _blk_cv_forces_kernel, lay, activation, passes, component),
         grid=(l_p // tile,),
         in_specs=[_x_spec(lay.n_atoms, tile), _full_spec(D), _full_spec(DT)]
         + [_full_spec(t) for t in tensors],

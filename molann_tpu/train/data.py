@@ -10,7 +10,9 @@ The hot path is :func:`packed_batch_iterator`: it yields PACKED
 ``[batch, 3n]`` float32 batches (the layout the fused TPU kernels want)
 through the native C++ loader (native/traj_loader.cpp — mmap + threaded
 gather + async page prefetch of the NEXT batch while the current one is on
-device). Falls back to pure numpy when the native library is unavailable.
+device). The loader auto-detects .npy and .dcd (CHARMM/NAMD) trajectories;
+it falls back to pure numpy (and the pure-python DCD reader) when the
+native library is unavailable.
 """
 
 from __future__ import annotations
@@ -103,7 +105,13 @@ def packed_batch_iterator(path, batch_size, *, shuffle=True, seed=0,
             if backend == "native":
                 raise
     if loader is None:
-        mm = np.load(path, mmap_mode="r")
+        if str(path).lower().endswith(".dcd"):
+            from ..io.dcd import read_dcd
+
+            frames, _ = read_dcd(path)  # pure-python fallback (in-memory)
+            mm = frames
+        else:
+            mm = np.load(path, mmap_mode="r")
         n = mm.shape[0]
         fpf = int(np.prod(mm.shape[1:]))
     else:

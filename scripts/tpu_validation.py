@@ -139,12 +139,221 @@ def main():
     check("chignolin-scale fused parity", err_y < 1e-5 and err_g < 1e-4,
           f"y={err_y:.2e} g_rel={err_g:.2e}")
 
+    # -- compiled-kernel parity across tiles / batch shapes ----------------
+    # (VERDICT r01 #3: values, coordinate grads, AND parameter grads, at
+    # several tiles and batch shapes, committed as a per-round artifact.)
+    from molann_tpu.ops.fused import fused_train_grads
+    from molann_tpu.train import mse_loss
+
+    def grad_all(fn):
+        return jax.jit(jax.grad(
+            lambda m, v: jnp.sum(jnp.sin(fn(m, v))), argnums=(0, 1)
+        ))
+
+    def rel_leaf_err(tr, tf):
+        # Per-leaf relative error (leaves span orders of magnitude).
+        # Leaves whose REFERENCE gradient is negligible vs the global grad
+        # scale are f32 noise, not signal (e.g. ref_x's gradient through
+        # rotation-invariant features is mathematically zero; XLA returns
+        # ~1e-7 noise while the fused kernels return exact 0) — for those,
+        # require the candidate to be equally negligible instead of
+        # dividing by noise.
+        ra = jax.tree_util.tree_leaves(tr)
+        fa = jax.tree_util.tree_leaves(tf)
+        gscale = max(float(jnp.abs(a).max()) for a in ra)
+        errs = []
+        for a, b in zip(ra, fa):
+            sa = float(jnp.abs(a).max())
+            if sa < 1e-6 * gscale:
+                errs.append(float(jnp.abs(b).max()) / gscale)
+            else:
+                errs.append(float(jnp.abs(a - b).max()) / sa)
+        return max(errs)
+
+    # fwd tiles vary freely; bwd tiles are fixed at 1024 when compiled
+    # (Mosaic reverse-mode unfold limit — see ops/fused.py:_check_tile)
+    for tile, l in ((1024, 4096), (2048, 6000), (1024, 1000)):
+        xs = jnp.asarray(
+            u.atoms.positions[None]
+            + 0.05 * rng.normal(size=(l, 22, 3)).astype(np.float32)
+        )
+        gm_r, gx_r = grad_all(lambda m, v: m(v))(model, xs)
+        gm_f, gx_f = grad_all(
+            lambda m, v, t=tile: fused_model_forward(m, v, tile=t)
+        )(model, xs)
+        ex = float(jnp.abs(gx_f - gx_r).max()) / max(
+            float(jnp.abs(gx_r).max()), 1e-9)
+        ep = rel_leaf_err(gm_r, gm_f)
+        check(f"unrolled value+coord+PARAM grad parity (tile={tile}, l={l})",
+              ex < 1e-4 and ep < 1e-4, f"gx_rel={ex:.2e} gparam_rel={ep:.2e}")
+
+    # -- blocked path: 300-atom peptide compiled parity + throughput -------
+    # Parity here is judged against a float64 torch oracle: the synthetic
+    # peptide's coordinates reach ~90 A, so ANY f32 implementation carries
+    # a cancellation noise floor of ~|x| * 2^-24 per coordinate difference
+    # (amplified through dihedral-gradient chains) — the XLA path included.
+    # The contract: the blocked kernel is no further from f64 truth than
+    # the XLA f32 path (within 2x + epsilon).
+    from molann_tpu.systems import peptide_model
+
+    def torch_f64_oracle(model_, spec_, x_np):
+        import torch
+
+        assert spec_.n_position_atoms == 0
+        xt = torch.tensor(np.asarray(x_np, np.float64), requires_grad=True)
+        cols = []
+        for (a0, a1, a2) in spec_.angle_idx:
+            r21 = xt[:, a0] - xt[:, a1]
+            r23 = xt[:, a2] - xt[:, a1]
+            cols.append(
+                (r21 * r23).sum(-1)
+                / (r21.norm(dim=-1) * r23.norm(dim=-1))
+            )
+        for (a0, a1) in spec_.bond_idx:
+            cols.append((xt[:, a1] - xt[:, a0]).norm(dim=-1))
+        for (a0, a1, a2, a3) in spec_.dihedral_idx:
+            r12 = xt[:, a1] - xt[:, a0]
+            r23 = xt[:, a2] - xt[:, a1]
+            r34 = xt[:, a3] - xt[:, a2]
+            n1 = torch.cross(r12, r23, dim=-1)
+            n2 = torch.cross(r23, r34, dim=-1)
+            cphi = (n1 * n2).sum(-1)
+            sphi = (n1 * r34).sum(-1) * r23.norm(dim=-1)
+            rad = torch.sqrt(cphi * cphi + sphi * sphi)
+            cols.extend([cphi / rad, sphi / rad])
+        feats = torch.stack(cols, dim=1)
+        if spec_.perm is not None:
+            feats = feats[:, list(spec_.perm)]
+        h = feats
+        n_l = len(model_.ann_layers.params)
+        for li, (w, b) in enumerate(model_.ann_layers.params):
+            h = h @ torch.tensor(np.asarray(w, np.float64)) + torch.tensor(
+                np.asarray(b, np.float64))
+            if li < n_l - 1:
+                h = torch.tanh(h)
+        (g64,) = torch.autograd.grad(h.sum(), xt)
+        return h.detach().numpy(), g64.numpy()
+
+    bmodel, bu = peptide_model(n_residues=60)
+    bspec = bmodel.preprocessing_layer.feature_layer.spec
+    nb_atoms = len(bu.atoms)
+    for tile, l in ((256, 2048), (128, 1000)):
+        x_np = (
+            bu.atoms.positions[None]
+            + 0.02 * rng.normal(size=(l, nb_atoms, 3))
+        ).astype(np.float32)
+        xs = jnp.asarray(x_np)
+        y64, g64 = torch_f64_oracle(bmodel, bspec, x_np)
+        y_r = np.asarray(jax.jit(lambda m, v: m(v))(bmodel, xs))
+        g_r = np.asarray(jax.jit(jax.grad(lambda v: jnp.sum(bmodel(v))))(xs))
+        yb, gb = jax.jit(
+            lambda m, v, t=tile: fused_cv_forces(m, v, tile=t, mode="blocked")
+        )(bmodel, xs)
+        y_b, g_b = np.asarray(yb), np.asarray(gb)
+        gscale = np.abs(g64).max()
+        e_xla_y = np.abs(y_r - y64).max()
+        e_blk_y = np.abs(y_b - y64).max()
+        e_xla_g = np.abs(g_r - g64).max() / gscale
+        e_blk_g = np.abs(g_b - g64).max() / gscale
+        ok = (e_blk_y <= 2 * e_xla_y + 2e-6) and (
+            e_blk_g <= 2 * e_xla_g + 1e-5)
+        check(
+            f"blocked peptide(60) vs f64 oracle (tile={tile}, l={l})", ok,
+            f"y: blocked={e_blk_y:.2e} xla={e_xla_y:.2e} | g_rel: "
+            f"blocked={e_blk_g:.2e} xla={e_xla_g:.2e}",
+        )
+
+    # param grads through the blocked backward kernel
+    xs = jnp.asarray(
+        bu.atoms.positions[None]
+        + 0.02 * rng.normal(size=(2048, nb_atoms, 3)).astype(np.float32)
+    )
+    gm_r, _ = grad_all(lambda m, v: m(v))(bmodel, xs)
+    gm_b, _ = grad_all(
+        lambda m, v: fused_model_forward(m, v, mode="blocked")
+    )(bmodel, xs)
+    ep = rel_leaf_err(gm_r, gm_b)
+    check("blocked peptide(60) PARAM grad parity", ep < 1e-4,
+          f"gparam_rel={ep:.2e}")
+
+    nbl = 1 << 18
+    xbl = jax.jit(
+        lambda: jnp.asarray(np.transpose(bu.atoms.positions, (1, 0)))[:, :, None]
+        + 0.02 * jax.random.normal(
+            jax.random.PRNGKey(0), (3, nb_atoms, nbl), jnp.float32)
+    )()
+    fb = jax.jit(lambda m, v: fused_cv_forces(m, v, mode="blocked"))
+
+    def run_blocked():
+        r = None
+        for _ in range(6):
+            r = fb(bmodel, xbl)
+        return float(r[1][0, 0, 0])
+
+    run_blocked()
+    ts = []
+    for _ in range(4):
+        t0 = time.perf_counter()
+        run_blocked()
+        ts.append(time.perf_counter() - t0)
+    rate_b = 6 * nbl / min(ts)
+    check("blocked peptide(60) fwd+bwd >= 10M frames/s/chip",
+          rate_b >= 1e7, f"{rate_b/1e6:.1f}M frames/s (device, pipelined)")
+
+    # -- single-kernel fused training grads --------------------------------
+    for mode, m_, uu, tile in (("unrolled", model, u, 1024),
+                               ("blocked", bmodel, bu, None)):
+        na_ = len(uu.atoms)
+        d_ = m_.ann_layers.output_dimension()
+        xs = jnp.asarray(
+            uu.atoms.positions[None]
+            + 0.05 * rng.normal(size=(3000, na_, 3)).astype(np.float32)
+        )
+        ys = jnp.asarray(rng.normal(size=(3000, d_)).astype(np.float32))
+        l_r, g_r = jax.jit(jax.value_and_grad(mse_loss))(m_, (xs, ys))
+        l_f, g_f = jax.jit(
+            lambda mm, a, b, t=tile: fused_train_grads(mm, a, b, tile=t)
+        )(m_, xs, ys)
+        el = abs(float(l_f) - float(l_r))
+        ep = rel_leaf_err(g_r, g_f)
+        check(f"fused train grads parity ({mode})", el < 1e-5 and ep < 1e-4,
+              f"loss_err={el:.2e} gparam_rel={ep:.2e}")
+
+    ntr = 1 << 22
+    xtr = jax.jit(
+        lambda: jnp.asarray(u.atoms.positions.reshape(66, 1))
+        + 0.05 * jax.random.normal(jax.random.PRNGKey(0), (66, ntr))
+    )()
+    ytr = jax.jit(
+        lambda: jax.random.normal(jax.random.PRNGKey(1), (3, ntr))
+    )()
+    ft = jax.jit(lambda m, a, b: fused_train_grads(
+        m, a, b, tile=2048, transposed_input=True))
+
+    def run_train():
+        r = None
+        for _ in range(4):
+            r = ft(model, xtr, ytr)
+        return float(r[0])
+
+    run_train()
+    ts = []
+    for _ in range(4):
+        t0 = time.perf_counter()
+        run_train()
+        ts.append(time.perf_counter() - t0)
+    rate_t = 4 * ntr / min(ts)
+    check("fused training grads >= 60M frames/s/chip (alanine)",
+          rate_t >= 6e7, f"{rate_t/1e6:.1f}M frames/s (device, pipelined)")
+
     # -- throughput --------------------------------------------------------
     n = 1 << 23
-    xt = jnp.asarray(
-        u.atoms.positions.reshape(66, 1)
-        + 0.05 * rng.normal(size=(66, n)).astype(np.float32)
-    )
+    # generated on device: host->device copies of GB-scale arrays over the
+    # remote tunnel take minutes and are not the thing being measured
+    xt = jax.jit(
+        lambda: jnp.asarray(u.atoms.positions.reshape(66, 1))
+        + 0.05 * jax.random.normal(jax.random.PRNGKey(0), (66, n))
+    )()
     f = jax.jit(
         lambda m, v: fused_cv_forces(m, v, tile=1024, transposed_input=True)
     )

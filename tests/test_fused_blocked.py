@@ -167,6 +167,28 @@ def test_select_mode_dispatch():
     assert select_mode(b_spec, b_spec.n_input_atoms) == "blocked"
 
 
+def test_precision_modes_error_budget(rng_module):
+    """Reduced-precision modes stay within their DOCUMENTED budgets
+    (docs/design.md): tf32 (2-pass) <= 1e-3 relative on values, bf16
+    (1-pass) is loose by design (coordinate differences cancel
+    catastrophically when raw coordinates are rounded to 8 mantissa
+    bits)."""
+    model, u = peptide_model(n_residues=6)
+    x = frames_for(u, 32, rng_module)
+    kw = dict(tile=32, interpret=True, mode="blocked")
+    y_e, g_e = fused_cv_forces(model, x, precision="exact", **kw)
+    y_t, g_t = fused_cv_forces(model, x, precision="tf32", **kw)
+    rel_y = float(jnp.abs(y_t - y_e).max() / jnp.abs(y_e).max())
+    rel_g = float(jnp.abs(g_t - g_e).max() / jnp.abs(g_e).max())
+    assert rel_y < 1e-3 and rel_g < 2e-2, (rel_y, rel_g)
+    # exact mode really is f32-exact: matches the f32 XLA model path
+    y_r = np.asarray(model(x))
+    np.testing.assert_allclose(np.asarray(y_e), y_r, atol=1e-5)
+    # bf16 runs and stays finite (budget documented as loose)
+    y_b, g_b = fused_cv_forces(model, x, precision="bf16", **kw)
+    assert bool(jnp.isfinite(y_b).all() and jnp.isfinite(g_b).all())
+
+
 def test_blocked_layout_conversions(rng_module):
     """All four input layouts give identical results; gradients come back
     in the input's layout."""

@@ -58,3 +58,46 @@ def test_shard_map_fused_loss_and_grads_match():
         jax.tree_util.tree_leaves(g_dp), jax.tree_util.tree_leaves(g_1d)
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+@pytest.mark.slow
+def test_make_fused_train_step_on_mesh_matches_single_device():
+    """The single-kernel training step under shard_map (the production
+    multi-chip configuration of make_fused_train_step) reproduces the
+    plain single-device XLA step."""
+    import optax
+
+    from molann_tpu.train import (
+        make_fused_train_step,
+        make_train_step,
+        masked_optimizer,
+        trainable_mask,
+    )
+
+    model, u = alanine_model()
+    rng = np.random.default_rng(3)
+    l = 128
+    x3 = jnp.asarray(
+        u.atoms.positions[None]
+        + 0.05 * rng.normal(size=(l, 22, 3)).astype(np.float32)
+    )
+    y = jnp.asarray(rng.normal(size=(l, 3)).astype(np.float32))
+    opt = masked_optimizer(optax.adam(1e-2), trainable_mask(model))
+
+    mesh = data_mesh(8)
+    step_dp = make_fused_train_step(
+        opt, mesh, tile=16, interpret=True, mode="unrolled"
+    )
+    step_1d = make_train_step(mse_loss, opt)
+
+    m_dp, s_dp = model, opt.init(model)
+    m_1d, s_1d = model, opt.init(model)
+    batch = shard_batch((x3.reshape(l, 66), y), mesh)
+    for _ in range(2):
+        m_dp, s_dp, loss_dp = step_dp(m_dp, s_dp, batch)
+        m_1d, s_1d, loss_1d = step_1d(m_1d, s_1d, (x3, y))
+    assert abs(float(loss_dp) - float(loss_1d)) < 1e-5
+    for a, b in zip(
+        jax.tree_util.tree_leaves(m_dp), jax.tree_util.tree_leaves(m_1d)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
