@@ -272,19 +272,30 @@ def blocked_layout(spec: CompiledFeatures, align_idx) -> BlockedLayout:
 
 
 def auto_tile(lay: BlockedLayout, d_out: int, *, backward: bool,
-              budget_bytes: int = 10 * 1024 * 1024) -> int:
+              budget_bytes: int = 14 * 1024 * 1024) -> int:
     """Largest lane-aligned tile whose working set fits a VMEM budget.
 
     Rough model (f32 columns per frame): the x block (3n) + edge matrix
     rows (m per component, live twice through the math), feature rows,
-    output — times ~3 extra for vjp residuals in backward kernels.
+    output — times ~2.5 extra for vjp residuals in backward kernels. The
+    model tracks measured scoped-VMEM within ~10% (e.g. peptide(60)
+    backward at tile=512 measured 21 MB vs 22.9 predicted); the budget
+    leaves headroom under the 16 MB VMEM for Mosaic's own scratch.
+    Measured on peptide(60): tile=256 is also the throughput sweet spot
+    (14.0M f/s vs 13.4M at 128 and 11.1M at 384).
     """
     cols = 3 * lay.n_atoms + 3 * lay.m * 2 + lay.out_dim + d_out
     if backward:
         cols = 3 * lay.n_atoms * 2 + 3 * lay.m * 5 + lay.out_dim * 3 + d_out
-    fixed = lay.D.size * 4 * 2  # D resident (+ once more as vjp residual)
-    tile = ((budget_bytes - fixed) // (4 * cols)) // 128 * 128
-    return int(max(128, min(2048, tile)))
+    fixed = lay.D.size * 2 * 2  # D + DT resident (bf16)
+    tile = (budget_bytes - fixed) // (4 * cols)
+    # round DOWN to a power of two: non-power-of-two tiles measured ~20%
+    # slower (e.g. peptide(60) fwd: 23.0M at 256, 18.2M at 384, 23.3M at
+    # 512 frames/s)
+    p = 128
+    while p * 2 <= tile and p < 2048:
+        p *= 2
+    return int(p)
 
 
 # ---------------------------------------------------------------------------
