@@ -756,18 +756,23 @@ def fused_model_forward(model, x, *, tile=None, bwd_tile=None,
 
 
 def _train_kernel(spec, align_idx, activation, n_atoms, inv_count, l_total,
-                  transposed_in, x_ref, yt_ref, *rest):
-    """Fused MSE training kernel: loss + parameter/ref gradients in ONE
+                  transposed_in, train_ref, x_ref, yt_ref, *rest):
+    """Fused MSE training kernel: loss + parameter gradients in ONE
     kernel, NO coordinate-gradient compute or HBM write.
 
     The parameter-only training path previously paid for the gx output it
     discarded (round-1 ROADMAP #3); differentiating w.r.t. the (closed
     over) tensors only skips the entire gx accumulation chain and its
-    trajectory-sized HBM write. rest = (*tensor_refs, loss_ref,
-    *gtensor_refs); loss/gtensors accumulate across the sequential grid.
+    trajectory-sized HBM write. With ``train_ref=False`` (the default —
+    ``ref_x`` is a frozen buffer in the reference, molann/ann.py:137) the
+    alignment reference is also closed over, skipping the whole QCP
+    backward chain. rest = (*tensor_refs, loss_ref, *gtensor_refs);
+    loss/gtensors accumulate across the sequential grid.
     """
-    n_t = (len(rest) - 1) // 2
-    tensor_in = [r[:] for r in rest[:n_t]]
+    n_skip = 1 if (align_idx is not None and not train_ref) else 0
+    n_t = (len(rest) - 1 - n_skip) // 2 + n_skip
+    fixed = [r[:] for r in rest[:n_skip]]
+    tensor_in = [r[:] for r in rest[n_skip:n_t]]
     loss_ref = rest[n_t]
     gtensor_refs = rest[n_t + 1 :]
     tile = x_ref.shape[1] if transposed_in else x_ref.shape[0]
@@ -797,8 +802,8 @@ def _train_kernel(spec, align_idx, activation, n_atoms, inv_count, l_total,
         return _fold_block(xb, n_atoms)
 
     def loss_fn(tensors):
-        rows = _forward_tiles(fold(x_blk), tensors, spec, align_idx,
-                              activation)
+        rows = _forward_tiles(fold(x_blk), fixed + list(tensors), spec,
+                              align_idx, activation)
         acc = None
         for r, t in zip(rows, yt_rows):
             e = (r - t) * mask
@@ -848,7 +853,7 @@ def _grads_like(model, gparams, gref):
 
 def fused_train_grads(model, x, y_target, *, tile=None, interpret=False,
                       transposed_input=False, mode="auto",
-                      precision="exact"):
+                      precision="exact", train_ref=False):
     """MSE loss AND its parameter/ref gradients in one fused kernel.
 
     The single-kernel training path: one HBM read of the trajectory batch,
@@ -859,9 +864,12 @@ def fused_train_grads(model, x, y_target, *, tile=None, interpret=False,
     x: ``[l, n, 3]``, packed ``[l, 3n]``, or (with ``transposed_input``)
     ``[3n, l]``; y_target: ``[l, d_out]`` (or ``[d_out, l]`` transposed).
     Returns ``(loss, grads)`` where grads is a pytree shaped like
-    ``model`` (zeros on non-trainable leaves except ``ref_x``) — feed it
-    straight to ``optimizer.update``. Loss = ``mean((model(x) - y)**2)``
-    (matches :func:`molann_tpu.train.losses.mse_loss`).
+    ``model`` (zeros on non-trainable leaves) — feed it straight to
+    ``optimizer.update``. Loss = ``mean((model(x) - y)**2)`` (matches
+    :func:`molann_tpu.train.losses.mse_loss`). ``train_ref=False``
+    (default) treats the alignment reference as the frozen buffer it is in
+    the reference and skips its (expensive QCP-chain) gradient entirely;
+    set True to get real ``ref_x`` gradients.
     """
     spec, align_idx, ref_x, params, activation = _extract_model(model, x.dtype)
     if mode == "auto":
@@ -872,6 +880,7 @@ def fused_train_grads(model, x, y_target, *, tile=None, interpret=False,
         loss, gparams, gref = blocked_train_grads(
             spec, align_idx, activation, params, ref_x, x, y_target,
             tile=tile, interpret=interpret, precision=precision,
+            train_ref=train_ref,
         )
         return loss, _grads_like(model, gparams, gref)
     if tile is None:
@@ -898,6 +907,8 @@ def fused_train_grads(model, x, y_target, *, tile=None, interpret=False,
     inv_count = 1.0 / (float(l) * float(d_out))
 
     tensors = _tensor_list(align_idx, params, ref_x)
+    n_skip = 1 if (align_idx is not None and not train_ref) else 0
+    diff_tensors = tensors[n_skip:]
     grid = (l_p // tile,)
     if transposed_input:
         x_spec = pl.BlockSpec((3 * n_atoms, tile), lambda i: (0, i),
@@ -912,13 +923,13 @@ def fused_train_grads(model, x, y_target, *, tile=None, interpret=False,
     loss_spec = pl.BlockSpec((1, 1), lambda i: (0, 0),
                              memory_space=pltpu.VMEM)
     out_shapes = [jax.ShapeDtypeStruct((1, 1), x.dtype)] + [
-        jax.ShapeDtypeStruct(t.shape, t.dtype) for t in tensors
+        jax.ShapeDtypeStruct(t.shape, t.dtype) for t in diff_tensors
     ]
-    out_specs = [loss_spec] + [_full_spec(t) for t in tensors]
+    out_specs = [loss_spec] + [_full_spec(t) for t in diff_tensors]
     outs = pl.pallas_call(
         functools.partial(
             _train_kernel, spec, align_idx, activation, n_atoms,
-            inv_count, l, transposed_input,
+            inv_count, l, transposed_input, train_ref,
         ),
         grid=grid,
         in_specs=[x_spec, yt_spec] + [_full_spec(t) for t in tensors],
@@ -928,7 +939,7 @@ def fused_train_grads(model, x, y_target, *, tile=None, interpret=False,
     )(xm, ytm, *tensors)
     loss, *gtensors = outs
     loss = loss[0, 0]
-    if align_idx is not None:
+    if align_idx is not None and train_ref:
         gref = gtensors[0].reshape(ref_x.shape)
         grest = gtensors[1:]
     else:

@@ -445,12 +445,15 @@ def _blk_bwd_kernel(lay, activation, passes, x_ref, gy_ref, d_ref, dt_ref,
             ref[:] = ref[:] + g
 
 
-def _blk_train_kernel(lay, activation, passes, inv_count, l_total, x_ref,
-                      yt_ref, d_ref, dt_ref, *rest):
-    """Blocked fused MSE training kernel: loss + parameter/ref gradients,
-    no coordinate-gradient compute/write (see fused._train_kernel)."""
-    n_t = (len(rest) - 1) // 2
-    tensor_in = [r[:] for r in rest[:n_t]]
+def _blk_train_kernel(lay, activation, passes, inv_count, l_total,
+                      train_ref, x_ref, yt_ref, d_ref, dt_ref, *rest):
+    """Blocked fused MSE training kernel: loss + parameter gradients, no
+    coordinate-gradient compute/write; with ``train_ref=False`` the QCP
+    backward chain is skipped too (see fused._train_kernel)."""
+    n_skip = 1 if (lay.has_align and not train_ref) else 0
+    n_t = (len(rest) - 1 - n_skip) // 2 + n_skip
+    fixed = [r[:] for r in rest[:n_skip]]
+    tensor_in = [r[:] for r in rest[n_skip:n_t]]
     loss_ref = rest[n_t]
     gtensor_refs = rest[n_t + 1 :]
     D, DT = d_ref[:], dt_ref[:]
@@ -463,7 +466,8 @@ def _blk_train_kernel(lay, activation, passes, inv_count, l_total, x_ref,
     mask = (fidx < l_total).astype(x_blk.dtype)
 
     def loss_fn(tensors):
-        y = _blk_forward(x_blk, D, DT, tensors, lay, activation, passes)
+        y = _blk_forward(x_blk, D, DT, fixed + list(tensors), lay,
+                         activation, passes)
         e = (y - yt) * mask
         return jnp.sum(e * e) * inv_count
 
@@ -484,7 +488,7 @@ def _blk_train_kernel(lay, activation, passes, inv_count, l_total, x_ref,
 
 def blocked_train_grads(spec, align_idx, activation, params, ref_x, x,
                         y_target, *, tile=None, interpret=False,
-                        precision="exact"):
+                        precision="exact", train_ref=False):
     """Blocked single-kernel MSE training grads. x in any
     :func:`_to_cmajor` layout; y_target ``[l, d_out]`` or ``[d_out, l]``.
     Returns ``(loss, gparams, gref)`` in the kernel param convention.
@@ -506,18 +510,21 @@ def blocked_train_grads(spec, align_idx, activation, params, ref_x, x,
     D = jnp.asarray(lay.D, dtype=jnp.bfloat16)
     DT = jnp.asarray(lay.D.T, dtype=jnp.bfloat16)
     tensors = _blk_tensors(lay, params, ref_x)
+    n_skip = 1 if (lay.has_align and not train_ref) else 0
+    diff_tensors = tensors[n_skip:]
     inv_count = 1.0 / (float(l) * float(d_out))
 
     out_shapes = [jax.ShapeDtypeStruct((1, 1), x.dtype)] + [
-        jax.ShapeDtypeStruct(t.shape, t.dtype) for t in tensors
+        jax.ShapeDtypeStruct(t.shape, t.dtype) for t in diff_tensors
     ]
     out_specs = [
         pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
-    ] + [_full_spec(t) for t in tensors]
+    ] + [_full_spec(t) for t in diff_tensors]
     passes = _PRECISION_PASSES[precision]
     outs = pl.pallas_call(
         functools.partial(
-            _blk_train_kernel, lay, activation, passes, inv_count, l),
+            _blk_train_kernel, lay, activation, passes, inv_count, l,
+            train_ref),
         grid=(l_p // tile,),
         in_specs=[
             _x_spec(lay.n_atoms, tile),
@@ -532,7 +539,9 @@ def blocked_train_grads(spec, align_idx, activation, params, ref_x, x,
         interpret=interpret,
     )(xc, ytm, D, DT, *tensors)
     loss, *gtensors = outs
-    gparams, gref = _unfold_tensor_grads(lay, params, ref_x, gtensors)
+    gparams, gref = _unfold_tensor_grads(
+        lay, params, ref_x, gtensors, has_ref=(n_skip == 0 and lay.has_align)
+    )
     return loss[0, 0], gparams, gref
 
 
@@ -618,8 +627,10 @@ def _blk_tensors(lay, params, ref_x):
     return tensors
 
 
-def _unfold_tensor_grads(lay, params, ref_x, gtensors):
-    if lay.has_align:
+def _unfold_tensor_grads(lay, params, ref_x, gtensors, has_ref=None):
+    if has_ref is None:
+        has_ref = lay.has_align
+    if has_ref:
         gref = gtensors[0].T
         grest = list(gtensors[1:])
     else:

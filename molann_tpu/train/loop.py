@@ -100,7 +100,8 @@ def make_train_step(loss_fn, optimizer, mesh=None, *, donate=False):
 
 def make_fused_train_step(optimizer, mesh=None, *, tile=None,
                           transposed_input=False, interpret=False,
-                          mode="auto", precision="exact", donate=False):
+                          mode="auto", precision="exact", train_ref=False,
+                          donate=False):
     """Build a jitted MSE training step on the single-kernel fused path.
 
     Like :func:`make_train_step` with ``loss_fn=mse_loss``, but loss AND
@@ -119,7 +120,7 @@ def make_fused_train_step(optimizer, mesh=None, *, tile=None,
         return fused_train_grads(
             model, x, y, tile=tile, interpret=interpret,
             transposed_input=transposed_input, mode=mode,
-            precision=precision,
+            precision=precision, train_ref=train_ref,
         )
 
     donate_argnums = (0, 1) if donate else ()
