@@ -95,3 +95,88 @@ def test_optimizer_mismatch_detected(tmp_path, model_and_batch):
     other = masked_optimizer(optax.sgd(1e-3), trainable_mask(model))
     with pytest.raises(ValueError, match="mismatch"):
         load_training_state(latest_checkpoint(tmp_path), other)
+
+
+def test_incomplete_checkpoint_skipped(tmp_path, model_and_batch):
+    """A crash mid-save (model file present, opt file missing) must never
+    become the resume point — latest_checkpoint falls back to the newest
+    COMPLETE checkpoint (round-1 advisor finding: atomic saves)."""
+    import os
+
+    model, _ = model_and_batch
+    opt = masked_optimizer(optax.adam(1e-3), trainable_mask(model))
+    save_training_state(tmp_path, model, opt.init(model), 5)
+    # simulate a torn save at step 9: model marker exists, opt missing
+    good = latest_checkpoint(tmp_path)
+    import shutil
+
+    shutil.copy(good + ".model.npz", str(tmp_path / "ckpt_0000000009.model.npz"))
+    assert latest_checkpoint(tmp_path).endswith("0000000005")
+    # no stray temp files from the atomic save
+    assert not [f for f in os.listdir(tmp_path) if ".tmp" in f]
+
+
+def test_same_leaf_count_different_shapes_detected(tmp_path, model_and_batch):
+    """Equal leaf COUNT with different shapes must raise, not silently
+    reshape (round-1 VERDICT weak #5)."""
+    model, _ = model_and_batch
+    opt = masked_optimizer(optax.adam(1e-3), trainable_mask(model))
+    save_training_state(tmp_path, model, opt.init(model), 1)
+    # adamw has the same (count-compatible) adam state structure but we
+    # perturb the model dims instead: a different model => different leaf
+    # shapes with the same tree structure
+    from molann_tpu.systems import alanine_model
+
+    other_model, _ = alanine_model(hidden_dims=(7, 3))
+    other_opt = masked_optimizer(
+        optax.adam(1e-3), trainable_mask(other_model)
+    )
+
+    def load_with(o, m):
+        # template comes from optimizer.init(model) inside the loader —
+        # emulate by monkeypatching init via a wrapper optimizer
+        return load_training_state(latest_checkpoint(tmp_path), o)
+
+    import optax as _optax
+
+    class FakeOpt:
+        def init(self, _m):
+            return other_opt.init(other_model)
+
+    with pytest.raises(ValueError, match="leaf"):
+        load_training_state(latest_checkpoint(tmp_path), FakeOpt())
+
+
+def test_fit_resume_continues_data_stream(tmp_path):
+    """Resume fast-forwards the batch iterator: the resumed run consumes
+    batches 11..20 of the SAME deterministic stream, not 1..10 again
+    (round-1 advisor finding)."""
+    from molann_tpu.systems import alanine_model
+
+    model, u = alanine_model()
+    rng = np.random.default_rng(9)
+    xs = [
+        jnp.asarray(u.atoms.positions[None]
+                    + 0.05 * rng.normal(size=(16, 22, 3)).astype(np.float32))
+        for _ in range(20)
+    ]
+    ys = [jnp.asarray(rng.normal(size=(16, 3)).astype(np.float32))
+          for _ in range(20)]
+
+    def stream():
+        return iter(list(zip(xs, ys)))
+
+    ckpt = tmp_path / "ck"
+    fit(model, mse_loss, stream(), num_steps=10,
+        checkpoint_dir=str(ckpt), checkpoint_every=10)
+    r2 = fit(model, mse_loss, stream(), num_steps=20,
+             checkpoint_dir=str(ckpt), checkpoint_every=10)
+    r_full = fit(model, mse_loss, stream(), num_steps=20)
+    np.testing.assert_allclose(
+        np.asarray(r2.model.ann_layers.params[0][0]),
+        np.asarray(r_full.model.ann_layers.params[0][0]),
+        atol=1e-6,
+    )
+    # the resumed run must also stop at num_steps without pulling extras:
+    # 10 batches were left; exactly 10 losses recorded
+    assert len(r2.losses) == 10

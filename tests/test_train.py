@@ -71,3 +71,41 @@ def test_autoencoder_loss(rng):
     w = jnp.ones((8,))
     loss_w = autoencoder_loss(enc, dec, pp, x, weights=w)
     assert abs(float(loss) - float(loss_w)) < 1e-6
+
+
+def test_tail_batch_respects_multiple_of(tmp_path, rng):
+    """drop_remainder=False tail batches are trimmed to multiple_of so
+    device-count divisibility survives (round-1 advisor finding)."""
+    from molann_tpu.train.data import (
+        TrajectoryDataset,
+        batch_iterator,
+        packed_batch_iterator,
+        save_trajectory,
+    )
+
+    frames = rng.normal(size=(23, 4, 3)).astype(np.float32)
+    path = tmp_path / "t.npy"
+    save_trajectory(path, frames)
+
+    # 23 frames, batch 8, multiple_of 4: two full batches + tail of 7 -> 4
+    batches = list(batch_iterator(
+        TrajectoryDataset(path), 8, shuffle=False, epochs=1,
+        drop_remainder=False, multiple_of=4,
+    ))
+    assert [b.shape[0] for b in batches] == [8, 8, 4]
+
+    for backend in ("auto", "numpy"):
+        batches = list(packed_batch_iterator(
+            path, 8, shuffle=False, epochs=1, drop_remainder=False,
+            multiple_of=4, backend=backend,
+        ))
+        assert [b.shape[0] for b in batches] == [8, 8, 4]
+
+    # remainder smaller than multiple_of disappears entirely (25 % 8 = 1)
+    frames = rng.normal(size=(17, 4, 3)).astype(np.float32)
+    save_trajectory(path, frames)
+    batches = list(packed_batch_iterator(
+        path, 8, shuffle=False, epochs=1, drop_remainder=False,
+        multiple_of=4, backend="numpy",
+    ))
+    assert [b.shape[0] for b in batches] == [8, 8]
