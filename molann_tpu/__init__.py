@@ -14,6 +14,7 @@ ICI data-parallel training, and StableHLO export.
 
 from . import ann, feature, ops, spec, topology  # noqa: F401
 from .ops.fused import (  # noqa: F401
+    active_atom_indices,
     fused_cv_forces,
     fused_model_forward,
     fused_train_grads,
@@ -48,6 +49,7 @@ __all__ = [
     "AtomGroup",
     "Universe",
     "fused_model_forward",
+    "active_atom_indices",
     "fused_cv_forces",
     "fused_train_grads",
 ]

@@ -9,6 +9,7 @@ from .features import (
 )
 from .fused import (
     fused_apply,
+    active_atom_indices,
     fused_cv_forces,
     fused_model_forward,
     fused_train_grads,
@@ -27,6 +28,7 @@ __all__ = [
     "apply_compiled_features",
     "fused_apply",
     "fused_model_forward",
+    "active_atom_indices",
     "fused_cv_forces",
     "fused_train_grads",
     "blocked_apply",

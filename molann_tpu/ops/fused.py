@@ -54,6 +54,7 @@ __all__ = [
     "fused_cv_forces",
     "fused_train_grads",
     "select_mode",
+    "active_atom_indices",
     "qcp_rotation",
 ]
 
@@ -76,6 +77,21 @@ def select_mode(spec, n_atoms: int) -> str:
     if spec.out_dim <= UNROLLED_MAX_COLS and n_atoms <= UNROLLED_MAX_ATOMS:
         return "unrolled"
     return "blocked"
+
+
+def active_atom_indices(model):
+    """0-based input-group indices of the atoms any feature (or the align
+    subset) references — the rows of a ``compact_grads=True`` gradient
+    from :func:`fused_cv_forces`. All other atoms have exactly-zero
+    gradients. ``None`` means every atom is active (the gradient is
+    already full-width)."""
+    import jax.numpy as jnp
+
+    from .fused_blocked import blocked_layout
+
+    spec, align_idx, _, _, _ = _extract_model(model, jnp.float32)
+    lay = blocked_layout(spec, align_idx)
+    return None if lay.active_idx is None else lay.active_idx.copy()
 
 
 def _sub_for(tile: int) -> int:
@@ -1060,7 +1076,7 @@ def _cv_forces_kernel(spec, align_idx, activation, n_atoms, component,
 def fused_cv_forces(model, x, *, component=None, tile=None,
                     transposed_input=False, transposed_outputs=False,
                     remat=False, interpret=False, mode="auto",
-                    precision="exact"):
+                    precision="exact", compact_grads=False):
     """The production serving op for biased MD: CV values AND their
     coordinate gradients in ONE kernel (single HBM read of the
     trajectory, no cotangent round-trip, no parameter-gradient state).
@@ -1079,6 +1095,11 @@ def fused_cv_forces(model, x, *, component=None, tile=None,
     take frames in the minor axis.
     mode: ``"auto"`` / ``"unrolled"`` / ``"blocked"`` (see
     :func:`select_mode`).
+    compact_grads (blocked mode): return gradients on the ACTIVE atoms
+    only, shaped ``[3, n_active, l]`` (row k = atom
+    ``active_atom_indices(model)[k]``) — skips the full-width HBM scatter
+    when a big system carries a small CV set. Untouched atoms have
+    exactly-zero gradients by construction.
 
     Returns ``(cv_values, gradients)``. (Forces are ``-gradients``.)
     """
@@ -1093,6 +1114,12 @@ def fused_cv_forces(model, x, *, component=None, tile=None,
             spec, align_idx, activation, params, ref_x, x,
             component=component, tile=tile, interpret=interpret,
             out_layout=out_layout, precision=precision,
+            compact_grads=compact_grads,
+        )
+    if compact_grads:
+        raise ValueError(
+            "compact_grads requires the blocked formulation "
+            "(mode='blocked'; auto selected 'unrolled' for this system)"
         )
     if tile is None:
         tile = DEFAULT_BWD_TILE

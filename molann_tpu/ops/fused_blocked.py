@@ -169,6 +169,45 @@ class BlockedLayout:
         self.has_align = align_idx is not None and npos > 0
         self.n_align = len(align_idx) if self.has_align else 0
 
+        # Active-atom compaction: the kernel only ever reads atoms that a
+        # feature (or the align subset) references. For a large system with
+        # a modest CV set (the common production case: one protein, a few
+        # dozen features) restricting the edge matmul and the VMEM x block
+        # to the active atoms makes kernel cost scale with the FEATURE set,
+        # not the system size. Columns of D are remapped; the wrappers
+        # gather x[active] going in and scatter gx back to full width.
+        #
+        # The gather/scatter is a full extra HBM pass over the batch, so it
+        # only pays off when the active set is a SMALL fraction of the
+        # system; for moderately sparse sets the matmul formulation already
+        # skips inactive atoms for free (zero columns of D). Measured on
+        # peptide(60) (180/300 active, 2^19 frames, v5e): compacting at that
+        # density cost 1.8x on fwd/train and 2x+ on cv+forces. Threshold
+        # n_active <= n/4 keeps the win cases (e.g. 18/200) and none of the
+        # losses.
+        used = set()
+        for row in spec.angle_idx:
+            used.update(int(a) for a in row)
+        for row in spec.bond_idx:
+            used.update(int(a) for a in row)
+        for row in spec.dihedral_idx:
+            used.update(int(a) for a in row)
+        used.update(int(a) for a in spec.position_idx)
+        if self.has_align:
+            used.update(int(a) for a in align_idx)
+        active = np.asarray(sorted(used), dtype=np.int64)
+        if active.size and 4 * active.size <= n:
+            self.active_idx = active
+            self.n_active = int(active.size)
+            col = {int(a): k for k, a in enumerate(active)}
+        else:
+            self.active_idx = None
+            self.n_active = n
+            col = None
+
+        def c(a):
+            return col[int(a)] if col is not None else int(a)
+
         # Every segment offset is padded to a sublane multiple (8 f32 rows):
         # unaligned sublane slices/concats force Mosaic relayout copies on
         # EVERY op touching them (measured ~3x kernel slowdown); aligned
@@ -195,30 +234,30 @@ class BlockedLayout:
         o = up8(o + npos)
         self.m = o
 
-        D = np.zeros((self.m, n), dtype=np.float32)
+        D = np.zeros((self.m, self.n_active), dtype=np.float32)
         for k, (a0, a1, a2) in enumerate(spec.angle_idx):
-            D[self.o_r21 + k, a0] += 1.0  # r21 = x[a0] - x[a1]
-            D[self.o_r21 + k, a1] -= 1.0
-            D[self.o_r23 + k, a2] += 1.0  # r23 = x[a2] - x[a1]
-            D[self.o_r23 + k, a1] -= 1.0
+            D[self.o_r21 + k, c(a0)] += 1.0  # r21 = x[a0] - x[a1]
+            D[self.o_r21 + k, c(a1)] -= 1.0
+            D[self.o_r23 + k, c(a2)] += 1.0  # r23 = x[a2] - x[a1]
+            D[self.o_r23 + k, c(a1)] -= 1.0
         for k, (a0, a1) in enumerate(spec.bond_idx):
-            D[self.o_b + k, a1] += 1.0  # ||x[a1] - x[a0]||
-            D[self.o_b + k, a0] -= 1.0
+            D[self.o_b + k, c(a1)] += 1.0  # ||x[a1] - x[a0]||
+            D[self.o_b + k, c(a0)] -= 1.0
         for k, (a0, a1, a2, a3) in enumerate(spec.dihedral_idx):
-            D[self.o_d12 + k, a1] += 1.0
-            D[self.o_d12 + k, a0] -= 1.0
-            D[self.o_d23 + k, a2] += 1.0
-            D[self.o_d23 + k, a1] -= 1.0
-            D[self.o_d34 + k, a3] += 1.0
-            D[self.o_d34 + k, a2] -= 1.0
+            D[self.o_d12 + k, c(a1)] += 1.0
+            D[self.o_d12 + k, c(a0)] -= 1.0
+            D[self.o_d23 + k, c(a2)] += 1.0
+            D[self.o_d23 + k, c(a1)] -= 1.0
+            D[self.o_d34 + k, c(a3)] += 1.0
+            D[self.o_d34 + k, c(a2)] -= 1.0
         if self.has_align:
             # raw gathers only — the centroid subtraction happens in-kernel
             # so D stays exactly 0/+-1 (bf16-exact, enabling the 3-pass
             # split matmul)
             for k, a in enumerate(align_idx):
-                D[self.o_al + k, a] += 1.0
+                D[self.o_al + k, c(a)] += 1.0
         for k, a in enumerate(spec.position_idx):
-            D[self.o_pos + k, a] += 1.0
+            D[self.o_pos + k, c(a)] += 1.0
         self.D = D
 
         # Padded blocked feature-row plan (same 8-alignment rationale):
@@ -284,9 +323,9 @@ def auto_tile(lay: BlockedLayout, d_out: int, *, backward: bool,
     Measured on peptide(60): tile=256 is also the throughput sweet spot
     (14.0M f/s vs 13.4M at 128 and 11.1M at 384).
     """
-    cols = 3 * lay.n_atoms + 3 * lay.m * 2 + lay.out_dim + d_out
+    cols = 3 * lay.n_active + 3 * lay.m * 2 + lay.out_dim + d_out
     if backward:
-        cols = 3 * lay.n_atoms * 2 + 3 * lay.m * 5 + lay.out_dim * 3 + d_out
+        cols = 3 * lay.n_active * 2 + 3 * lay.m * 5 + lay.out_dim * 3 + d_out
     fixed = lay.D.size * 2 * 2  # D + DT resident (bf16)
     tile = (budget_bytes - fixed) // (4 * cols)
     # round DOWN to a power of two: non-power-of-two tiles measured ~20%
@@ -303,53 +342,108 @@ def auto_tile(lay: BlockedLayout, d_out: int, *, backward: bool,
 # ---------------------------------------------------------------------------
 
 
-def _blk_forward(x_cmaj, D, DT, tensors, lay: BlockedLayout, activation,
-                 passes=3):
-    """Fused forward on one tile: ``x [3, n, T] -> [k, T]``.
+def _seg_plan(lay: BlockedLayout):
+    """Ordered (name, row offset, rows) of the segments the layout uses.
 
-    D/DT: bf16 edge matrix and its transpose (DT feeds the backward's
-    cotangent matmul). tensors: ``([refT] + [W1', b1, W2, b2, ...])`` —
-    refT is ``ref_x.T`` [3, n_align]; W1' has its input columns
-    pre-permuted/padded so the blocked row layout feeds it directly. With
-    no MLP the result is the PADDED feature rows in blocked order (callers
-    gather the real columns outside).
+    The order is ascending in offset, which lets :func:`_assemble_gE`
+    rebuild a full-height cotangent by concatenation (with zero pad rows
+    in the 8-alignment gaps) instead of autodiff's pad+add chains.
     """
-    E = [_edges_op(passes, D, DT, x_cmaj[i]) for i in range(3)]  # 3 x [m, T]
+    plan = []
+    if lay.na:
+        plan += [("r21", lay.o_r21, lay.na), ("r23", lay.o_r23, lay.na)]
+    if lay.nb:
+        plan += [("b", lay.o_b, lay.nb)]
+    if lay.nd:
+        plan += [
+            ("d12", lay.o_d12, lay.nd),
+            ("d23", lay.o_d23, lay.nd),
+            ("d34", lay.o_d34, lay.nd),
+        ]
+    if lay.has_align:
+        plan += [("al", lay.o_al, lay.n_align)]
+    if lay.npos:
+        plan += [("pos", lay.o_pos, lay.npos)]
+    return plan
 
-    def seg(i, o, k):
-        return E[i][o : o + k]
+
+def _slice_segments(E, lay: BlockedLayout):
+    """3-tuple (per component) of per-segment views of the edge rows."""
+    plan = _seg_plan(lay)
+    return tuple(
+        tuple(E[i][o : o + k] for (_, o, k) in plan) for i in range(3)
+    )
+
+
+def _assemble_gE(gsegs, lay: BlockedLayout, T, dtype):
+    """Segment cotangents -> full [m, T] per component, by concatenation.
+
+    This is the manual VJP of :func:`_slice_segments`: taking jax.vjp
+    through the slices instead would emit one full-height pad PLUS one
+    full-height add PER SEGMENT PER COMPONENT (18 of each on peptide-scale
+    layouts — measured ~40% of the whole backward kernel); a single
+    concat per component is one VMEM write of the same rows.
+    """
+    plan = _seg_plan(lay)
+    out = []
+    for i in range(3):
+        blocks, row = [], 0
+        for (_, o, k), g in zip(plan, gsegs[i]):
+            if o > row:
+                blocks.append(jnp.zeros((o - row, T), dtype))
+            blocks.append(g)
+            row = o + k
+        if row < lay.m:
+            blocks.append(jnp.zeros((lay.m - row, T), dtype))
+        out.append(
+            blocks[0] if len(blocks) == 1 else jnp.concatenate(blocks, 0)
+        )
+    return out
+
+
+def _feats_from_segs(segs, tensors, lay: BlockedLayout, activation, T,
+                     dtype):
+    """Per-type feature math + MLP on pre-sliced segments: ``-> [k, T]``.
+
+    segs: 3-tuple (component) of per-:func:`_seg_plan` segment arrays.
+    tensors: ``([refT] + [W1', b1, W2, b2, ...])`` — refT is ``ref_x.T``
+    [3, n_align]; W1' has its input columns pre-permuted/padded so the
+    blocked row layout feeds it directly. With no MLP the result is the
+    PADDED feature rows in blocked order (callers gather the real columns
+    outside).
+    """
+    names = [name for (name, _, _) in _seg_plan(lay)]
+    S = {name: [segs[i][j] for i in range(3)] for j, name in enumerate(names)}
 
     if lay.has_align:
         refT, rest = tensors[0], tensors[1:]
     else:
         refT, rest = None, tensors
 
-    T = x_cmaj.shape[2]
     blocks = []
     row = [0]
 
     def put(block, at):
         # keep every block on its padded (sublane-aligned) start row
         if at > row[0]:
-            blocks.append(jnp.zeros((at - row[0], T), x_cmaj.dtype))
+            blocks.append(jnp.zeros((at - row[0], T), dtype))
         blocks.append(block)
         row[0] = at + block.shape[0]
 
     if lay.na:
-        r21 = [seg(i, lay.o_r21, lay.na) for i in range(3)]
-        r23 = [seg(i, lay.o_r23, lay.na) for i in range(3)]
+        r21, r23 = S["r21"], S["r23"]
         dot = sum(r21[i] * r23[i] for i in range(3))
-        n21 = jnp.sqrt(sum(r21[i] * r21[i] for i in range(3)))
-        n23 = jnp.sqrt(sum(r23[i] * r23[i] for i in range(3)))
-        cos = dot / (n21 * n23)
+        # rsqrt of the product of square-norms: one transcendental + two
+        # mults replaces 2x sqrt + 1x divide (TPU divides are multi-pass)
+        q21 = sum(r21[i] * r21[i] for i in range(3))
+        q23 = sum(r23[i] * r23[i] for i in range(3))
+        cos = dot * jax.lax.rsqrt(q21 * q23)
         put(jnp.arccos(cos) if lay.use_angle_value else cos, lay.f_ang)
     if lay.nb:
-        b = [seg(i, lay.o_b, lay.nb) for i in range(3)]
+        b = S["b"]
         put(jnp.sqrt(sum(b[i] * b[i] for i in range(3))), lay.f_b)
     if lay.nd:
-        r12 = [seg(i, lay.o_d12, lay.nd) for i in range(3)]
-        r23 = [seg(i, lay.o_d23, lay.nd) for i in range(3)]
-        r34 = [seg(i, lay.o_d34, lay.nd) for i in range(3)]
+        r12, r23, r34 = S["d12"], S["d23"], S["d34"]
         n1 = [
             r12[1] * r23[2] - r12[2] * r23[1],
             r12[2] * r23[0] - r12[0] * r23[2],
@@ -367,13 +461,14 @@ def _blk_forward(x_cmaj, D, DT, tensors, lay: BlockedLayout, activation,
         if lay.use_angle_value:
             put(jnp.arctan2(sin_phi, cos_phi), lay.f_d)
         else:
-            radius = jnp.sqrt(cos_phi * cos_phi + sin_phi * sin_phi)
-            put(cos_phi / radius, lay.f_d)
-            put(sin_phi / radius, lay.f_dsin)
+            # normalize via one rsqrt + two mults (vs sqrt + two divides)
+            rinv = jax.lax.rsqrt(cos_phi * cos_phi + sin_phi * sin_phi)
+            put(cos_phi * rinv, lay.f_d)
+            put(sin_phi * rinv, lay.f_dsin)
     if lay.npos:
-        V = [seg(i, lay.o_pos, lay.npos) for i in range(3)]
+        V = list(S["pos"])
         if lay.has_align:
-            C = [seg(i, lay.o_al, lay.n_align) for i in range(3)]
+            C = list(S["al"])
             # centroid of the align subset (D rows are raw gathers)
             c = [
                 jnp.sum(C[i], axis=0, keepdims=True) / float(lay.n_align)
@@ -392,7 +487,7 @@ def _blk_forward(x_cmaj, D, DT, tensors, lay: BlockedLayout, activation,
         for i in range(3):
             put(V[i], lay.f_pos + i * lay.pos_blk)
     if row[0] < lay.d_pad:
-        blocks.append(jnp.zeros((lay.d_pad - row[0], T), x_cmaj.dtype))
+        blocks.append(jnp.zeros((lay.d_pad - row[0], T), dtype))
 
     feats = blocks[0] if len(blocks) == 1 else jnp.concatenate(blocks, 0)
     h = feats
@@ -403,6 +498,21 @@ def _blk_forward(x_cmaj, D, DT, tensors, lay: BlockedLayout, activation,
         if li < n_layers - 1:
             h = activation(h)
     return h
+
+
+def _blk_forward(x_cmaj, D, DT, tensors, lay: BlockedLayout, activation,
+                 passes=3):
+    """Fused forward on one tile: ``x [3, n, T] -> [k, T]``.
+
+    D/DT: bf16 edge matrix and its transpose (DT feeds the backward's
+    cotangent matmul). See :func:`_feats_from_segs` for the tensor list
+    convention.
+    """
+    E = [_edges_op(passes, D, DT, x_cmaj[i]) for i in range(3)]  # 3 x [m, T]
+    segs = _slice_segments(E, lay)
+    return _feats_from_segs(
+        segs, tensors, lay, activation, x_cmaj.shape[2], x_cmaj.dtype
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -426,13 +536,26 @@ def _blk_bwd_kernel(lay, activation, passes, x_ref, gy_ref, d_ref, dt_ref,
     gx_ref = rest[n_t]
     gtensor_refs = rest[n_t + 1 :]
     D, DT = d_ref[:], dt_ref[:]
+    x_blk = x_ref[:]
+    T = x_blk.shape[2]
 
-    def f(x_blk, tensors):
-        return _blk_forward(x_blk, D, DT, tensors, lay, activation, passes)
+    # Differentiate w.r.t. the SEGMENTS (explicit vjp arguments), not x:
+    # autodiff through the slices would pad each segment cotangent back to
+    # full height and add them (one pad + one add per segment per
+    # component); instead the disjoint segment grads concatenate into gE
+    # and one transposed edge matmul per component yields gx.
+    E = [_split3_mm(D, x_blk[i], passes) for i in range(3)]
+    segs = _slice_segments(E, lay)
 
-    _, vjp = jax.vjp(f, x_ref[:], tensor_in)
-    gx, gtensors = vjp(gy_ref[:])
-    gx_ref[:] = gx
+    def f(sg, tensors):
+        return _feats_from_segs(sg, tensors, lay, activation, T, x_blk.dtype)
+
+    _, vjp = jax.vjp(f, segs, tensor_in)
+    gsegs, gtensors = vjp(gy_ref[:])
+    gE = _assemble_gE(gsegs, lay, T, x_blk.dtype)
+    gx_ref[:] = jnp.stack(
+        [_split3_mm(DT, gE[i], passes) for i in range(3)], axis=0
+    )
 
     is_first = pl.program_id(0) == 0
     for ref, g in zip(gtensor_refs, gtensors):
@@ -465,9 +588,14 @@ def _blk_train_kernel(lay, activation, passes, inv_count, l_total,
     fidx = base + jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)
     mask = (fidx < l_total).astype(x_blk.dtype)
 
+    # edges are constant w.r.t. the differentiated tensors: keep them
+    # outside the vjp so no edge-backward machinery is traced at all
+    E = [_split3_mm(D, x_blk[i], passes) for i in range(3)]
+    segs = _slice_segments(E, lay)
+
     def loss_fn(tensors):
-        y = _blk_forward(x_blk, D, DT, fixed + list(tensors), lay,
-                         activation, passes)
+        y = _feats_from_segs(segs, fixed + list(tensors), lay, activation,
+                             tile, x_blk.dtype)
         e = (y - yt) * mask
         return jnp.sum(e * e) * inv_count
 
@@ -502,6 +630,7 @@ def blocked_train_grads(spec, align_idx, activation, params, ref_x, x,
         tile = auto_tile(lay, _head_dim(lay, params), backward=True)
     _check_tile(tile, interpret)
     xc, _ = _to_cmajor(x, lay.n_atoms)
+    xc = _compact(xc, lay)
     xc, l, l_p = _pad_frames(xc, tile)
     d_out = _head_dim(lay, params)
     ytm = y_target.T if y_target.shape == (l, d_out) else y_target
@@ -527,7 +656,7 @@ def blocked_train_grads(spec, align_idx, activation, params, ref_x, x,
             train_ref),
         grid=(l_p // tile,),
         in_specs=[
-            _x_spec(lay.n_atoms, tile),
+            _x_spec(lay.n_active, tile),
             pl.BlockSpec((d_out, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             _full_spec(D),
@@ -552,19 +681,30 @@ def _blk_cv_forces_kernel(lay, activation, passes, component, x_ref, d_ref,
     tensors = [r[:] for r in rest[:n_t]]
     y_ref, gx_ref = rest[n_t], rest[n_t + 1]
     D, DT = d_ref[:], dt_ref[:]
+    x_blk = x_ref[:]
+    T = x_blk.shape[2]
 
-    def f(x_blk):
-        return _blk_forward(x_blk, D, DT, tensors, lay, activation, passes)
+    # segment-argument vjp + concat assembly (see _blk_bwd_kernel)
+    E = [_split3_mm(D, x_blk[i], passes) for i in range(3)]
+    segs = _slice_segments(E, lay)
 
-    y, vjp = jax.vjp(f, x_ref[:])
+    def f(sg):
+        return _feats_from_segs(
+            sg, tensors, lay, activation, T, x_blk.dtype
+        )
+
+    y, vjp = jax.vjp(f, segs)
     if component is None:
         ct = jnp.ones_like(y)
     else:
         row = jax.lax.broadcasted_iota(jnp.int32, y.shape, 0)
         ct = (row == component).astype(y.dtype)
-    (gx,) = vjp(ct)
+    (gsegs,) = vjp(ct)
+    gE = _assemble_gE(gsegs, lay, T, x_blk.dtype)
     y_ref[:] = y
-    gx_ref[:] = gx
+    gx_ref[:] = jnp.stack(
+        [_split3_mm(DT, gE[i], passes) for i in range(3)], axis=0
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -609,6 +749,22 @@ def _pad_frames(xc, tile):
     if l_p != l:
         xc = jnp.pad(xc, ((0, 0), (0, 0), (0, l_p - l)), mode="edge")
     return xc, l, l_p
+
+
+def _compact(xc, lay):
+    """Gather the active-atom rows (XLA gather, outside the kernel)."""
+    if lay.active_idx is None:
+        return xc
+    return xc[:, jnp.asarray(lay.active_idx), :]
+
+
+def _scatter_gx(gx_active, lay, dtype):
+    """Scatter active-atom gradients back to full atom width (inactive
+    atoms have exactly-zero gradients by construction)."""
+    if lay.active_idx is None:
+        return gx_active
+    full = jnp.zeros((3, lay.n_atoms, gx_active.shape[2]), dtype)
+    return full.at[:, jnp.asarray(lay.active_idx), :].set(gx_active)
 
 
 def _blk_tensors(lay, params, ref_x):
@@ -673,6 +829,7 @@ def _blk_fwd_impl(spec, align_idx, activation, tile, interpret,
         tile = auto_tile(lay, _head_dim(lay, params), backward=False)
     _check_tile(tile, interpret)
     xc, tag = _to_cmajor(x, lay.n_atoms)
+    xc = _compact(xc, lay)
     xc, l, l_p = _pad_frames(xc, tile)
     D = jnp.asarray(lay.D, dtype=jnp.bfloat16)  # exactly 0/+-1
     DT = jnp.asarray(lay.D.T, dtype=jnp.bfloat16)
@@ -682,7 +839,7 @@ def _blk_fwd_impl(spec, align_idx, activation, tile, interpret,
     y = pl.pallas_call(
         functools.partial(_blk_fwd_kernel, lay, activation, passes),
         grid=(l_p // tile,),
-        in_specs=[_x_spec(lay.n_atoms, tile), _full_spec(D), _full_spec(DT)]
+        in_specs=[_x_spec(lay.n_active, tile), _full_spec(D), _full_spec(DT)]
         + [_full_spec(t) for t in tensors],
         out_specs=pl.BlockSpec(
             (d_out, tile), lambda i: (0, i), memory_space=pltpu.VMEM
@@ -710,6 +867,7 @@ def _blk_bwd_impl(spec, align_idx, activation, tile, interpret,
         tile = auto_tile(lay, _head_dim(lay, params), backward=True)
     _check_tile(tile, interpret)
     xc, tag = _to_cmajor(x, lay.n_atoms)
+    xc = _compact(xc, lay)
     xc, l, l_p = _pad_frames(xc, tile)
     D = jnp.asarray(lay.D, dtype=jnp.bfloat16)
     DT = jnp.asarray(lay.D.T, dtype=jnp.bfloat16)
@@ -726,15 +884,15 @@ def _blk_bwd_impl(spec, align_idx, activation, tile, interpret,
     if l_p != l:
         gyt = jnp.pad(gyt, ((0, 0), (0, l_p - l)))
 
-    out_shapes = [jax.ShapeDtypeStruct((3, lay.n_atoms, l_p), x.dtype)] + [
+    out_shapes = [jax.ShapeDtypeStruct((3, lay.n_active, l_p), x.dtype)] + [
         jax.ShapeDtypeStruct(t.shape, t.dtype) for t in tensors
     ]
-    out_specs = [_x_spec(lay.n_atoms, tile)] + [_full_spec(t) for t in tensors]
+    out_specs = [_x_spec(lay.n_active, tile)] + [_full_spec(t) for t in tensors]
     outs = pl.pallas_call(
         functools.partial(_blk_bwd_kernel, lay, activation, passes),
         grid=(l_p // tile,),
         in_specs=[
-            _x_spec(lay.n_atoms, tile),
+            _x_spec(lay.n_active, tile),
             pl.BlockSpec((d_out, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             _full_spec(D),
@@ -746,7 +904,7 @@ def _blk_bwd_impl(spec, align_idx, activation, tile, interpret,
         interpret=interpret,
     )(xc, gyt, D, DT, *tensors)
     gxc, *gtensors = outs
-    gx = _from_cmajor(gxc[:, :, :l], tag)
+    gx = _from_cmajor(_scatter_gx(gxc[:, :, :l], lay, x.dtype), tag)
     gparams, gref = _unfold_tensor_grads(lay, params, ref_x, gtensors)
     return gparams, gref, gx
 
@@ -791,7 +949,8 @@ blocked_apply.defvjp(_blocked_fwd, _blocked_bwd)
 
 def blocked_cv_forces(spec, align_idx, activation, params, ref_x, x, *,
                       component=None, tile=None, interpret=False,
-                      out_layout=None, precision="exact"):
+                      out_layout=None, precision="exact",
+                      compact_grads=False):
     """Single-kernel CV values + coordinate gradients, blocked formulation.
 
     Accepts any layout :func:`_to_cmajor` understands; the fastest is
@@ -800,6 +959,14 @@ def blocked_cv_forces(spec, align_idx, activation, params, ref_x, x, *,
     (standard ``[l, d]`` + gradient shaped like x for frame-major inputs,
     transposed/cmajor for those inputs), or force ``"standard"`` / ``"t"``
     (``[d, l]`` + ``[3n, l]``) / ``"cmajor"`` (``[d, l]`` + ``[3, n, l]``).
+
+    compact_grads: return the gradient restricted to the ACTIVE atoms as
+    ``[3, n_active, l]`` (row k = atom ``layout.active_idx[k]``; identity
+    when every atom is active) instead of scattering back to full width.
+    Untouched atoms have exactly-zero gradients, so for a large system
+    with a small CV set this skips an ``n_atoms/n_active``-times larger
+    HBM write — the production serving shape for biased MD. y follows
+    ``out_layout`` as usual.
     """
     lay = blocked_layout(spec, align_idx)
     if tile is None:
@@ -811,6 +978,7 @@ def blocked_cv_forces(spec, align_idx, activation, params, ref_x, x, *,
             "lnd": "standard", "packed": "standard", "t": "t",
             "cmajor": "cmajor",
         }[tag]
+    xc = _compact(xc, lay)
     xc, l, l_p = _pad_frames(xc, tile)
     D = jnp.asarray(lay.D, dtype=jnp.bfloat16)
     DT = jnp.asarray(lay.D.T, dtype=jnp.bfloat16)
@@ -827,21 +995,28 @@ def blocked_cv_forces(spec, align_idx, activation, params, ref_x, x, *,
         functools.partial(
             _blk_cv_forces_kernel, lay, activation, passes, component),
         grid=(l_p // tile,),
-        in_specs=[_x_spec(lay.n_atoms, tile), _full_spec(D), _full_spec(DT)]
+        in_specs=[_x_spec(lay.n_active, tile), _full_spec(D), _full_spec(DT)]
         + [_full_spec(t) for t in tensors],
         out_specs=[
             pl.BlockSpec((d_out, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            _x_spec(lay.n_atoms, tile),
+            _x_spec(lay.n_active, tile),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((d_out, l_p), x.dtype),
-            jax.ShapeDtypeStruct((3, lay.n_atoms, l_p), x.dtype),
+            jax.ShapeDtypeStruct((3, lay.n_active, l_p), x.dtype),
         ],
         interpret=interpret,
     )(xc, D, DT, *tensors)
     y = y[:, :l]
-    gx = gx[:, :, :l]
+    if compact_grads:
+        gx = gx[:, :, :l]
+        if not params:
+            y = y[jnp.asarray(lay.perm_b)]
+        if out_layout in ("t", "cmajor"):
+            return y, gx
+        return y.T, gx
+    gx = _scatter_gx(gx[:, :, :l], lay, x.dtype)
     if not params:
         y = y[jnp.asarray(lay.perm_b)]
     if out_layout == "cmajor":

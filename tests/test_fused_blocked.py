@@ -219,3 +219,107 @@ def test_blocked_layout_conversions(rng_module):
     np.testing.assert_allclose(
         np.transpose(np.asarray(g3), (2, 1, 0)), np.asarray(g0), atol=1e-6
     )
+
+
+def test_active_atom_compaction_large_sparse_system(rng_module):
+    """A large universe with a small feature set runs the blocked kernel on
+    the ACTIVE atoms only (kernel cost scales with the feature set, not the
+    system), with full-width gradients: zero on untouched atoms, parity on
+    touched ones."""
+    from molann_tpu.systems import synthetic_peptide
+
+    u = synthetic_peptide(40)  # 200 atoms
+    n = len(u.atoms)
+    sel = lambda name, resid: u.select_atoms(f"name {name} and resid {resid}")
+    feats = [
+        Feature("b1", "bond", sel("CA", 3) + sel("CA", 17)),
+        Feature("a1", "angle", sel("N", 9) + sel("CA", 9) + sel("C", 9)),
+        Feature(
+            "d1", "dihedral",
+            sel("C", 24) + sel("N", 25) + sel("CA", 25) + sel("C", 25),
+        ),
+        Feature("p1", "position", sel("CA", 30) + sel("CA", 31)),
+    ]
+    align = AlignmentLayer(u.select_atoms("name CA and resid 1:5"), u.atoms)
+    pp = PreprocessingANN(align, FeatureLayer(feats, u.atoms))
+    from molann_tpu.models.ann import MolANN, create_sequential_nn
+
+    model = MolANN(pp, create_sequential_nn(
+        [pp.output_dimension(), 8, 2], key=jax.random.PRNGKey(3)))
+
+    # the compiled layout really is compact
+    from molann_tpu.ops.fused import _extract_model
+    spec, align_idx, _, _, _ = _extract_model(model, jnp.float32)
+    lay = FB.blocked_layout(spec, align_idx)
+    assert lay.active_idx is not None
+    assert lay.n_active < n // 4  # 200-atom system, ~18 active atoms
+
+    x = frames_for(u, 16, rng_module)
+    y_blk = blocked_fwd(model, x)
+    np.testing.assert_allclose(
+        np.asarray(y_blk), np.asarray(model(x)), atol=5e-6
+    )
+
+    # cv+forces: gradients land on active atoms only, exact zeros elsewhere
+    y_cv, gx = fused_cv_forces(model, x, tile=32, interpret=True,
+                               mode="blocked")
+    gx_ref = jax.grad(lambda v: jnp.sum(model(v)))(x)
+    scale = np.abs(np.asarray(gx_ref)).max()
+    np.testing.assert_allclose(
+        np.asarray(gx), np.asarray(gx_ref), atol=5e-5 * scale
+    )
+    inactive = np.setdiff1d(np.arange(n), lay.active_idx)
+    assert np.all(np.asarray(gx)[:, inactive, :] == 0.0)
+
+    # blocked_apply autodiff path (separate fwd/bwd kernels) agrees too
+    def loss_blk(v):
+        return jnp.sum(jnp.sin(blocked_fwd(model, v)))
+
+    def loss_ref(v):
+        return jnp.sum(jnp.sin(model(v)))
+
+    gb = jax.grad(loss_blk)(x)
+    gr = jax.grad(loss_ref)(x)
+    np.testing.assert_allclose(
+        np.asarray(gb), np.asarray(gr), atol=5e-5 * scale
+    )
+
+
+def test_compact_grads_serving_shape(rng_module):
+    """compact_grads returns gradients on the active rows only, matching
+    the full-width gradient gathered at active_atom_indices."""
+    from molann_tpu.ops.fused import active_atom_indices
+    from molann_tpu.systems import synthetic_peptide
+
+    u = synthetic_peptide(20)  # 100 atoms
+    sel = lambda name, resid: u.select_atoms(f"name {name} and resid {resid}")
+    feats = [
+        Feature("b", "bond", sel("CA", 2) + sel("CA", 12)),
+        Feature(
+            "d", "dihedral",
+            sel("C", 5) + sel("N", 6) + sel("CA", 6) + sel("C", 6),
+        ),
+    ]
+    pp = PreprocessingANN(None, FeatureLayer(feats, u.atoms))
+    from molann_tpu.models.ann import MolANN, create_sequential_nn
+
+    model = MolANN(pp, create_sequential_nn(
+        [pp.output_dimension(), 4, 1], key=jax.random.PRNGKey(7)))
+    active = active_atom_indices(model)
+    assert active is not None and len(active) == 6
+
+    x = frames_for(u, 16, rng_module)
+    kw = dict(tile=32, interpret=True, mode="blocked")
+    y_full, g_full = fused_cv_forces(model, x, **kw)
+    y_c, g_c = fused_cv_forces(model, x, compact_grads=True, **kw)
+    assert g_c.shape == (3, len(active), 16)
+    np.testing.assert_allclose(np.asarray(y_c), np.asarray(y_full), atol=1e-6)
+    # compact rows == full-width gradient gathered at the active indices
+    g_gathered = np.transpose(np.asarray(g_full), (2, 1, 0))[:, active, :]
+    np.testing.assert_allclose(np.asarray(g_c), g_gathered, atol=1e-6)
+    # unrolled mode refuses rather than silently returning full width
+    small_model, su = alanine_model()
+    with pytest.raises(ValueError):
+        fused_cv_forces(small_model, frames_for(su, 8, rng_module),
+                        compact_grads=True, tile=32, interpret=True,
+                        mode="auto")
