@@ -69,17 +69,27 @@ def _model_dims(model):
 
 
 def _traj_dims(path):
-    """(n_frames, floats_per_frame) of a .npy or .dcd trajectory."""
-    if str(path).lower().endswith(".dcd"):
+    """(n_frames, floats_per_frame) of a .npy/.dcd/.trr/.xtc trajectory."""
+    low = str(path).lower()
+    if low.endswith((".dcd", ".trr", ".xtc")):
         try:
             from .io.native_loader import NativeTrajLoader
 
             ldr = NativeTrajLoader(path)
             return ldr.n_frames, ldr.floats_per_frame
         except Exception:
-            from .io.dcd import read_dcd
+            if low.endswith(".dcd"):
+                from .io.dcd import read_dcd
 
-            frames, _ = read_dcd(path)
+                frames, _ = read_dcd(path)
+            elif low.endswith(".trr"):
+                from .io.xdr import read_trr
+
+                frames = read_trr(path)[0]
+            else:
+                from .io.xdr import read_xtc
+
+                frames = read_xtc(path)[0]
             return frames.shape[0], 3 * frames.shape[1]
     mm = np.load(path, mmap_mode="r")
     shape = tuple(mm.shape)
@@ -184,42 +194,67 @@ def cmd_forces(args):
 
 def cmd_convert(args):
     """Convert between trajectory formats, streaming chunk-by-chunk (never
-    holds the full trajectory in RAM). ``.dcd/.npy -> .npy`` (frames or
-    packed layout) and ``.npy -> .dcd``."""
+    holds the full trajectory in RAM). Inputs: .npy/.dcd/.trr/.xtc;
+    outputs: .npy (frames or packed), .dcd, .trr, .xtc. ``--scale``
+    multiplies coordinates (e.g. 10 for GROMACS nm -> PDB/DCD Angstrom)."""
     n_frames, fpf = _traj_dims(args.traj)
     n_atoms = fpf // 3
     chunk = max(1, int(args.chunk))
     out = str(args.out)
+    scale = np.float32(args.scale)
 
     def chunks():
         # native loader preferred (mmap + threaded gather); pure-python
         # fallbacks keep the command working without a compiler
+        def post(c):
+            return c * scale if scale != 1.0 else c
+
         try:
             from .io.native_loader import NativeTrajLoader
 
             ldr = NativeTrajLoader(args.traj)
             for s in range(0, n_frames, chunk):
                 c = min(chunk, n_frames - s)
-                yield s, ldr.read_range(s, c)
+                yield s, post(ldr.read_range(s, c))
             return
         except Exception:
             pass
-        if str(args.traj).lower().endswith(".dcd"):
+        low = str(args.traj).lower()
+        if low.endswith(".dcd"):
             from .io.dcd import read_dcd
 
             frames, _ = read_dcd(args.traj)
             flat = frames.reshape(n_frames, fpf)
+        elif low.endswith(".trr"):
+            from .io.xdr import read_trr
+
+            flat = read_trr(args.traj)[0].reshape(n_frames, fpf)
+        elif low.endswith(".xtc"):
+            from .io.xdr import read_xtc
+
+            flat = read_xtc(args.traj)[0].reshape(n_frames, fpf)
         else:
             flat = np.load(args.traj, mmap_mode="r").reshape(n_frames, fpf)
         for s in range(0, n_frames, chunk):
             c = min(chunk, n_frames - s)
-            yield s, np.asarray(flat[s : s + c], dtype=np.float32)
+            yield s, post(np.asarray(flat[s : s + c], dtype=np.float32))
 
-    if out.lower().endswith(".dcd"):
-        from .io.dcd import write_dcd
-
+    low_out = out.lower()
+    if low_out.endswith((".dcd", ".trr", ".xtc")):
         buf = np.concatenate([c for _, c in chunks()])
-        write_dcd(out, buf.reshape(n_frames, n_atoms, 3))
+        buf = buf.reshape(n_frames, n_atoms, 3)
+        if low_out.endswith(".dcd"):
+            from .io.dcd import write_dcd
+
+            write_dcd(out, buf)
+        elif low_out.endswith(".trr"):
+            from .io.xdr import write_trr
+
+            write_trr(out, buf)
+        else:
+            from .io.xdr import write_xtc
+
+            write_xtc(out, buf, precision=args.xtc_precision)
     else:
         shape = (n_frames, fpf) if args.packed else (n_frames, n_atoms, 3)
         dst = np.lib.format.open_memmap(
@@ -314,15 +349,21 @@ def main(argv=None):
     pf.set_defaults(fn=cmd_forces)
 
     pc = sub.add_parser(
-        "convert", help="convert trajectories (.dcd/.npy -> .npy/.dcd)"
+        "convert",
+        help="convert trajectories (.npy/.dcd/.trr/.xtc in; "
+             ".npy/.dcd/.trr/.xtc out)",
     )
-    pc.add_argument("traj", help="input trajectory (.dcd or .npy)")
-    pc.add_argument("out", help="output path (.npy or .dcd)")
+    pc.add_argument("traj", help="input trajectory (.npy/.dcd/.trr/.xtc)")
+    pc.add_argument("out", help="output path (.npy/.dcd/.trr/.xtc)")
     pc.add_argument("--packed", action="store_true",
                     help="write packed [n_frames, 3n] instead of "
                          "[n_frames, n_atoms, 3] (.npy outputs only)")
     pc.add_argument("--chunk", type=int, default=1 << 16,
                     help="frames per streaming chunk")
+    pc.add_argument("--scale", type=float, default=1.0,
+                    help="multiply coordinates (10 = GROMACS nm -> Angstrom)")
+    pc.add_argument("--xtc-precision", type=float, default=1000.0,
+                    help="XTC output precision (resolution 1/precision)")
     pc.set_defaults(fn=cmd_convert)
 
     px = sub.add_parser("export", help="export a StableHLO artifact")

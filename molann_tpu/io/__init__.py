@@ -1,6 +1,7 @@
 from .serialize import load_model, save_model
 from .export import export_stablehlo, load_stablehlo
 from .dcd import read_dcd, write_dcd
+from .xdr import read_trr, read_xtc, write_trr, write_xtc
 
 __all__ = [
     "save_model",
@@ -9,4 +10,8 @@ __all__ = [
     "load_stablehlo",
     "read_dcd",
     "write_dcd",
+    "read_trr",
+    "write_trr",
+    "read_xtc",
+    "write_xtc",
 ]

@@ -105,11 +105,20 @@ def packed_batch_iterator(path, batch_size, *, shuffle=True, seed=0,
             if backend == "native":
                 raise
     if loader is None:
-        if str(path).lower().endswith(".dcd"):
+        low = str(path).lower()
+        if low.endswith(".dcd"):
             from ..io.dcd import read_dcd
 
             frames, _ = read_dcd(path)  # pure-python fallback (in-memory)
             mm = frames
+        elif low.endswith(".trr"):
+            from ..io.xdr import read_trr
+
+            mm = read_trr(path)[0]
+        elif low.endswith(".xtc"):
+            from ..io.xdr import read_xtc
+
+            mm = read_xtc(path)[0]
         else:
             mm = np.load(path, mmap_mode="r")
         n = mm.shape[0]

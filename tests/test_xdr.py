@@ -1,0 +1,242 @@
+"""GROMACS trajectory support (round-2 ROADMAP #4): TRR/XTC pure-python
+codec round-trips, cross-language parity with the native C++ decoder
+(bit-exact: both implement the public xdr3dfcoord scheme on the same f32
+lattice), corrupt-file rejection, iterator + convert CLI integration."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from molann_tpu.io.xdr import read_trr, read_xtc, write_trr, write_xtc
+
+
+@pytest.fixture()
+def frames(rng):
+    # clustered coords: exercises the delta-run encoder path
+    base = rng.normal(0, 1.5, (1, 40, 3))
+    return (base + 0.02 * rng.normal(0, 1, (11, 40, 3))).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# pure-python round-trips
+# ---------------------------------------------------------------------------
+
+
+def test_trr_roundtrip(tmp_path, frames):
+    path = tmp_path / "t.trr"
+    write_trr(path, frames, box=np.eye(3, dtype=np.float32) * 4.0,
+              start_step=5, dt=0.002)
+    back, times, box = read_trr(path)
+    np.testing.assert_array_equal(back, frames)
+    np.testing.assert_allclose(times, 0.002 * (5 + np.arange(11)),
+                               atol=1e-6)
+    np.testing.assert_allclose(box[0], np.eye(3) * 4.0)
+
+
+def test_trr_double_precision_read(tmp_path, frames):
+    """Float64 TRR files (GROMACS double builds) read correctly: hand-craft
+    one frame with 8-byte reals."""
+    n = frames.shape[1]
+    payload = frames[0].astype(">f8").tobytes()
+    with open(tmp_path / "d.trr", "wb") as fh:
+        fh.write(struct.pack(">i", 1993))
+        fh.write(struct.pack(">ii", 13, 12) + b"GMX_trn_file")
+        fh.write(struct.pack(">13i", 0, 0, 0, 0, 0, 0, 0,
+                             3 * n * 8, 0, 0, n, 0, 0))
+        fh.write(struct.pack(">dd", 1.5, 0.0))
+        fh.write(payload)
+    back, times, box = read_trr(tmp_path / "d.trr")
+    assert box is None and times[0] == 1.5
+    np.testing.assert_allclose(back[0], frames[0], atol=1e-6)
+
+
+def test_xtc_roundtrip_quantized(tmp_path, frames):
+    path = tmp_path / "t.xtc"
+    write_xtc(path, frames, precision=1000.0)
+    back, times, box = read_xtc(path)
+    assert back.shape == frames.shape
+    # lossy at 1/precision resolution, never worse than the lattice step
+    assert np.abs(back - frames).max() <= 0.5 / 1000.0 + 1e-7
+    assert box.shape == (11, 3, 3)
+
+
+@pytest.mark.parametrize(
+    "maker, tol",
+    [
+        # scattered: no runs, pure absolute encodings
+        (lambda rng: rng.uniform(-300, 300, (4, 24, 3)), 5.1e-3),
+        # water-like triplets: stresses the first/second-atom interchange
+        (lambda rng: (rng.normal(0, 5, (2, 15, 1, 3))
+                      + 0.05 * rng.normal(0, 1, (2, 15, 3, 3))
+                      ).reshape(2, 45, 3), 5.1e-4),
+        # huge range: forces the bitsize==0 (per-dimension bits) branch
+        (lambda rng: rng.uniform(-40000, 40000, (2, 30, 3)), 4e-3),
+    ],
+)
+def test_xtc_roundtrip_regimes(tmp_path, rng, maker, tol):
+    f = maker(rng).astype(np.float32)
+    prec = 100.0 if np.abs(f).max() > 200 and np.abs(f).max() < 1000 else 1000.0
+    write_xtc(tmp_path / "r.xtc", f, precision=prec)
+    back, _, _ = read_xtc(tmp_path / "r.xtc")
+    assert np.abs(back - f).max() < tol
+
+
+def test_xtc_tiny_system_exact(tmp_path, rng):
+    """<= 9 atoms: stored as plain floats (GROMACS rule), exact."""
+    f = rng.normal(0, 1, (4, 6, 3)).astype(np.float32)
+    write_xtc(tmp_path / "s.xtc", f)
+    back, _, _ = read_xtc(tmp_path / "s.xtc")
+    np.testing.assert_array_equal(back, f)
+
+
+def test_xtc_corrupt_rejected(tmp_path, frames):
+    path = tmp_path / "c.xtc"
+    write_xtc(path, frames)
+    raw = bytearray(path.read_bytes())
+    struct.pack_into(">i", raw, 0, 7)  # clobber the magic
+    path.write_bytes(bytes(raw))
+    with pytest.raises(ValueError, match="magic"):
+        read_xtc(path)
+
+
+def test_trr_truncated_rejected(tmp_path, frames):
+    path = tmp_path / "c.trr"
+    write_trr(path, frames)
+    data = path.read_bytes()
+    path.write_bytes(data[: len(data) // 2 + 7])
+    # python reader: complete frames then error OR fewer frames — the
+    # native loader (below) keeps complete frames; here we only require
+    # no crash / no garbage frames
+    try:
+        back, _, _ = read_trr(path)
+        assert back.shape[0] < frames.shape[0]
+    except ValueError:
+        pass
+
+
+# ---------------------------------------------------------------------------
+# native loader parity (cross-language: independent decoder implementation)
+# ---------------------------------------------------------------------------
+
+
+def _native_loader(path):
+    from molann_tpu.io import native_loader
+
+    if not native_loader.available():
+        pytest.skip("native loader unavailable (no compiler)")
+    return native_loader.NativeTrajLoader(path)
+
+
+def test_native_reads_trr(tmp_path, frames):
+    path = tmp_path / "t.trr"
+    write_trr(path, frames, box=np.eye(3, dtype=np.float32))
+    ldr = _native_loader(path)
+    assert ldr.n_frames == 11 and ldr.n_atoms == 40
+    idx = np.asarray([10, 0, 4])
+    np.testing.assert_array_equal(
+        ldr.read_batch(idx), frames[idx].reshape(3, 120)
+    )
+    np.testing.assert_array_equal(
+        ldr.read_range(2, 5), frames[2:7].reshape(5, 120)
+    )
+    ldr.prefetch(np.asarray([0, 1, 99999]))  # out-of-range ignored
+
+
+def test_native_reads_xtc_bitexact(tmp_path, frames, rng):
+    """The C++ XTC decoder must agree with the python decoder BIT-EXACTLY
+    (same integer lattice, same f32 scaling) across encoder regimes."""
+    cases = {
+        "clustered": frames,
+        "scattered": rng.uniform(-300, 300, (4, 24, 3)).astype(np.float32),
+        "waterlike": (rng.normal(0, 5, (2, 15, 1, 3))
+                      + 0.05 * rng.normal(0, 1, (2, 15, 3, 3))
+                      ).reshape(2, 45, 3).astype(np.float32),
+        "bigrange": rng.uniform(-40000, 40000, (2, 30, 3)).astype(
+            np.float32),
+    }
+    for name, f in cases.items():
+        path = tmp_path / f"{name}.xtc"
+        write_xtc(path, f, precision=1000.0)
+        py = read_xtc(path)[0]
+        ldr = _native_loader(path)
+        nat = ldr.read_range(0, f.shape[0]).reshape(f.shape)
+        np.testing.assert_array_equal(nat, py, err_msg=name)
+        ldr.close()
+
+
+def test_native_xtc_tiny_and_batch(tmp_path, rng):
+    f = rng.normal(0, 1, (5, 7, 3)).astype(np.float32)
+    path = tmp_path / "tiny.xtc"
+    write_xtc(path, f)
+    ldr = _native_loader(path)
+    idx = np.asarray([4, 1, 1, 0])
+    np.testing.assert_array_equal(
+        ldr.read_batch(idx), f[idx].reshape(4, 21)
+    )
+
+
+def test_native_trr_keeps_complete_frames_on_truncation(tmp_path, frames):
+    path = tmp_path / "trunc.trr"
+    write_trr(path, frames)
+    data = path.read_bytes()
+    frame_bytes = len(data) // 11
+    path.write_bytes(data[: 4 * frame_bytes + frame_bytes // 2])
+    ldr = _native_loader(path)
+    assert ldr.n_frames == 4
+    np.testing.assert_array_equal(
+        ldr.read_range(0, 4), frames[:4].reshape(4, 120)
+    )
+
+
+def test_native_xtc_corrupt_batch_errors(tmp_path, frames):
+    path = tmp_path / "corrupt.xtc"
+    write_xtc(path, frames, precision=1000.0)
+    raw = bytearray(path.read_bytes())
+    # clobber the first frame's compressed payload (keep header sane):
+    # body starts at 56, nbytes at 56+32; payload from 56+36
+    struct.pack_into(">i", raw, 56 + 28, 999)  # absurd smallidx
+    path.write_bytes(bytes(raw))
+    ldr = _native_loader(path)
+    # the wrapper surfaces read failures as IndexError (same channel as
+    # out-of-range indices); OSError accepted for future refinement
+    with pytest.raises((OSError, IndexError), match="smallidx"):
+        ldr.read_range(0, 1)
+
+
+# ---------------------------------------------------------------------------
+# pipeline + CLI integration
+# ---------------------------------------------------------------------------
+
+
+def test_packed_iterator_over_xtc(tmp_path, frames):
+    from molann_tpu.train.data import packed_batch_iterator
+
+    path = tmp_path / "t.xtc"
+    write_xtc(path, frames, precision=1000.0)
+    oracle = read_xtc(path)[0].reshape(11, 120)
+    for backend in ("auto", "numpy"):
+        batches = list(packed_batch_iterator(
+            path, 4, shuffle=False, epochs=1, drop_remainder=False,
+            backend=backend,
+        ))
+        np.testing.assert_array_equal(np.concatenate(batches), oracle)
+
+
+def test_convert_cli_xtc_trr_npy(tmp_path, frames):
+    from molann_tpu.cli import main
+
+    src = tmp_path / "t.trr"
+    write_trr(src, frames)
+    # trr -> xtc (lossy) -> npy; --scale applies (nm -> Angstrom)
+    mid = tmp_path / "t.xtc"
+    assert main(["convert", str(src), str(mid)]) == 0
+    out = tmp_path / "t.npy"
+    assert main(["convert", str(mid), str(out), "--scale", "10"]) == 0
+    got = np.load(out)
+    assert got.shape == frames.shape
+    np.testing.assert_allclose(got, 10.0 * frames, atol=10 * 6e-4)
+    # npy -> trr round-trips exactly
+    back = tmp_path / "b.trr"
+    assert main(["convert", str(out), str(back)]) == 0
+    np.testing.assert_array_equal(read_trr(back)[0], got)
