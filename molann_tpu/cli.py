@@ -271,9 +271,12 @@ def cmd_export(args):
     from .io import export_stablehlo
 
     model = _load_model(args.model)
+    if args.raw_mlir and args.export_batch is None:
+        raise SystemExit("error: --raw-mlir requires --batch (fixed shape)")
     export_stablehlo(
         model, n_atoms=args.n_atoms, path=args.out,
         with_gradient=args.with_gradient,
+        batch_size=args.export_batch, raw_mlir=args.raw_mlir,
     )
     print(f"wrote {args.out}")
     return 0
@@ -371,6 +374,11 @@ def main(argv=None):
     px.add_argument("--n-atoms", type=int, required=True)
     px.add_argument("--out", default="model.stablehlo")
     px.add_argument("--with-gradient", action="store_true")
+    px.add_argument("--batch", type=int, default=None, dest="export_batch",
+                    help="fix the frame-batch size (default: polymorphic)")
+    px.add_argument("--raw-mlir", action="store_true",
+                    help="bare StableHLO bytecode for PJRT C-API runtimes "
+                         "(native/serve_pjrt.cpp); requires --batch")
     px.set_defaults(fn=cmd_export)
 
     pb = sub.add_parser("build", help="build a model from PDB + feature file")

@@ -20,7 +20,7 @@ __all__ = ["export_stablehlo", "load_stablehlo"]
 
 
 def export_stablehlo(model, n_atoms, path=None, *, with_gradient=False,
-                     batch_size=None, platforms=None):
+                     batch_size=None, platforms=None, raw_mlir=False):
     """Serialize ``model``'s forward as a StableHLO artifact.
 
     :param model: any callable layer (MolANN, PreprocessingANN, ...)
@@ -33,6 +33,9 @@ def export_stablehlo(model, n_atoms, path=None, *, with_gradient=False,
         dimension (batch-polymorphic artifact)
     :param platforms: lowering platforms (e.g. ``['tpu', 'cpu']``);
         default is the current backend
+    :param raw_mlir: emit bare StableHLO module bytecode (directly
+        compilable by any PJRT C-API runtime — see native/serve_pjrt.cpp)
+        instead of the jax.export framing; requires ``batch_size``
     :returns: the serialized bytes
     """
 
@@ -52,7 +55,20 @@ def export_stablehlo(model, n_atoms, path=None, *, with_gradient=False,
     if platforms is not None:
         kwargs["platforms"] = tuple(platforms)
     exported = jax_export.export(jax.jit(fn), **kwargs)(x_spec)
-    blob = exported.serialize()
+    if raw_mlir:
+        # the bare StableHLO module bytecode — what PJRT_Client_Compile
+        # (format "mlir") consumes directly, with no jax.export framing.
+        # Engines pair this with native/serve_pjrt.cpp. Requires a fixed
+        # batch_size: shape-polymorphic modules need a refinement pass no
+        # bare PJRT runtime runs.
+        if batch_size is None:
+            raise ValueError(
+                "raw_mlir requires a fixed batch_size (shape-polymorphic "
+                "modules cannot be compiled by a bare PJRT runtime)"
+            )
+        blob = exported.mlir_module_serialized
+    else:
+        blob = exported.serialize()
     if path is not None:
         with open(path, "wb") as fh:
             fh.write(blob)

@@ -91,3 +91,17 @@ def test_stablehlo_with_gradient(tmp_path, model_and_frames):
     )
     g_ref = jax.grad(lambda v: jnp.sum(model(v)))(x)
     np.testing.assert_allclose(np.asarray(grad), np.asarray(g_ref), atol=1e-5)
+
+
+def test_stablehlo_raw_mlir(tmp_path, model_and_frames):
+    """raw_mlir emits bare StableHLO bytecode (PJRT-compilable, see
+    native/serve_pjrt.cpp); requires a fixed batch size."""
+    import pytest
+
+    model, x = model_and_frames
+    blob = export_stablehlo(model, 22, tmp_path / "m.mlir.bc",
+                            batch_size=16, raw_mlir=True)
+    assert blob[:4] == b"ML\xefR"  # MLIR bytecode magic — no jax framing
+    assert (tmp_path / "m.mlir.bc").read_bytes() == blob
+    with pytest.raises(ValueError, match="batch_size"):
+        export_stablehlo(model, 22, raw_mlir=True)
