@@ -58,7 +58,7 @@ def main():
     def fwd_bwd(m, xx):
         # single-kernel CV values + full coordinate gradients
         # (the biased-MD force-evaluation workload)
-        return fused_cv_forces(m, xx, tile=1024, transposed_input=True)
+        return fused_cv_forces(m, xx, tile=2048, transposed_input=True)
 
     def run_once():
         out, g = fwd_bwd(model, x)

@@ -100,14 +100,16 @@ def _sub_for(tile: int) -> int:
     return max(1, min(_SUB, tile // 128))
 
 
-def _check_tile(tile: int, interpret: bool, backward: bool = False):
+def _check_tile(tile: int, interpret: bool, backward: bool = False,
+                remat: bool = False):
     """Compiled Mosaic kernels need the full (8, 128) fold — reshapes with
-    fewer than 128 folded lanes fail layout inference. Kernels that
-    differentiate through the fold/unfold (backward + CV-forces) are
-    additionally capped at tile=1024: the unfold's TRANSPOSE reshape
-    ((1, tile) -> (8, tile/8)) only lowers when the folded lane count is
-    exactly 128. Interpret mode (and therefore the CPU tests) is
-    unrestricted."""
+    fewer than 128 folded lanes fail layout inference. Backward/CV-forces
+    kernels take vjp through the TILE MATH only (fold/unfold of the
+    cotangents is done manually with bulk 3D reshapes), so any multiple
+    of 1024 compiles. The interleaved-remat variant still re-slices
+    feature rows via ``(1, tile) -> (8, tile/8)`` reshapes, which Mosaic
+    only lowers at exactly 128 folded lanes — remat stays tile==1024.
+    Interpret mode (and therefore the CPU tests) is unrestricted."""
     if interpret:
         return
     if tile % (128 * _SUB):
@@ -115,11 +117,11 @@ def _check_tile(tile: int, interpret: bool, backward: bool = False):
             f"fused kernels require tile to be a multiple of 1024 when "
             f"compiled (got {tile}); small tiles work with interpret=True"
         )
-    if backward and tile != 128 * _SUB:
+    if backward and remat and tile != 128 * _SUB:
         raise ValueError(
-            f"fused backward/CV-forces kernels require tile == 1024 when "
-            f"compiled (got {tile}): Mosaic cannot lower the reverse-mode "
-            f"unfold reshape for wider folds"
+            f"the interleaved-remat CV-forces kernel requires tile == 1024 "
+            f"when compiled (got {tile}): its per-row re-slicing reshape "
+            f"only lowers at 128 folded lanes"
         )
 
 
@@ -507,15 +509,25 @@ def _bwd_kernel(spec, align_idx, activation, n_atoms, x_ref, gy_ref, *rest):
     gx_ref = rest[n_t]
     gtensor_refs = rest[n_t + 1 :]
     tile = x_ref.shape[0]
+    sub = _sub_for(tile)
 
-    def f(x_blk, tensors):
-        atoms = _fold_block(x_blk, n_atoms)
-        rows = _forward_tiles(atoms, tensors, spec, align_idx, activation)
-        return _unfold_rows(rows, tile)
+    # vjp through the TILE MATH only: the fold/unfold reshapes stay
+    # outside autodiff (their reverse — a (1, tile) -> (sub, C) reshape —
+    # doesn't lower in Mosaic past 128 folded lanes; the manual bulk 3D
+    # reshapes below lower at any 1024-multiple tile)
+    atoms = _fold_block(x_ref[:], n_atoms)
 
-    _, vjp = jax.vjp(f, x_ref[:], tensor_in)
-    gx, gtensors = vjp(gy_ref[:])
-    gx_ref[:] = gx
+    def f(atoms_in, tensors):
+        return _forward_tiles(atoms_in, tensors, spec, align_idx,
+                              activation)
+
+    rows, vjp = jax.vjp(f, atoms, tensor_in)
+    gyf = gy_ref[:].T.reshape(len(rows), sub, tile // sub)
+    grows = [gyf[i] for i in range(len(rows))]
+    gatoms, gtensors = vjp(grows)
+    gx_ref[:] = _unfold_rows(
+        [c for vec in gatoms for c in vec], tile
+    )
 
     is_first = pl.program_id(0) == 0
     for ref, g in zip(gtensor_refs, gtensors):
@@ -600,7 +612,7 @@ def _fwd_impl(spec, align_idx, activation, tile, interpret, params, ref_x, x):
 
 def _bwd_impl(spec, align_idx, activation, tile, interpret, params, ref_x,
               x, gy):
-    _check_tile(tile, interpret, backward=True)
+    _check_tile(tile, interpret, backward=True, remat=False)
     xm0, n_atoms, packed = _as_packed(x)
     l = xm0.shape[0]
     d_out = _out_dim(spec, params)
@@ -1011,10 +1023,33 @@ def _cv_forces_kernel(spec, align_idx, activation, n_atoms, component,
         return (col == component).astype(y.dtype)
 
     if not remat:
-        y, vjp = jax.vjp(f, x_ref[:])
-        (gx,) = vjp(make_ct(y))
-        y_ref[:] = y
-        gx_ref[:] = gx
+        # vjp through the TILE MATH only (see _bwd_kernel); the CV
+        # cotangent is constant per output row, so it's built directly
+        # in the folded [S, C] layout — no reshapes at all
+        x_blk = x_ref[:]
+        atoms = fold(x_blk)
+
+        def ftiles(atoms_in):
+            return _forward_tiles(atoms_in, tensors, spec, align_idx,
+                                  activation)
+
+        rows, vjp = jax.vjp(ftiles, atoms)
+        y_ref[:] = (_unfold_rows_t(rows, tile) if transposed_out
+                    else _unfold_rows(rows, tile))
+        sub = _sub_for(tile)
+        shape_sc = (sub, tile // sub)
+        grows = [
+            jnp.full(
+                shape_sc,
+                1.0 if (component is None or i == component) else 0.0,
+                x_blk.dtype,
+            )
+            for i in range(len(rows))
+        ]
+        (gatoms,) = vjp(grows)
+        flat = [c for vec in gatoms for c in vec]
+        gx_ref[:] = (_unfold_rows_t(flat, tile) if transposed_in
+                     else _unfold_rows(flat, tile))
         return
 
     # Interleaved-remat backward for large systems: holding the vjp
@@ -1123,7 +1158,7 @@ def fused_cv_forces(model, x, *, component=None, tile=None,
         )
     if tile is None:
         tile = DEFAULT_BWD_TILE
-    _check_tile(tile, interpret, backward=True)
+    _check_tile(tile, interpret, backward=True, remat=False)
     # transposed [3n, l] input: the zero-copy fast path (no in-kernel
     # transpose, minimal HBM padding).
     transposed_in = transposed_input

@@ -170,22 +170,26 @@ def main():
                 errs.append(float(jnp.abs(a - b).max()) / sa)
         return max(errs)
 
-    # fwd tiles vary freely; bwd tiles are fixed at 1024 when compiled
-    # (Mosaic reverse-mode unfold limit — see ops/fused.py:_check_tile)
-    for tile, l in ((1024, 4096), (2048, 6000), (1024, 1000)):
+    # fwd AND bwd tiles vary freely in 1024-multiples (the backward takes
+    # vjp through the tile math only — see ops/fused.py:_check_tile)
+    for tile, bwd_tile, l in ((1024, 1024, 4096), (2048, 2048, 6000),
+                              (1024, 4096, 5000), (1024, 1024, 1000)):
         xs = jnp.asarray(
             u.atoms.positions[None]
             + 0.05 * rng.normal(size=(l, 22, 3)).astype(np.float32)
         )
         gm_r, gx_r = grad_all(lambda m, v: m(v))(model, xs)
         gm_f, gx_f = grad_all(
-            lambda m, v, t=tile: fused_model_forward(m, v, tile=t)
+            lambda m, v, t=tile, bt=bwd_tile: fused_model_forward(
+                m, v, tile=t, bwd_tile=bt)
         )(model, xs)
         ex = float(jnp.abs(gx_f - gx_r).max()) / max(
             float(jnp.abs(gx_r).max()), 1e-9)
         ep = rel_leaf_err(gm_r, gm_f)
-        check(f"unrolled value+coord+PARAM grad parity (tile={tile}, l={l})",
-              ex < 1e-4 and ep < 1e-4, f"gx_rel={ex:.2e} gparam_rel={ep:.2e}")
+        check(
+            f"unrolled value+coord+PARAM grad parity "
+            f"(tile={tile}/bwd={bwd_tile}, l={l})",
+            ex < 1e-4 and ep < 1e-4, f"gx_rel={ex:.2e} gparam_rel={ep:.2e}")
 
     # -- blocked path: 300-atom peptide compiled parity + throughput -------
     # Parity here is judged against a float64 torch oracle: the synthetic
@@ -300,6 +304,48 @@ def main():
     check("blocked peptide(60) fwd+bwd >= 10M frames/s/chip",
           rate_b >= 1e7, f"{rate_b/1e6:.1f}M frames/s (device, pipelined)")
 
+    # -- active-atom compaction (large system, small CV set) ---------------
+    from molann_tpu.feature import Feature
+    from molann_tpu.models.ann import MolANN, create_sequential_nn
+    from molann_tpu.ops.fused import active_atom_indices
+    from molann_tpu.systems import synthetic_peptide
+
+    su = synthetic_peptide(120)  # 600 atoms
+    s_n = len(su.atoms)
+    ssel = lambda nm, r: su.select_atoms(f"name {nm} and resid {r}")  # noqa: E731
+    sfeats = [
+        Feature("d", "dihedral",
+                ssel("C", 30) + ssel("N", 31) + ssel("CA", 31) + ssel("C", 31)),
+        Feature("b", "bond", ssel("CA", 10) + ssel("CA", 90)),
+        Feature("a", "angle", ssel("N", 60) + ssel("CA", 60) + ssel("C", 60)),
+    ]
+    spp = PreprocessingANN(None, FeatureLayer(sfeats, su.atoms))
+    smodel = MolANN(spp, create_sequential_nn(
+        [spp.output_dimension(), 8, 2], key=jax.random.PRNGKey(9)))
+    act = active_atom_indices(smodel)
+    check("compaction active on sparse 600-atom system",
+          act is not None and len(act) == 9, f"active={act}")
+    xs_s = jnp.asarray(
+        su.atoms.positions[None]
+        + 0.05 * rng.normal(size=(256, s_n, 3)).astype(np.float32))
+    yf, gf = jax.jit(lambda m, v: fused_cv_forces(m, v, mode="blocked"))(
+        smodel, xs_s)
+    yc, gc = jax.jit(lambda m, v: fused_cv_forces(
+        m, v, mode="blocked", compact_grads=True))(smodel, xs_s)
+    g_ref = jax.jit(jax.grad(lambda v: jnp.sum(smodel(v))))(xs_s)
+    scale_s = float(jnp.abs(g_ref).max())
+    e_full = float(jnp.abs(gf - g_ref).max()) / scale_s
+    gfa = np.asarray(gf)
+    inactive = np.setdiff1d(np.arange(s_n), np.asarray(act))
+    zeros_ok = bool(np.all(gfa[:, inactive, :] == 0.0))
+    g_gather = np.transpose(gfa, (2, 1, 0))[:, np.asarray(act), :]
+    e_comp = float(np.abs(np.asarray(gc) - g_gather).max()) / scale_s
+    check("compaction full-width grad parity + exact zeros",
+          e_full < 1e-4 and zeros_ok, f"rel={e_full:.2e} zeros={zeros_ok}")
+    check("compact_grads rows == gathered full grads",
+          e_comp < 1e-6 and gc.shape == (3, len(act), 256),
+          f"rel={e_comp:.2e} shape={gc.shape}")
+
     # -- single-kernel fused training grads --------------------------------
     for mode, m_, uu, tile in (("unrolled", model, u, 1024),
                                ("blocked", bmodel, bu, None)):
@@ -312,7 +358,10 @@ def main():
         ys = jnp.asarray(rng.normal(size=(3000, d_)).astype(np.float32))
         l_r, g_r = jax.jit(jax.value_and_grad(mse_loss))(m_, (xs, ys))
         l_f, g_f = jax.jit(
-            lambda mm, a, b, t=tile: fused_train_grads(mm, a, b, tile=t)
+            # train_ref=True: the XLA reference differentiates ref_x too;
+            # the production default (False) skips that frozen buffer
+            lambda mm, a, b, t=tile: fused_train_grads(
+                mm, a, b, tile=t, train_ref=True)
         )(m_, xs, ys)
         el = abs(float(l_f) - float(l_r))
         ep = rel_leaf_err(g_r, g_f)
