@@ -328,6 +328,16 @@ def auto_tile(lay: BlockedLayout, d_out: int, *, backward: bool,
         cols = 3 * lay.n_active * 2 + 3 * lay.m * 5 + lay.out_dim * 3 + d_out
     fixed = lay.D.size * 2 * 2  # D + DT resident (bf16)
     tile = (budget_bytes - fixed) // (4 * cols)
+    if tile < 128:
+        raise ValueError(
+            f"blocked kernel working set does not fit VMEM: the "
+            f"[{lay.m}, {lay.n_active}] edge matrix alone needs "
+            f"{fixed / 2**20:.1f} MB of the {budget_bytes / 2**20:.0f} MB "
+            f"budget. This system/feature-set is past the fused envelope "
+            f"— use the XLA path (model(x) / jax.grad), or restrict the "
+            f"feature set so active-atom compaction engages "
+            f"(active_atom_indices(model))."
+        )
     # round DOWN to a power of two: non-power-of-two tiles measured ~20%
     # slower (e.g. peptide(60) fwd: 23.0M at 256, 18.2M at 384, 23.3M at
     # 512 frames/s)

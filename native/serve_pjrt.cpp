@@ -16,9 +16,11 @@
 // libtpu's ml_framework_name, or a tunnel plugin's session handshake.
 //
 // traj.npy: float32 [n_frames, n_atoms, 3] (or packed [n_frames, 3n]).
-// out.npy: float32 [n_frames, d] CV values (output 0 of the artifact;
-// with_gradient artifacts also produce gradients — output 1 — which a
-// biased-MD engine would consume in-process instead of writing out).
+// out.npy: float32 [n_frames, d] CV values (output 0 of the artifact).
+// For with_gradient artifacts (two outputs) the coordinate gradients —
+// output 1, [n_frames, n_atoms, 3] — are additionally written next to
+// out.npy with a .grad.npy suffix (forces = -gradients); a biased-MD
+// engine would consume them in-process instead.
 // The final partial batch is padded to B and trimmed after execution.
 //
 // Build: make serve (needs the PJRT C header; see TF_INC in Makefile).
@@ -264,7 +266,10 @@ int main(int argc, char** argv) {
                static_cast<long long>(n_atoms));
 
   std::vector<float> host_in(static_cast<size_t>(B) * fpf);
-  std::vector<float> out_all;  // [n_frames, d], d discovered on batch 0
+  std::vector<float> out_all;   // [n_frames, d], d discovered on batch 0
+  std::vector<float> grad_all;  // [n_frames, 3n] when the artifact has 2 outputs
+  const bool want_grad = no.num_outputs >= 2;
+  if (want_grad) grad_all.resize(static_cast<size_t>(n_frames) * fpf);
   int64_t d_out = -1;
 
   for (int64_t start = 0; start < n_frames; start += B) {
@@ -341,6 +346,28 @@ int main(int argc, char** argv) {
     std::memcpy(out_all.data() + start * d_out, host_out.data(),
                 static_cast<size_t>(take) * d_out * sizeof(float));
 
+    if (want_grad) {
+      // output 1 = coordinate gradients [B, n_atoms, 3]
+      const int64_t m2m3[3] = {2, 1, 0};
+      PJRT_Buffer_MemoryLayout glay{};
+      glay.struct_size = PJRT_Buffer_MemoryLayout_STRUCT_SIZE;
+      glay.type = PJRT_Buffer_MemoryLayout_Type_Tiled;
+      glay.tiled.struct_size = PJRT_Buffer_MemoryLayout_Tiled_STRUCT_SIZE;
+      glay.tiled.minor_to_major = m2m3;
+      glay.tiled.minor_to_major_size = 3;
+      std::vector<float> host_g(static_cast<size_t>(B) * fpf);
+      PJRT_Buffer_ToHostBuffer_Args tg{};
+      tg.struct_size = PJRT_Buffer_ToHostBuffer_Args_STRUCT_SIZE;
+      tg.src = outs[1];
+      tg.host_layout = &glay;
+      tg.dst = host_g.data();
+      tg.dst_size = host_g.size() * sizeof(float);
+      check(g_api->PJRT_Buffer_ToHostBuffer(&tg), "ToHost(grad)");
+      await(tg.event, "gradient device-to-host copy");
+      std::memcpy(grad_all.data() + start * fpf, host_g.data(),
+                  static_cast<size_t>(take) * fpf * sizeof(float));
+    }
+
     PJRT_Buffer_Destroy_Args bd{};
     bd.struct_size = PJRT_Buffer_Destroy_Args_STRUCT_SIZE;
     bd.buffer = in_buf;
@@ -355,6 +382,16 @@ int main(int argc, char** argv) {
   std::fprintf(stderr, "wrote %s: [%lld, %lld]\n", argv[4],
                static_cast<long long>(n_frames),
                static_cast<long long>(d_out));
+  if (want_grad) {
+    std::string gpath = argv[4];
+    size_t dot = gpath.rfind(".npy");
+    gpath = (dot == std::string::npos ? gpath : gpath.substr(0, dot))
+          + ".grad.npy";
+    write_npy(gpath.c_str(), grad_all.data(), n_frames, fpf);
+    std::fprintf(stderr, "wrote %s: [%lld, %lld]\n", gpath.c_str(),
+                 static_cast<long long>(n_frames),
+                 static_cast<long long>(fpf));
+  }
 
   PJRT_Client_Destroy_Args cd{};
   cd.struct_size = PJRT_Client_Destroy_Args_STRUCT_SIZE;

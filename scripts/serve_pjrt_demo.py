@@ -51,14 +51,18 @@ import numpy as np
 sys.path.insert(0, {repo!r})
 from molann_tpu.io import export_stablehlo
 from molann_tpu.systems import alanine_model
-import jax.numpy as jnp
+import jax, jax.numpy as jnp
 model, u = alanine_model()
 rng = np.random.default_rng(5)
 frames = (u.atoms.positions[None]
           + 0.05 * rng.normal(size=(600, 22, 3))).astype(np.float32)
-export_stablehlo(model, 22, path={art!r}, batch_size={batch}, raw_mlir=True)
+export_stablehlo(model, 22, path={art!r}, batch_size={batch},
+                 raw_mlir=True, with_gradient=True)
 np.save({traj!r}, frames)
-np.save({ref!r}, np.asarray(model(jnp.asarray(frames))))
+xj = jnp.asarray(frames)
+np.save({ref!r}, np.asarray(model(xj)))
+np.save({gref!r}, np.asarray(
+    jax.grad(lambda v: jnp.sum(model(v)))(xj)))
 print("exported", {art!r})
 """
 
@@ -73,13 +77,14 @@ def main():
         art = os.path.join(d, "model.mlir.bc")
         traj = os.path.join(d, "traj.npy")
         ref_p = os.path.join(d, "ref.npy")
+        gref_p = os.path.join(d, "gref.npy")
         out = os.path.join(d, "out.npy")
 
         # phase 1 (child, exits -> releases any device grant): export + ref
         subprocess.run(
             [sys.executable, "-c",
              EXPORT_CHILD.format(repo=REPO, art=art, traj=traj, ref=ref_p,
-                                 batch=batch)],
+                                 gref=gref_p, batch=batch)],
             check=True,
         )
 
@@ -93,12 +98,17 @@ def main():
         print("+", " ".join(cmd))
         subprocess.run(cmd, check=True, env=env)
 
-        # phase 3: numpy-only parity check
+        # phase 3: numpy-only parity check (CVs AND coordinate gradients)
         got = np.load(out)
         ref = np.load(ref_p)
         err = np.abs(got - ref).max()
-        print(f"parity vs in-Python model: maxerr {err:.3g}")
+        print(f"CV parity vs in-Python model: maxerr {err:.3g}")
         assert got.shape == ref.shape and err < 1e-5, err
+        g = np.load(out[: -len(".npy")] + ".grad.npy").reshape(-1, 22, 3)
+        gref = np.load(gref_p)
+        gerr = np.abs(g - gref).max() / np.abs(gref).max()
+        print(f"gradient parity (biasing forces): rel {gerr:.3g}")
+        assert g.shape == gref.shape and gerr < 1e-5, gerr
         print("SERVE_PJRT DEMO OK")
 
 

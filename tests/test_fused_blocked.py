@@ -323,3 +323,17 @@ def test_compact_grads_serving_shape(rng_module):
         fused_cv_forces(small_model, frames_for(su, 8, rng_module),
                         compact_grads=True, tile=32, interpret=True,
                         mode="auto")
+
+
+def test_auto_tile_rejects_oversized_working_set():
+    """A dense feature set on thousands of atoms overflows VMEM; auto_tile
+    must say so clearly instead of letting Mosaic OOM opaquely."""
+    from molann_tpu.spec import compile_features
+    from molann_tpu.systems import synthetic_peptide
+
+    u = synthetic_peptide(500)  # 2500 atoms
+    feats = [Feature("p", "position", u.atoms)]  # dense: every atom active
+    spec = compile_features(feats, u.atoms.ix, False)
+    lay = FB.blocked_layout(spec, None)
+    with pytest.raises(ValueError, match="edge matrix"):
+        FB.auto_tile(lay, 4, backward=False)
