@@ -13,3 +13,15 @@ __all__ = [
     "shard_batch",
     "psum_mean_grads",
 ]
+
+from .multihost import (  # noqa: E402
+    global_batch,
+    initialize_multihost,
+    process_local_slice,
+)
+
+__all__ += [
+    "initialize_multihost",
+    "global_batch",
+    "process_local_slice",
+]
