@@ -240,3 +240,37 @@ def test_convert_cli_xtc_trr_npy(tmp_path, frames):
     back = tmp_path / "b.trr"
     assert main(["convert", str(out), str(back)]) == 0
     np.testing.assert_array_equal(read_trr(back)[0], got)
+
+
+# ---------------------------------------------------------------------------
+# property-based: the codec invariant that matters is the quantization bound
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    seed=st.integers(0, 10_000),
+    natoms=st.integers(10, 80),
+    nframes=st.integers(1, 4),
+    log_spread=st.integers(-2, 2),
+    log_prec=st.integers(1, 4),
+)
+def test_xtc_roundtrip_property(tmp_path_factory, seed, natoms, nframes,
+                                log_spread, log_prec):
+    """For ANY coordinates and precision, decode(encode(x)) stays within
+    half a lattice step of x (plus f32 rounding of the lattice scaling)."""
+    d = tmp_path_factory.mktemp("xtcprop")
+    rng = np.random.default_rng(seed)
+    spread = 10.0 ** log_spread
+    prec = 10.0 ** log_prec
+    f = rng.normal(0, spread, (nframes, natoms, 3)).astype(np.float32)
+    if abs(f).max() * prec > 2**31 - 4:  # out of the format's int range
+        return
+    path = d / "p.xtc"
+    write_xtc(path, f, precision=prec)
+    back, _, _ = read_xtc(path)
+    lattice = np.abs(f * np.float32(prec)).max()
+    tol = 0.5 / prec + lattice * 2e-7 / prec + 1e-7
+    assert np.abs(back - f).max() <= tol
