@@ -43,7 +43,8 @@ def main():
     write_dcd(traj, frames)
 
     # --- serving loop ---------------------------------------------------
-    on_tpu = jax.default_backend() == "tpu"
+    # ("axon" is this dev environment's TPU-tunnel platform name)
+    on_tpu = jax.default_backend() in ("tpu", "axon")
 
     @jax.jit
     def serve(m, xb):

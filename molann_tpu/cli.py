@@ -271,12 +271,14 @@ def cmd_export(args):
     from .io import export_stablehlo
 
     model = _load_model(args.model)
-    if args.raw_mlir and args.export_batch is None:
-        raise SystemExit("error: --raw-mlir requires --batch (fixed shape)")
+    if (args.raw_mlir or args.fused) and args.export_batch is None:
+        raise SystemExit(
+            "error: --raw-mlir/--fused require --batch (fixed shape)")
     export_stablehlo(
         model, n_atoms=args.n_atoms, path=args.out,
         with_gradient=args.with_gradient,
         batch_size=args.export_batch, raw_mlir=args.raw_mlir,
+        fused=args.fused,
     )
     print(f"wrote {args.out}")
     return 0
@@ -379,6 +381,9 @@ def main(argv=None):
     px.add_argument("--raw-mlir", action="store_true",
                     help="bare StableHLO bytecode for PJRT C-API runtimes "
                          "(native/serve_pjrt.cpp); requires --batch")
+    px.add_argument("--fused", action="store_true",
+                    help="bake the fused Pallas serving kernel into the "
+                         "artifact (TPU-only; requires --batch)")
     px.set_defaults(fn=cmd_export)
 
     pb = sub.add_parser("build", help="build a model from PDB + feature file")

@@ -20,7 +20,8 @@ __all__ = ["export_stablehlo", "load_stablehlo"]
 
 
 def export_stablehlo(model, n_atoms, path=None, *, with_gradient=False,
-                     batch_size=None, platforms=None, raw_mlir=False):
+                     batch_size=None, platforms=None, raw_mlir=False,
+                     fused=False, tile=None):
     """Serialize ``model``'s forward as a StableHLO artifact.
 
     :param model: any callable layer (MolANN, PreprocessingANN, ...)
@@ -32,18 +33,44 @@ def export_stablehlo(model, n_atoms, path=None, *, with_gradient=False,
     :param batch_size: fix the frame-batch size; default is a symbolic
         dimension (batch-polymorphic artifact)
     :param platforms: lowering platforms (e.g. ``['tpu', 'cpu']``);
-        default is the current backend
+        default is the current backend (``fused=True``: ``('tpu',)``)
     :param raw_mlir: emit bare StableHLO module bytecode (directly
         compilable by any PJRT C-API runtime — see native/serve_pjrt.cpp)
         instead of the jax.export framing; requires ``batch_size``
+    :param fused: bake the fused Pallas serving kernel into the artifact
+        (the Mosaic kernel rides along as a serialized custom call) —
+        full kernel speed from any TPU PJRT runtime, no Python. TPU-only
+        artifact (it will not load on CPU); requires ``batch_size``.
+        With ``with_gradient`` the outputs are the single-kernel
+        ``fused_cv_forces`` pair (CVs, coordinate gradients). Lowering
+        is host-side: exporting works from a CPU-only process.
+    :param tile: fused-kernel frame tile (default 2048)
     :returns: the serialized bytes
     """
+    if fused:
+        if batch_size is None:
+            raise ValueError("fused=True requires a fixed batch_size")
+        if platforms is None:
+            platforms = ("tpu",)
+        from ..ops.fused import fused_cv_forces, fused_model_forward
 
-    def fn(x):
-        if with_gradient:
-            out, grad = jax.value_and_grad(lambda v: jnp.sum(model(v)))(x)
-            return model(x), grad
-        return model(x)
+        if tile is None:
+            # don't pad small serving batches up to the full default tile
+            ftile = max(1024, min(2048, -(-batch_size // 1024) * 1024))
+        else:
+            ftile = tile
+
+        def fn(x):
+            if with_gradient:
+                return fused_cv_forces(model, x, tile=ftile)
+            return fused_model_forward(model, x, tile=ftile)
+    else:
+        def fn(x):
+            if with_gradient:
+                out, grad = jax.value_and_grad(
+                    lambda v: jnp.sum(model(v)))(x)
+                return model(x), grad
+            return model(x)
 
     if batch_size is None:
         (l,) = jax_export.symbolic_shape("l")

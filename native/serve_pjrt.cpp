@@ -25,6 +25,7 @@
 //
 // Build: make serve (needs the PJRT C header; see TF_INC in Makefile).
 
+#include <chrono>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -272,6 +273,7 @@ int main(int argc, char** argv) {
   if (want_grad) grad_all.resize(static_cast<size_t>(n_frames) * fpf);
   int64_t d_out = -1;
 
+  const auto t_serve0 = std::chrono::steady_clock::now();
   for (int64_t start = 0; start < n_frames; start += B) {
     const int64_t take = std::min(B, n_frames - start);
     std::memcpy(host_in.data(), frames + start * fpf,
@@ -378,6 +380,15 @@ int main(int argc, char** argv) {
     }
   }
 
+  const double serve_s =
+      std::chrono::duration<double>(std::chrono::steady_clock::now() -
+                                    t_serve0)
+          .count();
+  std::fprintf(stderr,
+               "served %lld frames in %.3f s (%.2fM frames/s incl. host "
+               "round-trips)\n",
+               static_cast<long long>(n_frames), serve_s,
+               n_frames / serve_s / 1e6);
   write_npy(argv[4], out_all.data(), n_frames, d_out);
   std::fprintf(stderr, "wrote %s: [%lld, %lld]\n", argv[4],
                static_cast<long long>(n_frames),

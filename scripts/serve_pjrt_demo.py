@@ -47,23 +47,28 @@ AXON_OPTS = [
 
 EXPORT_CHILD = r"""
 import sys
+import jax
+jax.config.update("jax_platforms", "cpu")  # lowering is host-side; the
+# fused export cross-lowers for platforms=('tpu',) with no device at all
 import numpy as np
 sys.path.insert(0, {repo!r})
 from molann_tpu.io import export_stablehlo
 from molann_tpu.systems import alanine_model
-import jax, jax.numpy as jnp
+import jax.numpy as jnp
 model, u = alanine_model()
 rng = np.random.default_rng(5)
 frames = (u.atoms.positions[None]
           + 0.05 * rng.normal(size=(600, 22, 3))).astype(np.float32)
 export_stablehlo(model, 22, path={art!r}, batch_size={batch},
-                 raw_mlir=True, with_gradient=True)
+                 raw_mlir=True, with_gradient=True, platforms=("tpu",))
+export_stablehlo(model, 22, path={fart!r}, batch_size={batch},
+                 raw_mlir=True, with_gradient=True, fused=True)
 np.save({traj!r}, frames)
 xj = jnp.asarray(frames)
 np.save({ref!r}, np.asarray(model(xj)))
 np.save({gref!r}, np.asarray(
     jax.grad(lambda v: jnp.sum(model(v)))(xj)))
-print("exported", {art!r})
+print("exported", {art!r}, "and fused", {fart!r})
 """
 
 
@@ -75,40 +80,46 @@ def main():
 
     with tempfile.TemporaryDirectory() as d:
         art = os.path.join(d, "model.mlir.bc")
+        fart = os.path.join(d, "fused.mlir.bc")
         traj = os.path.join(d, "traj.npy")
         ref_p = os.path.join(d, "ref.npy")
         gref_p = os.path.join(d, "gref.npy")
-        out = os.path.join(d, "out.npy")
 
-        # phase 1 (child, exits -> releases any device grant): export + ref
+        # phase 1 (CPU child — no device involvement): export + refs
         subprocess.run(
             [sys.executable, "-c",
-             EXPORT_CHILD.format(repo=REPO, art=art, traj=traj, ref=ref_p,
-                                 gref=gref_p, batch=batch)],
+             EXPORT_CHILD.format(repo=REPO, art=art, fart=fart, traj=traj,
+                                 ref=ref_p, gref=gref_p, batch=batch)],
             check=True,
         )
 
-        # phase 2: the no-Python consumer
-        cmd = [BINARY, plugin, art, traj, out, str(batch)]
         env = dict(os.environ)
+        extra = []
         if plugin == AXON_PLUGIN:
             env.update(AXON_ENV)
-            for o in AXON_OPTS + [f"session_id=serve-demo-{uuid.uuid4()}"]:
-                cmd += ["-o", o]
-        print("+", " ".join(cmd))
-        subprocess.run(cmd, check=True, env=env)
+            extra = sum((["-o", o] for o in AXON_OPTS), [])
 
-        # phase 3: numpy-only parity check (CVs AND coordinate gradients)
-        got = np.load(out)
         ref = np.load(ref_p)
-        err = np.abs(got - ref).max()
-        print(f"CV parity vs in-Python model: maxerr {err:.3g}")
-        assert got.shape == ref.shape and err < 1e-5, err
-        g = np.load(out[: -len(".npy")] + ".grad.npy").reshape(-1, 22, 3)
         gref = np.load(gref_p)
-        gerr = np.abs(g - gref).max() / np.abs(gref).max()
-        print(f"gradient parity (biasing forces): rel {gerr:.3g}")
-        assert g.shape == gref.shape and gerr < 1e-5, gerr
+
+        # phase 2: serve BOTH artifacts (XLA-lowered and fused-kernel)
+        # from the no-Python consumer; tolerances are cross-platform f32
+        # (refs computed on CPU, execution on TPU)
+        for label, a in (("xla", art), ("fused-kernel", fart)):
+            out = os.path.join(d, f"out_{label.split('-')[0]}.npy")
+            cmd = [BINARY, plugin, a, traj, out, str(batch)] + extra
+            if plugin == AXON_PLUGIN:
+                cmd += ["-o", f"session_id=serve-demo-{uuid.uuid4()}"]
+            print("+", " ".join(cmd))
+            subprocess.run(cmd, check=True, env=env)
+            got = np.load(out)
+            err = np.abs(got - ref).max()
+            g = np.load(out[: -len(".npy")] + ".grad.npy").reshape(
+                -1, 22, 3)
+            gerr = np.abs(g - gref).max() / np.abs(gref).max()
+            print(f"[{label}] CV maxerr {err:.3g}, grad rel {gerr:.3g}")
+            assert got.shape == ref.shape and err < 1e-4, (label, err)
+            assert g.shape == gref.shape and gerr < 5e-4, (label, gerr)
         print("SERVE_PJRT DEMO OK")
 
 

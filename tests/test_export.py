@@ -105,3 +105,15 @@ def test_stablehlo_raw_mlir(tmp_path, model_and_frames):
     assert (tmp_path / "m.mlir.bc").read_bytes() == blob
     with pytest.raises(ValueError, match="batch_size"):
         export_stablehlo(model, 22, raw_mlir=True)
+
+
+def test_stablehlo_fused_kernel_artifact(tmp_path, model_and_frames):
+    """fused=True bakes the Mosaic serving kernel into the artifact
+    (cross-lowered for TPU from this CPU process — lowering is host-side).
+    The artifact is TPU-only; here we check its structure."""
+    model, _ = model_and_frames
+    blob = export_stablehlo(model, 22, tmp_path / "f.mlir.bc",
+                            batch_size=512, raw_mlir=True,
+                            with_gradient=True, fused=True)
+    assert blob[:4] == b"ML\xefR"
+    assert b"tpu_custom_call" in blob  # the embedded Mosaic kernel
