@@ -52,9 +52,19 @@ def export_stablehlo(model, n_atoms, path=None, *, with_gradient=False,
             raise ValueError("fused=True requires a fixed batch_size")
         if platforms is None:
             platforms = ("tpu",)
-        from ..ops.fused import fused_cv_forces, fused_model_forward
+        from ..ops.fused import (
+            _extract_model,
+            fused_cv_forces,
+            fused_model_forward,
+            select_mode,
+        )
 
-        if tile is None:
+        spec_, _, _, _, _ = _extract_model(model, jnp.float32)
+        if select_mode(spec_, spec_.n_input_atoms) == "blocked":
+            # blocked kernels auto-size their (much smaller) tiles from
+            # the VMEM model — forcing the unrolled default would OOM
+            ftile = tile
+        elif tile is None:
             # don't pad small serving batches up to the full default tile
             ftile = max(1024, min(2048, -(-batch_size // 1024) * 1024))
         else:

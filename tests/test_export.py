@@ -117,3 +117,15 @@ def test_stablehlo_fused_kernel_artifact(tmp_path, model_and_frames):
                             with_gradient=True, fused=True)
     assert blob[:4] == b"ML\xefR"
     assert b"tpu_custom_call" in blob  # the embedded Mosaic kernel
+
+
+def test_stablehlo_fused_blocked_artifact(tmp_path):
+    """fused=True on a 300-atom system exports the BLOCKED Mosaic kernel
+    (auto-sized tiles; a forced unrolled-size tile would overflow VMEM)."""
+    from molann_tpu.systems import peptide_model
+
+    model, u = peptide_model(60)
+    blob = export_stablehlo(model, len(u.atoms), batch_size=512,
+                            raw_mlir=True, with_gradient=True, fused=True)
+    assert blob[:4] == b"ML\xefR"
+    assert b"tpu_custom_call" in blob
