@@ -274,3 +274,43 @@ def test_xtc_roundtrip_property(tmp_path_factory, seed, natoms, nframes,
     lattice = np.abs(f * np.float32(prec)).max()
     tol = 0.5 / prec + lattice * 2e-7 / prec + 1e-7
     assert np.abs(back - f).max() <= tol
+
+
+def test_xtc_decoder_fuzz_no_crash(tmp_path, rng):
+    """Bit-flipped and truncated XTC files must produce an error or a
+    short read — never out-of-bounds access (the native decoder's
+    bitstream is bounds-checked; a crash here kills the test process)."""
+    base = (rng.normal(0, 1.5, (1, 40, 3))
+            + 0.02 * rng.normal(0, 1, (6, 40, 3))).astype(np.float32)
+    good = tmp_path / "good.xtc"
+    write_xtc(good, base, precision=1000.0)
+    raw = bytearray(good.read_bytes())
+
+    from molann_tpu.io import native_loader
+
+    have_native = native_loader.available()
+    n_frames = base.shape[0]
+
+    for k in range(40):
+        mutated = bytearray(raw)
+        if k % 4 == 0:  # truncate
+            mutated = mutated[: (k + 1) * len(raw) // 48]
+        else:  # flip a byte somewhere
+            pos = (k * 2654435761) % len(mutated)
+            mutated[pos] ^= 0xFF
+        p = tmp_path / f"fuzz{k}.xtc"
+        p.write_bytes(bytes(mutated))
+        try:
+            frames, _, _ = read_xtc(p)
+            assert frames.shape[0] <= n_frames
+        except (ValueError, IndexError, struct.error):
+            pass
+        if have_native:
+            try:
+                ldr = native_loader.NativeTrajLoader(p)
+                try:
+                    ldr.read_range(0, ldr.n_frames)
+                finally:
+                    ldr.close()
+            except (OSError, IndexError, ValueError):
+                pass
