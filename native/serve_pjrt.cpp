@@ -8,14 +8,16 @@
 // LibTorch, no Python needed) — here the engine side needs only the
 // PJRT C header and dlopen.
 //
-//   serve_pjrt <plugin.so> <model.mlir.bc> <traj.npy> <out.npy> [batch]
+//   serve_pjrt <plugin.so> <model.mlir.bc> <traj> <out.npy> [batch]
 //              [-o key=value ...]
 //
 // -o passes plugin-specific client-create options as PJRT_NamedValues
 // (int64 when the value parses as an integer, string otherwise) — e.g.
 // libtpu's ml_framework_name, or a tunnel plugin's session handshake.
 //
-// traj.npy: float32 [n_frames, n_atoms, 3] (or packed [n_frames, 3n]).
+// <traj>: any format the native loader reads — .npy ([n_frames,
+// n_atoms, 3] or packed), CHARMM/NAMD .dcd, GROMACS .trr / compressed
+// .xtc — i.e. the container serves straight from an MD engine's output.
 // out.npy: float32 [n_frames, d] CV values (output 0 of the artifact).
 // For with_gradient artifacts (two outputs) the coordinate gradients —
 // output 1, [n_frames, n_atoms, 3] — are additionally written next to
@@ -34,6 +36,7 @@
 
 #include <dlfcn.h>
 
+#include "traj_loader.h"
 #include "xla/pjrt/c/pjrt_c_api.h"
 
 namespace {
@@ -82,50 +85,6 @@ std::vector<uint8_t> read_file(const char* path) {
   }
   std::fclose(f);
   return buf;
-}
-
-// Minimal .npy v1/v2/v3 float32 reader (same subset as traj_loader.cpp).
-void parse_npy(const std::vector<uint8_t>& raw, int64_t* n_frames,
-               int64_t* fpf, const float** data) {
-  if (raw.size() < 10 || std::memcmp(raw.data(), "\x93NUMPY", 6) != 0) {
-    die("trajectory is not a .npy file");
-  }
-  size_t hlen, hoff;
-  if (raw[6] == 1) {
-    hlen = raw[8] | (raw[9] << 8);
-    hoff = 10;
-  } else {
-    if (raw.size() < 12) die("truncated .npy header");
-    hlen = raw[8] | (raw[9] << 8) | (raw[10] << 16)
-         | (static_cast<size_t>(raw[11]) << 24);
-    hoff = 12;
-  }
-  if (hoff + hlen > raw.size()) die("truncated .npy header");
-  std::string h(reinterpret_cast<const char*>(raw.data() + hoff), hlen);
-  if (h.find("'<f4'") == std::string::npos) die(".npy must be <f4");
-  if (h.find("'fortran_order': True") != std::string::npos) {
-    die("fortran_order .npy not supported");
-  }
-  size_t lp = h.find('(', h.find("'shape':"));
-  size_t rp = h.find(')', lp);
-  std::vector<int64_t> dims;
-  const char* s = h.c_str() + lp + 1;
-  const char* e = h.c_str() + rp;
-  while (s < e) {
-    while (s < e && (*s == ' ' || *s == ',')) s++;
-    if (s >= e) break;
-    dims.push_back(strtoll(s, const_cast<char**>(&s), 10));
-  }
-  if (dims.size() == 3 && dims[2] == 3) {
-    *n_frames = dims[0];
-    *fpf = dims[1] * 3;
-  } else if (dims.size() == 2) {
-    *n_frames = dims[0];
-    *fpf = dims[1];
-  } else {
-    die("expected .npy shape [l, n, 3] or [l, 3n]");
-  }
-  *data = reinterpret_cast<const float*>(raw.data() + hoff + hlen);
 }
 
 void write_npy(const char* path, const float* data, int64_t rows,
@@ -256,11 +215,10 @@ int main(int argc, char** argv) {
   check(g_api->PJRT_Executable_NumOutputs(&no), "NumOutputs");
   std::fprintf(stderr, "compiled: %zu output(s)\n", no.num_outputs);
 
-  // --- trajectory ---
-  std::vector<uint8_t> traj = read_file(argv[3]);
+  // --- trajectory (any native-loader format: npy/dcd/trr/xtc) ---
   int64_t n_frames = 0, fpf = 0;
-  const float* frames = nullptr;
-  parse_npy(traj, &n_frames, &fpf, &frames);
+  void* ldr = tl_open(argv[3], &n_frames, &fpf);
+  if (!ldr) die(std::string("open trajectory: ") + tl_last_error());
   const int64_t n_atoms = fpf / 3;
   std::fprintf(stderr, "trajectory: %lld frames x %lld atoms\n",
                static_cast<long long>(n_frames),
@@ -276,13 +234,23 @@ int main(int argc, char** argv) {
   const auto t_serve0 = std::chrono::steady_clock::now();
   for (int64_t start = 0; start < n_frames; start += B) {
     const int64_t take = std::min(B, n_frames - start);
-    std::memcpy(host_in.data(), frames + start * fpf,
-                static_cast<size_t>(take) * fpf * sizeof(float));
+    if (tl_read_range(ldr, start, take, host_in.data()) != 0) {
+      die(std::string("read trajectory: ") + tl_last_error());
+    }
     if (take < B) {  // pad the tail batch with the last frame
+      const float* last = host_in.data() + (take - 1) * fpf;
       for (int64_t r = take; r < B; r++) {
-        std::memcpy(host_in.data() + r * fpf,
-                    frames + (n_frames - 1) * fpf, fpf * sizeof(float));
+        std::memcpy(host_in.data() + r * fpf, last, fpf * sizeof(float));
       }
+    }
+    // overlap page-in of the next batch with this batch's execution
+    if (start + B < n_frames) {
+      std::vector<int64_t> nxt;
+      for (int64_t f = start + B;
+           f < std::min(start + 2 * B, n_frames); f++) {
+        nxt.push_back(f);
+      }
+      tl_prefetch(ldr, nxt.data(), static_cast<int64_t>(nxt.size()));
     }
 
     const int64_t dims[3] = {B, n_atoms, 3};
@@ -404,6 +372,7 @@ int main(int argc, char** argv) {
                  static_cast<long long>(fpf));
   }
 
+  tl_close(ldr);
   PJRT_Client_Destroy_Args cd{};
   cd.struct_size = PJRT_Client_Destroy_Args_STRUCT_SIZE;
   cd.client = client;
