@@ -43,7 +43,8 @@ def main():
     write_dcd(traj, frames)
 
     # --- serving loop ---------------------------------------------------
-    # ("axon" is this dev environment's TPU-tunnel platform name)
+    # (TPU-proxy platforms may register under their own name while
+    # reporting canonical platform "tpu"; accept both spellings)
     on_tpu = jax.default_backend() in ("tpu", "axon")
 
     @jax.jit

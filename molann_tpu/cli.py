@@ -128,7 +128,19 @@ def _evaluate(args, want_forces):
     n_frames = _check_traj(args.traj, n_atoms)
     # fused Pallas kernels on TPU (or under --interpret); plain XLA
     # otherwise — CPU/GPU backends don't run compiled Mosaic kernels.
-    use_fused = args.interpret or jax.default_backend() == "tpu"
+    # (TPU-proxy platforms may register under their own name while
+    # reporting canonical platform "tpu"; accept both spellings.)
+    use_fused = args.interpret or jax.default_backend() in ("tpu", "axon")
+    # Large system + small CV set: compute gradients on the ACTIVE atoms
+    # only (skips the full-width HBM scatter AND shrinks the
+    # device-to-host transfer by n_atoms/n_active); untouched atoms have
+    # exactly-zero forces, which the zero-initialized memmap provides.
+    compact_idx = None
+    if want_forces and use_fused:
+        from .ops.fused import active_atom_indices, model_select_mode
+
+        if model_select_mode(model) == "blocked":
+            compact_idx = active_atom_indices(model)
     # Stream results straight to disk-backed arrays: a forces run over a
     # big trajectory would otherwise hold a trajectory-sized gradient
     # array in host RAM, defeating the streaming loader.
@@ -149,6 +161,24 @@ def _evaluate(args, want_forces):
     ):
         x = jnp.asarray(xb)
         if want_forces:
+            if compact_idx is not None:
+                y, g = fused_cv_forces(
+                    model, x, component=component,
+                    tile=args.tile, interpret=args.interpret,
+                    compact_grads=True,
+                )  # g: [3, n_active, l]
+                blk = g_out[n_done : n_done + xb.shape[0]].reshape(
+                    -1, n_atoms, 3
+                )
+                blk[:, compact_idx, :] = np.negative(
+                    np.transpose(np.asarray(g), (2, 1, 0))
+                )  # rest stays exactly zero
+                y_out[n_done : n_done + xb.shape[0]] = np.asarray(y)
+                n_done += xb.shape[0]
+                if args.verbose:
+                    print(f"\r{n_done}/{n_frames} frames", end="",
+                          file=sys.stderr)
+                continue
             if use_fused:
                 y, g = fused_cv_forces(
                     model, x, component=component,

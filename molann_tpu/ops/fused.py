@@ -79,6 +79,15 @@ def select_mode(spec, n_atoms: int) -> str:
     return "blocked"
 
 
+def model_select_mode(model) -> str:
+    """:func:`select_mode` applied to a model: which fused formulation
+    its system size gets under ``mode="auto"``."""
+    import jax.numpy as jnp
+
+    spec, _, _, _, _ = _extract_model(model, jnp.float32)
+    return select_mode(spec, spec.n_input_atoms)
+
+
 def active_atom_indices(model):
     """0-based input-group indices of the atoms any feature (or the align
     subset) references — the rows of a ``compact_grads=True`` gradient

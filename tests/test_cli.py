@@ -104,3 +104,59 @@ def test_build_missing_section(workdir, capsys):
     ])
     assert rc == 1
     assert "no features" in capsys.readouterr().err
+
+
+def test_forces_compact_path_sparse_system(tmp_path):
+    """On a large system with a small CV set the forces command uses
+    compact gradients (active atoms only cross the device boundary);
+    output is still full-width with exact zeros on untouched atoms."""
+    import jax
+    import jax.numpy as jnp
+
+    from molann_tpu.feature import Feature
+    from molann_tpu.io import save_model
+    from molann_tpu.models.ann import (
+        FeatureLayer,
+        MolANN,
+        PreprocessingANN,
+        create_sequential_nn,
+    )
+    from molann_tpu.ops.fused import active_atom_indices, model_select_mode
+    from molann_tpu.systems import synthetic_peptide
+
+    u = synthetic_peptide(40)  # 200 atoms -> blocked mode
+    n = len(u.atoms)
+    sel = lambda nm, r: u.select_atoms(f"name {nm} and resid {r}")
+    feats = [
+        Feature("b", "bond", sel("CA", 3) + sel("CA", 30)),
+        Feature("d", "dihedral",
+                sel("C", 10) + sel("N", 11) + sel("CA", 11) + sel("C", 11)),
+    ]
+    pp = PreprocessingANN(None, FeatureLayer(feats, u.atoms))
+    model = MolANN(pp, create_sequential_nn(
+        [pp.output_dimension(), 6, 2], key=jax.random.PRNGKey(1)))
+    assert model_select_mode(model) == "blocked"
+    active = active_atom_indices(model)
+    assert active is not None and len(active) == 6
+
+    save_model(str(tmp_path / "m.npz"), model)
+    rng = np.random.default_rng(2)
+    frames = (u.atoms.positions[None]
+              + 0.05 * rng.normal(size=(24, n, 3))).astype(np.float32)
+    np.save(tmp_path / "traj.npy", frames)
+    rc = main([
+        "forces", str(tmp_path / "m.npz"), str(tmp_path / "traj.npy"),
+        "--out", str(tmp_path / "y.npy"),
+        "--forces-out", str(tmp_path / "f.npy"),
+        "--interpret", "--batch-size", "12",
+    ])
+    assert rc == 0
+    f = np.load(tmp_path / "f.npy").reshape(24, n, 3)
+    g_ref = jax.grad(lambda v: jnp.sum(model(v)))(jnp.asarray(frames))
+    np.testing.assert_allclose(f, -np.asarray(g_ref), atol=1e-5)
+    inactive = np.setdiff1d(np.arange(n), active)
+    assert np.all(f[:, inactive, :] == 0.0)
+    y = np.load(tmp_path / "y.npy")
+    np.testing.assert_allclose(
+        y, np.asarray(model(jnp.asarray(frames))), atol=1e-5
+    )
