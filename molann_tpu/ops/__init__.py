@@ -10,6 +10,7 @@ from .features import (
 from .fused import (
     fused_apply,
     active_atom_indices,
+    model_select_mode,
     fused_cv_forces,
     fused_model_forward,
     fused_train_grads,
@@ -29,6 +30,7 @@ __all__ = [
     "fused_apply",
     "fused_model_forward",
     "active_atom_indices",
+    "model_select_mode",
     "fused_cv_forces",
     "fused_train_grads",
     "blocked_apply",
