@@ -14,11 +14,9 @@ both production paths on a TPU pod slice):
 
 from __future__ import annotations
 
-import functools
 
 import jax
-import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from .mesh import DATA_AXIS, batch_sharding
 

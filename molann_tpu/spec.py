@@ -22,7 +22,7 @@ a static column permutation restores feature-list order.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 __all__ = ["CompiledFeatures", "resolve_local_indices", "compile_features"]
 

@@ -15,7 +15,6 @@ from dataclasses import dataclass
 from typing import Any, Callable
 
 import jax
-import jax.numpy as jnp
 import optax
 
 from ..parallel.mesh import DATA_AXIS, batch_sharding, replicated_sharding
