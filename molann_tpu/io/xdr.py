@@ -110,7 +110,7 @@ def read_trr(path):
         (ir, e, box_size, vir, pres, top, sym, x_size, v_size, f_size,
          natoms, step, nre) = struct.unpack_from(">13i", data, off)
         off += 52
-        if x_size == 0:
+        if x_size <= 0 or natoms <= 0:
             raise ValueError("TRR frame carries no coordinates")
         # float width per the GROMACS convention
         width = (box_size // 9) if box_size else (x_size // (3 * natoms))

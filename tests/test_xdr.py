@@ -314,3 +314,38 @@ def test_xtc_decoder_fuzz_no_crash(tmp_path, rng):
                     ldr.close()
             except (OSError, IndexError, ValueError):
                 pass
+
+
+def test_trr_decoder_fuzz_no_crash(tmp_path, rng):
+    """Mutated TRR files error or short-read cleanly in both decoders."""
+    f = rng.normal(0, 2, (6, 25, 3)).astype(np.float32)
+    good = tmp_path / "good.trr"
+    write_trr(good, f, box=np.eye(3, dtype=np.float32))
+    raw = bytearray(good.read_bytes())
+
+    from molann_tpu.io import native_loader
+
+    have_native = native_loader.available()
+    for k in range(40):
+        mutated = bytearray(raw)
+        if k % 4 == 0:
+            mutated = mutated[: (k + 1) * len(raw) // 48]
+        else:
+            pos = (k * 2654435761) % len(mutated)
+            mutated[pos] ^= 0xFF
+        p = tmp_path / f"tfuzz{k}.trr"
+        p.write_bytes(bytes(mutated))
+        try:
+            frames, _, _ = read_trr(p)
+            assert frames.shape[0] <= 6
+        except (ValueError, IndexError, struct.error):
+            pass
+        if have_native:
+            try:
+                ldr = native_loader.NativeTrajLoader(p)
+                try:
+                    ldr.read_range(0, ldr.n_frames)
+                finally:
+                    ldr.close()
+            except (OSError, IndexError, ValueError):
+                pass
