@@ -271,20 +271,22 @@ def cmd_convert(args):
 
     low_out = out.lower()
     if low_out.endswith((".dcd", ".trr", ".xtc")):
-        buf = np.concatenate([c for _, c in chunks()])
-        buf = buf.reshape(n_frames, n_atoms, 3)
+        # all three writers are incremental: one chunk in flight at a time
         if low_out.endswith(".dcd"):
-            from .io.dcd import write_dcd
+            from .io.dcd import DCDWriter
 
-            write_dcd(out, buf)
+            writer = DCDWriter(out)
         elif low_out.endswith(".trr"):
-            from .io.xdr import write_trr
+            from .io.xdr import TRRWriter
 
-            write_trr(out, buf)
+            writer = TRRWriter(out)
         else:
-            from .io.xdr import write_xtc
+            from .io.xdr import XTCWriter
 
-            write_xtc(out, buf, precision=args.xtc_precision)
+            writer = XTCWriter(out, precision=args.xtc_precision)
+        with writer:
+            for _, c in chunks():
+                writer.append(c.reshape(-1, n_atoms, 3))
     else:
         shape = (n_frames, fpf) if args.packed else (n_frames, n_atoms, 3)
         dst = np.lib.format.open_memmap(

@@ -20,12 +20,88 @@ import struct
 
 import numpy as np
 
-__all__ = ["write_dcd", "read_dcd"]
+__all__ = ["write_dcd", "read_dcd", "DCDWriter"]
 
 
 def _rec(payload: bytes) -> bytes:
     n = struct.pack("<i", len(payload))
     return n + payload + n
+
+
+class DCDWriter:
+    """Incremental DCD writer: frames are appended chunk by chunk (bounded
+    memory for ``molann_tpu convert``). The header's frame count (NSET/
+    NSTEP) is back-patched on :meth:`close` with the number of frames
+    actually appended, so callers need not know the total upfront.
+    ``has_cell`` fixes whether per-frame unit-cell records are written
+    (the CHARMM flag lives in the header, so it cannot vary per chunk)."""
+
+    def __init__(self, path, *, title="written by molann_tpu",
+                 has_cell=False):
+        self._fh = open(path, "wb")
+        self._has_cell = has_cell
+        self._n_atoms = None
+        self._n_frames = 0
+        icntrl = [0] * 20
+        icntrl[1] = 1                 # ISTART
+        icntrl[2] = 1                 # NSAVC
+        icntrl[10] = 1 if has_cell else 0  # unit-cell flag
+        icntrl[19] = 24               # CHARMM version
+        header = b"CORD" + struct.pack("<20i", *icntrl)
+        assert len(header) == 84
+        tpad = title.encode()[:80].ljust(80)
+        self._fh.write(_rec(header))
+        self._fh.write(_rec(struct.pack("<i", 1) + tpad))
+
+    def append(self, frames, cell=None):
+        """Append ``[k, n_atoms, 3]`` frames (atom count must match the
+        first chunk); ``cell``: ``[k, 6]`` doubles, required iff the
+        writer was opened with ``has_cell=True``."""
+        arr = np.ascontiguousarray(frames, dtype=np.float32)
+        if arr.ndim != 3 or arr.shape[-1] != 3:
+            raise ValueError(
+                f"expected [n_frames, n_atoms, 3], got {arr.shape}")
+        k, n_atoms = arr.shape[0], arr.shape[1]
+        if (cell is not None) != self._has_cell:
+            raise ValueError(
+                "cell must be given exactly when the writer has "
+                f"has_cell={self._has_cell}")
+        if cell is not None:
+            cell = np.ascontiguousarray(cell, dtype=np.float64)
+            if cell.shape != (k, 6):
+                raise ValueError(f"cell must be [{k}, 6], got {cell.shape}")
+        if self._n_atoms is None:
+            self._n_atoms = n_atoms
+            self._fh.write(_rec(struct.pack("<i", n_atoms)))
+        elif n_atoms != self._n_atoms:
+            raise ValueError(
+                f"atom count changed mid-file ({self._n_atoms} -> {n_atoms})"
+            )
+        fh = self._fh
+        for f in range(k):
+            if cell is not None:
+                fh.write(_rec(cell[f].tobytes()))
+            for c in range(3):
+                fh.write(_rec(np.ascontiguousarray(arr[f, :, c]).tobytes()))
+        self._n_frames += k
+
+    def close(self):
+        if self._fh is None:
+            return
+        # back-patch NSET (icntrl[0]) and NSTEP (icntrl[3]); both sit
+        # inside the first record: 4 (reclen) + 4 (CORD) + i*4
+        self._fh.seek(4 + 4 + 0 * 4)
+        self._fh.write(struct.pack("<i", self._n_frames))
+        self._fh.seek(4 + 4 + 3 * 4)
+        self._fh.write(struct.pack("<i", self._n_frames))
+        self._fh.close()
+        self._fh = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
 
 
 def write_dcd(path, frames, *, title="written by molann_tpu", cell=None):
@@ -35,37 +111,8 @@ def write_dcd(path, frames, *, title="written by molann_tpu", cell=None):
     when given the CHARMM unit-cell flag is set and one cell record is
     written per frame.
     """
-    arr = np.ascontiguousarray(frames, dtype=np.float32)
-    if arr.ndim != 3 or arr.shape[-1] != 3:
-        raise ValueError(f"expected [n_frames, n_atoms, 3], got {arr.shape}")
-    n_frames, n_atoms = arr.shape[0], arr.shape[1]
-    if cell is not None:
-        cell = np.ascontiguousarray(cell, dtype=np.float64)
-        if cell.shape != (n_frames, 6):
-            raise ValueError(f"cell must be [n_frames, 6], got {cell.shape}")
-
-    icntrl = [0] * 20
-    icntrl[0] = n_frames          # NSET
-    icntrl[1] = 1                 # ISTART
-    icntrl[2] = 1                 # NSAVC
-    icntrl[3] = n_frames          # NSTEP
-    icntrl[10] = 1 if cell is not None else 0  # unit-cell flag
-    icntrl[19] = 24               # CHARMM version
-    header = b"CORD" + struct.pack("<20i", *icntrl)
-    assert len(header) == 84
-
-    tpad = title.encode()[:80].ljust(80)
-    title_rec = struct.pack("<i", 1) + tpad
-
-    with open(path, "wb") as fh:
-        fh.write(_rec(header))
-        fh.write(_rec(title_rec))
-        fh.write(_rec(struct.pack("<i", n_atoms)))
-        for f in range(n_frames):
-            if cell is not None:
-                fh.write(_rec(cell[f].tobytes()))
-            for c in range(3):
-                fh.write(_rec(np.ascontiguousarray(arr[f, :, c]).tobytes()))
+    with DCDWriter(path, title=title, has_cell=cell is not None) as w:
+        w.append(frames, cell=cell)
     return path
 
 

@@ -38,7 +38,26 @@ import struct
 
 import numpy as np
 
-__all__ = ["read_trr", "write_trr", "read_xtc", "write_xtc"]
+__all__ = ["read_trr", "write_trr", "read_xtc", "write_xtc",
+           "TRRWriter", "XTCWriter"]
+
+
+def _check_chunk(frames):
+    arr = np.ascontiguousarray(frames, dtype=np.float32)
+    if arr.ndim != 3 or arr.shape[-1] != 3:
+        raise ValueError(f"expected [n_frames, n_atoms, 3], got {arr.shape}")
+    return arr
+
+
+def _check_box(box, n_frames):
+    if box is None:
+        return None
+    box = np.ascontiguousarray(box, dtype=np.float32)
+    if box.shape == (3, 3):
+        box = np.broadcast_to(box, (n_frames, 3, 3))
+    elif box.shape != (n_frames, 3, 3):
+        raise ValueError("box must be [3,3] or [n_frames,3,3]")
+    return box
 
 
 # ---------------------------------------------------------------------------
@@ -49,24 +68,34 @@ _TRR_MAGIC = 1993
 _TRR_VERSION = b"GMX_trn_file"
 
 
-def write_trr(path, frames, *, box=None, start_step=0, dt=1.0):
-    """Write ``[n_frames, n_atoms, 3]`` float32 frames as a coordinate-only
-    TRR. ``box``: optional ``[3, 3]`` (applied to every frame) or
-    ``[n_frames, 3, 3]`` float32 box matrices."""
-    arr = np.ascontiguousarray(frames, dtype=np.float32)
-    if arr.ndim != 3 or arr.shape[-1] != 3:
-        raise ValueError(f"expected [n_frames, n_atoms, 3], got {arr.shape}")
-    n_frames, n_atoms = arr.shape[0], arr.shape[1]
-    if box is not None:
-        box = np.ascontiguousarray(box, dtype=np.float32)
-        if box.shape == (3, 3):
-            box = np.broadcast_to(box, (n_frames, 3, 3))
-        elif box.shape != (n_frames, 3, 3):
-            raise ValueError(f"box must be [3,3] or [n_frames,3,3]")
-    x_size = 3 * n_atoms * 4
-    box_size = 9 * 4 if box is not None else 0
-    with open(path, "wb") as fh:
-        for f in range(n_frames):
+class TRRWriter:
+    """Incremental coordinate-only TRR writer: frames are appended chunk
+    by chunk, so arbitrarily long trajectories stream through a bounded
+    buffer (``molann_tpu convert`` relies on this). Use as a context
+    manager; :func:`write_trr` is the one-shot convenience wrapper."""
+
+    def __init__(self, path, *, start_step=0, dt=1.0):
+        self._fh = open(path, "wb")
+        self._step = start_step
+        self._dt = dt
+        self._n_atoms = None
+
+    def append(self, frames, box=None):
+        """Append ``[k, n_atoms, 3]`` frames (atom count must match the
+        first chunk). ``box``: optional ``[3, 3]`` or ``[k, 3, 3]``."""
+        arr = _check_chunk(frames)
+        k, n_atoms = arr.shape[0], arr.shape[1]
+        if self._n_atoms is None:
+            self._n_atoms = n_atoms
+        elif n_atoms != self._n_atoms:
+            raise ValueError(
+                f"atom count changed mid-file ({self._n_atoms} -> {n_atoms})"
+            )
+        box = _check_box(box, k)
+        x_size = 3 * n_atoms * 4
+        box_size = 9 * 4 if box is not None else 0
+        fh = self._fh
+        for f in range(k):
             fh.write(struct.pack(">i", _TRR_MAGIC))
             # GROMACS string serialization: int(len+1 incl. NUL), then an
             # XDR string (int len, bytes, pad to 4)
@@ -74,16 +103,37 @@ def write_trr(path, frames, *, box=None, start_step=0, dt=1.0):
                                  len(_TRR_VERSION)))
             fh.write(_TRR_VERSION.ljust(-(-len(_TRR_VERSION) // 4) * 4,
                                         b"\x00"))
+            step = self._step
             fh.write(struct.pack(
                 ">13i",
                 0, 0, box_size, 0, 0, 0, 0,  # ir, e, box, vir, pres, top, sym
                 x_size, 0, 0,                # x, v, f
-                n_atoms, start_step + f, 0,  # natoms, step, nre
+                n_atoms, step, 0,            # natoms, step, nre
             ))
-            fh.write(struct.pack(">ff", (start_step + f) * dt, 0.0))  # t, λ
+            fh.write(struct.pack(">ff", step * self._dt, 0.0))  # t, λ
             if box is not None:
                 fh.write(box[f].astype(">f4").tobytes())
             fh.write(arr[f].astype(">f4").tobytes())
+            self._step += 1
+
+    def close(self):
+        if self._fh is not None:
+            self._fh.close()
+            self._fh = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def write_trr(path, frames, *, box=None, start_step=0, dt=1.0):
+    """Write ``[n_frames, n_atoms, 3]`` float32 frames as a coordinate-only
+    TRR. ``box``: optional ``[3, 3]`` (applied to every frame) or
+    ``[n_frames, 3, 3]`` float32 box matrices."""
+    with TRRWriter(path, start_step=start_step, dt=dt) as w:
+        w.append(frames, box=box)
     return path
 
 
@@ -473,6 +523,10 @@ def _decompress_frame(data, off, natoms):
         else:
             iout[i - 1] = this
         smallidx += is_smaller
+        if not (_FIRSTIDX <= smallidx < _LASTIDX):
+            # a corrupt is_smaller stream can walk smallidx out of the
+            # magic table (IndexError / zero-size ints otherwise)
+            raise ValueError(f"corrupt XTC smallidx walk to {smallidx}")
         if is_smaller < 0:
             smallnum = smaller
             smaller = (
@@ -489,32 +543,63 @@ def _decompress_frame(data, off, natoms):
     return out, end
 
 
-def write_xtc(path, frames, *, precision=1000.0, box=None, start_step=0,
-              dt=1.0):
-    """Write ``[n_frames, n_atoms, 3]`` frames as an XTC (compressed to
-    1/``precision`` absolute resolution). ``box``: optional ``[3, 3]`` or
-    ``[n_frames, 3, 3]``; zero box written when omitted."""
-    arr = np.ascontiguousarray(frames, dtype=np.float32)
-    if arr.ndim != 3 or arr.shape[-1] != 3:
-        raise ValueError(f"expected [n_frames, n_atoms, 3], got {arr.shape}")
-    n_frames, n_atoms = arr.shape[0], arr.shape[1]
-    if box is not None:
-        box = np.ascontiguousarray(box, dtype=np.float32)
-        if box.shape == (3, 3):
-            box = np.broadcast_to(box, (n_frames, 3, 3))
-        elif box.shape != (n_frames, 3, 3):
-            raise ValueError("box must be [3,3] or [n_frames,3,3]")
-    with open(path, "wb") as fh:
-        for f in range(n_frames):
-            fh.write(struct.pack(">iiif", _XTC_MAGIC, n_atoms,
-                                 start_step + f, (start_step + f) * dt))
+class XTCWriter:
+    """Incremental XTC writer (same streaming contract as
+    :class:`TRRWriter`); :func:`write_xtc` is the one-shot wrapper."""
+
+    def __init__(self, path, *, precision=1000.0, start_step=0, dt=1.0):
+        self._fh = open(path, "wb")
+        self._precision = float(precision)
+        self._step = start_step
+        self._dt = dt
+        self._n_atoms = None
+
+    def append(self, frames, box=None):
+        """Append ``[k, n_atoms, 3]`` frames (atom count must match the
+        first chunk). ``box``: optional ``[3, 3]`` or ``[k, 3, 3]``."""
+        arr = _check_chunk(frames)
+        k, n_atoms = arr.shape[0], arr.shape[1]
+        if self._n_atoms is None:
+            self._n_atoms = n_atoms
+        elif n_atoms != self._n_atoms:
+            raise ValueError(
+                f"atom count changed mid-file ({self._n_atoms} -> {n_atoms})"
+            )
+        box = _check_box(box, k)
+        fh = self._fh
+        for f in range(k):
+            step = self._step
+            fh.write(struct.pack(">iiif", _XTC_MAGIC, n_atoms, step,
+                                 step * self._dt))
             b = box[f] if box is not None else np.zeros((3, 3), np.float32)
             fh.write(np.asarray(b, dtype=">f4").tobytes())
             fh.write(struct.pack(">i", n_atoms))
             if n_atoms <= 9:
                 fh.write(arr[f].astype(">f4").tobytes())
             else:
-                fh.write(_compress_frame(arr[f], float(precision)))
+                fh.write(_compress_frame(arr[f], self._precision))
+            self._step += 1
+
+    def close(self):
+        if self._fh is not None:
+            self._fh.close()
+            self._fh = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def write_xtc(path, frames, *, precision=1000.0, box=None, start_step=0,
+              dt=1.0):
+    """Write ``[n_frames, n_atoms, 3]`` frames as an XTC (compressed to
+    1/``precision`` absolute resolution). ``box``: optional ``[3, 3]`` or
+    ``[n_frames, 3, 3]``; zero box written when omitted."""
+    with XTCWriter(path, precision=precision, start_step=start_step,
+                   dt=dt) as w:
+        w.append(frames, box=box)
     return path
 
 
@@ -531,6 +616,10 @@ def read_xtc(path):
             raise ValueError(
                 f"bad XTC magic {magic} at offset {off} (expected 1995)"
             )
+        if natoms <= 0:
+            # negative counts would walk the frame offset backwards;
+            # zero-atom frames are not a thing GROMACS writes
+            raise ValueError(f"corrupt XTC frame (natoms={natoms})")
         (t,) = struct.unpack_from(">f", data, off + 12)
         box = np.frombuffer(data, dtype=">f4", count=9,
                             offset=off + 16).reshape(3, 3)

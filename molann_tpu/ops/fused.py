@@ -1167,7 +1167,7 @@ def fused_cv_forces(model, x, *, component=None, tile=None,
         )
     if tile is None:
         tile = DEFAULT_BWD_TILE
-    _check_tile(tile, interpret, backward=True, remat=False)
+    _check_tile(tile, interpret, backward=True, remat=remat)
     # transposed [3n, l] input: the zero-copy fast path (no in-kernel
     # transpose, minimal HBM padding).
     transposed_in = transposed_input

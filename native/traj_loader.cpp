@@ -380,9 +380,26 @@ bool parse_trr_frame(const uint8_t* p, size_t size, size_t off,
     set_error("TRR frame carries no coordinates");
     return false;
   }
+  // Negative section sizes would wrap around when widened to size_t and can
+  // relocate x_off/end "in bounds" onto the wrong bytes — reject outright.
+  if (box_size < 0 || vir_size < 0 || pres_size < 0 || v_size < 0 ||
+      f_size < 0) {
+    set_error("corrupt TRR sizes (negative section size)");
+    return false;
+  }
   int width = box_size ? box_size / 9 : x_size / (3 * natoms);
   if (width != 4 && width != 8) {
     set_error("corrupt TRR sizes (unrecognized real width)");
+    return false;
+  }
+  // The x block must hold exactly 3*natoms reals: gather_trr_frame reads
+  // 3*natoms*width bytes from x_off, so a header whose natoms outruns its
+  // x_size (e.g. claims 50M atoms over a 24-byte payload) would read far
+  // past the mmap. Same check for the optional v/f blocks.
+  const int64_t want = 3ll * natoms * width;
+  if (x_size != want || (v_size != 0 && v_size != want) ||
+      (f_size != 0 && f_size != want)) {
+    set_error("corrupt TRR sizes (x/v/f size does not match natoms)");
     return false;
   }
   o += 2 * static_cast<size_t>(width);  // t, lambda
@@ -426,10 +443,14 @@ bool parse_trr_header(const uint8_t* p, size_t size, Loader* L) {
   return true;
 }
 
-void gather_trr_frame(const Loader* L, int64_t f, float* out) {
+bool gather_trr_frame(const Loader* L, int64_t f, float* out) {
   TrrFrame fr;
-  // re-parse the (tiny) header: frames may mix float/double widths
-  parse_trr_frame(L->base, L->map_size, L->frame_off[f], &fr);
+  // re-parse the (tiny) header: frames may mix float/double widths.
+  // The frame parsed at open time, but never trust a stale/aliased mmap:
+  // using an uninitialized TrrFrame on failure would read wild offsets.
+  if (!parse_trr_frame(L->base, L->map_size, L->frame_off[f], &fr)) {
+    return false;
+  }
   const uint8_t* x = L->base + fr.x_off;
   const int64_t n3 = L->floats_per_frame;
   if (fr.real_width == 4) {
@@ -439,6 +460,7 @@ void gather_trr_frame(const Loader* L, int64_t f, float* out) {
       out[k] = static_cast<float>(rd_be_f64(x + 8 * k));
     }
   }
+  return true;
 }
 
 // --- xdr3dfcoord decompression (the public GROMACS XTC scheme) ---
@@ -884,7 +906,10 @@ int tl_read_batch(void* handle, const int64_t* indices, int64_t count,
         break;
       case Format::TRR:
         for (int64_t i = lo; i < hi; i++) {
-          gather_trr_frame(L, indices[i], out + i * fpf);
+          if (!gather_trr_frame(L, indices[i], out + i * fpf)) {
+            failed.store(true);
+            return;
+          }
         }
         break;
       case Format::XTC:
@@ -937,7 +962,10 @@ int tl_read_range(void* handle, int64_t start, int64_t count, float* out) {
       break;
     case Format::TRR:
       for (int64_t i = 0; i < count; i++) {
-        gather_trr_frame(L, start + i, out + i * L->floats_per_frame);
+        if (!gather_trr_frame(L, start + i,
+                              out + i * L->floats_per_frame)) {
+          return -1;
+        }
       }
       break;
     case Format::XTC:

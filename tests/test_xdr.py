@@ -349,3 +349,115 @@ def test_trr_decoder_fuzz_no_crash(tmp_path, rng):
                     ldr.close()
             except (OSError, IndexError, ValueError):
                 pass
+
+
+# ---------------------------------------------------------------------------
+# round-3 hardening: header/payload consistency + streaming writers
+# ---------------------------------------------------------------------------
+
+
+def _craft_trr_overclaimed_natoms(real_frame, claimed_natoms):
+    """A TRR frame whose 13-int header claims `claimed_natoms` atoms but
+    whose x block only holds `real_frame` — box_size pins the real width,
+    so a decoder trusting natoms would read 3*natoms*4 bytes past EOF
+    (the round-2 advisor's SIGBUS repro, ADVICE.md high finding)."""
+    n_real = real_frame.shape[0]
+    buf = bytearray()
+    buf += struct.pack(">i", 1993)
+    buf += struct.pack(">ii", 13, 12) + b"GMX_trn_file"
+    buf += struct.pack(">13i", 0, 0, 36, 0, 0, 0, 0,  # box_size=36 => f32
+                       3 * n_real * 4, 0, 0,          # x, v, f
+                       claimed_natoms, 0, 0)
+    buf += struct.pack(">ff", 0.0, 0.0)
+    buf += np.eye(3, dtype=">f4").tobytes()
+    buf += real_frame.astype(">f4").tobytes()
+    return bytes(buf)
+
+
+def test_native_trr_rejects_overclaimed_natoms(tmp_path, rng):
+    from molann_tpu.io import native_loader
+
+    if not native_loader.available():
+        pytest.skip("native loader unavailable (no compiler)")
+    frame = rng.normal(0, 1, (8, 3)).astype(np.float32)
+    p = tmp_path / "evil.trr"
+    p.write_bytes(_craft_trr_overclaimed_natoms(frame, 50_000_000))
+    with pytest.raises((OSError, ValueError)):
+        ldr = native_loader.NativeTrajLoader(p)
+        try:
+            ldr.read_range(0, ldr.n_frames)
+        finally:
+            ldr.close()
+
+
+def test_native_trr_rejects_negative_section_sizes(tmp_path, rng):
+    """Negative v/f sizes would wrap to huge size_t offsets; both decoders
+    must reject the frame rather than relocate reads."""
+    from molann_tpu.io import native_loader
+
+    if not native_loader.available():
+        pytest.skip("native loader unavailable (no compiler)")
+    frame = rng.normal(0, 1, (8, 3)).astype(np.float32)
+    buf = bytearray(_craft_trr_overclaimed_natoms(frame, 8))
+    # v_size is the 9th of the 13 ints: header starts at 4+8+12 = 24
+    struct.pack_into(">i", buf, 24 + 8 * 4, -96)
+    p = tmp_path / "neg.trr"
+    p.write_bytes(bytes(buf))
+    with pytest.raises((OSError, ValueError)):
+        ldr = native_loader.NativeTrajLoader(p)
+        try:
+            ldr.read_range(0, ldr.n_frames)
+        finally:
+            ldr.close()
+
+
+def test_xtc_nonpositive_natoms_rejected(tmp_path, frames):
+    path = tmp_path / "n.xtc"
+    write_xtc(path, frames)
+    for bad in (0, -3):
+        raw = bytearray(path.read_bytes())
+        struct.pack_into(">i", raw, 4, bad)  # outer natoms field
+        evil = tmp_path / f"n{bad}.xtc"
+        evil.write_bytes(bytes(raw))
+        with pytest.raises(ValueError):
+            read_xtc(evil)
+
+
+def test_streaming_writers_match_oneshot(tmp_path, frames):
+    """Chunked appends through TRRWriter/XTCWriter/DCDWriter produce
+    byte-identical files to the one-shot write_* calls (the convert CLI
+    streams through these: ADVICE.md round-2 low finding)."""
+    from molann_tpu.io.dcd import DCDWriter, write_dcd
+    from molann_tpu.io.xdr import TRRWriter, XTCWriter
+
+    splits = [frames[:4], frames[4:5], frames[5:]]
+
+    write_trr(tmp_path / "one.trr", frames, start_step=3, dt=0.5)
+    with TRRWriter(tmp_path / "s.trr", start_step=3, dt=0.5) as w:
+        for c in splits:
+            w.append(c)
+    assert (tmp_path / "s.trr").read_bytes() == \
+        (tmp_path / "one.trr").read_bytes()
+
+    write_xtc(tmp_path / "one.xtc", frames, precision=500.0)
+    with XTCWriter(tmp_path / "s.xtc", precision=500.0) as w:
+        for c in splits:
+            w.append(c)
+    assert (tmp_path / "s.xtc").read_bytes() == \
+        (tmp_path / "one.xtc").read_bytes()
+
+    write_dcd(tmp_path / "one.dcd", frames)
+    with DCDWriter(tmp_path / "s.dcd") as w:
+        for c in splits:
+            w.append(c)
+    assert (tmp_path / "s.dcd").read_bytes() == \
+        (tmp_path / "one.dcd").read_bytes()
+
+
+def test_streaming_writers_reject_atom_count_change(tmp_path, frames):
+    from molann_tpu.io.xdr import TRRWriter
+
+    with TRRWriter(tmp_path / "c.trr") as w:
+        w.append(frames[:2])
+        with pytest.raises(ValueError, match="atom count"):
+            w.append(frames[:1, : frames.shape[1] - 1])
