@@ -152,7 +152,10 @@ class AlignmentLayer(PytreeNode):
     :param input_atom_group: atoms forming the network input
     :param method: rotation solver — ``'qcp'`` (default, differentiable
         quaternion method), ``'eigh'``, or ``'svd'`` (the reference's
-        construction; see :mod:`molann_tpu.ops.alignment`)
+        construction; see :mod:`molann_tpu.ops.alignment`). ``'eigh'``
+        gradients NaN on degenerate spectra (symmetric/collinear align
+        groups — see :func:`molann_tpu.ops.alignment.rotation_eigh`); a
+        ``UserWarning`` is issued at construction steering to ``'qcp'``.
 
     ``ref_x`` is the align-group positions centered once at construction
     (reference molann/ann.py:135-141) and is stored as a pytree leaf.
@@ -174,6 +177,19 @@ class AlignmentLayer(PytreeNode):
             raise ValueError(
                 f"unknown rotation method {method!r}; "
                 f"choose from {sorted(ROTATION_METHODS)}"
+            )
+        if method == "eigh":
+            import warnings
+
+            warnings.warn(
+                "AlignmentLayer(method='eigh'): jax.grad through the "
+                "batched-eigh rotation solver produces NaNs when the "
+                "quaternion matrix has a degenerate lower spectrum "
+                "(symmetric or collinear align groups, e.g. planar "
+                "systems near self-alignment). Use method='qcp' (the "
+                "default) for gradient work.",
+                UserWarning,
+                stacklevel=2,
             )
         self.align_atom_indices = tuple(int(i) for i in align_atom_group.ix)
         self.input_atom_indices = tuple(int(i) for i in input_atom_group.ix)

@@ -123,7 +123,17 @@ def quaternion_to_rotation(q):
 
 
 def rotation_eigh(H):
-    """Rotation via the top eigenvector of Horn's 4x4 (batched eigh)."""
+    """Rotation via the top eigenvector of Horn's 4x4 (batched eigh).
+
+    .. warning:: XLA's batched ``eigh`` VJP divides by eigenvalue gaps, so
+       ``jax.grad`` through this solver produces NaNs whenever the LOWER
+       spectrum of ``K`` is degenerate — which symmetric configurations
+       (equilateral/square/collinear align groups, near-self-alignment of
+       planar systems) hit exactly. The failure envelope is pinned by
+       tests/test_alignment.py::test_eigh_grad_nan_envelope. Values
+       (forward) are always fine; for gradients prefer ``qcp``, whose
+       adjugate construction has no gap division.
+    """
     K = _quaternion_matrix(H)
     _, v = jnp.linalg.eigh(K)  # ascending eigenvalues
     q = v[..., :, -1]

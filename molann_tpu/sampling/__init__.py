@@ -1,0 +1,28 @@
+"""Enhanced-sampling building blocks: the downstream consumer the
+reference feeds but never ships.
+
+The reference's artifacts exist to drive biased MD (reference
+README.rst:51 — "adaptive learning of reaction coordinates"); this
+subpackage closes that loop in-framework: a differentiable toy
+internal-coordinate force field (:mod:`potentials`), an overdamped
+Langevin integrator built on ``lax.scan`` (:mod:`langevin`), and CV-space
+biases — steered-MD moving restraints and well-tempered-style
+metadynamics — whose forces come from differentiating a MolANN model's
+collective variables w.r.t. coordinates (:mod:`bias`).
+
+Everything is jit/vmap-friendly: walkers are a leading batch axis, steps
+are a ``lax.scan``, deposits are ``dynamic_update_slice`` writes — the
+whole biased trajectory runs as ONE compiled TPU program.
+"""
+
+from .bias import MetadBias, metadynamics_langevin, steered_langevin
+from .langevin import overdamped_langevin
+from .potentials import ToyPeptidePotential
+
+__all__ = [
+    "ToyPeptidePotential",
+    "overdamped_langevin",
+    "steered_langevin",
+    "metadynamics_langevin",
+    "MetadBias",
+]

@@ -1,0 +1,171 @@
+"""CV-space biases driven by a MolANN model's coordinate gradients.
+
+This is the downstream-consumer side of the reference's contract: a
+trained CV model (MolANN / PreprocessingANN) is differentiated w.r.t.
+atomic coordinates and the chain rule turns a bias potential in CV space
+into forces on atoms. ``jax.grad`` composes the chain automatically, so
+a bias is just an extra energy term ``V(cv_model(x))`` handed to the
+integrator; on the serving path the same gradients come out of the fused
+Pallas kernel (ops/fused.py fused_cv_forces — parity is checked in
+scripts/tpu_validation.py).
+
+Two biases:
+
+- :func:`steered_langevin` — a harmonic restraint whose center walks
+  linearly from ``s0`` to ``s1`` in CV space (steered MD).
+- :func:`metadynamics_langevin` — multiple-walker metadynamics: every
+  ``stride`` steps each walker deposits a Gaussian at its current CV;
+  the accumulated :class:`MetadBias` pushes walkers out of visited
+  basins (history-dependent flattening of the CV free-energy surface).
+
+Both run as ONE compiled program: deposits are
+``lax.dynamic_update_slice`` writes into a statically-sized center
+buffer, periods are ``lax.scan`` iterations.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .langevin import overdamped_langevin
+
+__all__ = ["MetadBias", "steered_langevin", "metadynamics_langevin"]
+
+
+class MetadBias:
+    """Accumulated metadynamics bias: Gaussians of ``height`` and width
+    ``sigma`` at ``centers [k, d]`` in CV space. ``energy(cv [W, d]) ->
+    [W]``; callable on coordinates via a cv_fn at construction."""
+
+    def __init__(self, centers, height, sigma, n_active=None):
+        self.centers = jnp.asarray(centers, dtype=jnp.float32)
+        self.height = float(height)
+        self.sigma = float(sigma)
+        k = self.centers.shape[0]
+        self.n_active = k if n_active is None else n_active
+
+    def energy(self, cv):
+        diff = cv[:, None, :] - self.centers[None, :, :]
+        g = jnp.exp(
+            -jnp.sum(diff * diff, axis=-1) / (2.0 * self.sigma**2)
+        )
+        mask = (
+            jnp.arange(self.centers.shape[0]) < self.n_active
+        ).astype(cv.dtype)
+        return self.height * jnp.sum(g * mask[None, :], axis=-1)
+
+    def free_energy_estimate(self, grid):
+        """``-V(s)`` on a ``[m, d]`` grid of CV points: the standard
+        metadynamics free-energy estimator (up to a constant)."""
+        return -self.energy(jnp.asarray(grid, dtype=jnp.float32))
+
+
+def steered_langevin(energy_fn, cv_model, x0, *, s0, s1, k_spring,
+                     n_steps, dt, kT, key, thin=10):
+    """Steered MD: pull the model's CV from ``s0`` to ``s1`` with a
+    moving harmonic restraint (piecewise-constant within each ``thin``
+    window).
+
+    cv_model: ``[W, n, 3] -> [W, d]`` (a MolANN/PreprocessingANN model).
+    Returns ``(traj [n_steps//thin, W, n, 3], x_final)``.
+    """
+    if n_steps % thin:
+        raise ValueError("n_steps must be a multiple of thin")
+    n_periods = n_steps // thin
+    s0 = jnp.asarray(s0, dtype=jnp.float32)
+    s1 = jnp.asarray(s1, dtype=jnp.float32)
+    frac = jnp.linspace(0.0, 1.0, n_periods, dtype=jnp.float32)
+    schedule = s0[None, :] + frac[:, None] * (s1 - s0)[None, :]
+
+    def total(x, s):
+        bias = 0.5 * k_spring * jnp.sum((cv_model(x) - s[None, :]) ** 2,
+                                        axis=-1)
+        return jnp.sum(energy_fn(x)) + jnp.sum(bias)
+
+    grad = jax.grad(total)
+    dt = jnp.float32(dt)
+    noise_scale = jnp.sqrt(2.0 * jnp.float32(kT) * dt)
+
+    def inner(x, ks):
+        k, s = ks
+        xi = jax.random.normal(k, x.shape, dtype=x.dtype)
+        return x - dt * grad(x, s) + noise_scale * xi, None
+
+    def outer(x, per):
+        k, s = per
+        x, _ = jax.lax.scan(
+            inner, x, (jax.random.split(k, thin),
+                       jnp.broadcast_to(s, (thin,) + s.shape))
+        )
+        return x, x
+
+    keys = jax.random.split(key, n_periods)
+    x_final, traj = jax.lax.scan(outer, jnp.asarray(x0, jnp.float32),
+                                 (keys, schedule))
+    return traj, x_final
+
+
+def metadynamics_langevin(energy_fn, cv_model, x0, *, n_steps, dt, kT,
+                          key, height, sigma, stride):
+    """Multiple-walker metadynamics along the model's CV.
+
+    Every ``stride`` steps each of the W walkers deposits one Gaussian
+    at its current CV value; all walkers feel all deposits. One period's
+    dynamics run with the bias frozen (the usual adiabatic
+    approximation), then the deposit happens — so the whole run is a
+    scan over ``n_steps // stride`` periods.
+
+    Returns ``(traj [n_periods, W, n, 3] recorded at period ends,
+    x_final, bias)`` where ``bias`` is the accumulated
+    :class:`MetadBias` (centers ``[n_periods * W, d]``).
+    """
+    if n_steps % stride:
+        raise ValueError("n_steps must be a multiple of stride")
+    x0 = jnp.asarray(x0, dtype=jnp.float32)
+    n_periods = n_steps // stride
+    W = x0.shape[0]
+    d = cv_model(x0[:1]).shape[-1]
+    sigma = float(sigma)
+    height = float(height)
+
+    centers0 = jnp.zeros((n_periods * W, d), dtype=jnp.float32)
+
+    def bias_energy(x, centers, n_active):
+        cv = cv_model(x)
+        diff = cv[:, None, :] - centers[None, :, :]
+        g = jnp.exp(-jnp.sum(diff * diff, axis=-1) / (2.0 * sigma**2))
+        mask = (jnp.arange(centers.shape[0]) < n_active).astype(x.dtype)
+        return height * jnp.sum(g * mask[None, :], axis=-1)
+
+    def total(x, centers, n_active):
+        return jnp.sum(energy_fn(x)) + jnp.sum(
+            bias_energy(x, centers, n_active)
+        )
+
+    grad = jax.grad(total)
+    dt_ = jnp.float32(dt)
+    noise_scale = jnp.sqrt(2.0 * jnp.float32(kT) * dt_)
+
+    def inner(carry, k):
+        x, centers, n_active = carry
+        xi = jax.random.normal(k, x.shape, dtype=x.dtype)
+        x = x - dt_ * grad(x, centers, n_active) + noise_scale * xi
+        return (x, centers, n_active), None
+
+    def period(carry, pk):
+        p, k = pk
+        (x, centers, n_active), _ = jax.lax.scan(
+            inner, carry, jax.random.split(k, stride)
+        )
+        centers = jax.lax.dynamic_update_slice(
+            centers, cv_model(x), (p * W, 0)
+        )
+        return (x, centers, n_active + W), x
+
+    keys = jax.random.split(key, n_periods)
+    (x_final, centers, _), traj = jax.lax.scan(
+        period, (x0, centers0, jnp.int32(0)),
+        (jnp.arange(n_periods), keys),
+    )
+    return traj, x_final, MetadBias(centers, height, sigma)
