@@ -52,6 +52,18 @@ class Feature:
     Raises ``NotImplementedError`` for unknown types, ``IndexError`` for
     repeated atoms, ``AssertionError`` for wrong atom counts — matching the
     reference's exception classes (reference molann/feature.py:79-97).
+
+    Example (runnable; executed by tests/test_docs.py):
+
+    >>> from molann_tpu.systems import alanine_universe
+    >>> u = alanine_universe()
+    >>> f = Feature("b1", "bond", u.select_atoms("bynum 2 5"))
+    >>> f.get_type_id()
+    1
+    >>> f.get_atom_indices().tolist()   # 1-based, like the reference
+    [2, 5]
+    >>> f
+    Feature(name='b1', type='bond', atoms(1-based)=[2, 5])
     """
 
     def __init__(self, name, feature_type, atom_group):
@@ -133,6 +145,24 @@ class FeatureFileReader:
     comma-separated ``name, type, selector[, selector...]``; ``#`` starts a
     comment line; atom groups are built by ``+``-concatenating one selection
     per selector field, preserving selector order.
+
+    Example (runnable; executed by tests/test_docs.py):
+
+    >>> import os, tempfile
+    >>> from molann_tpu.systems import alanine_universe
+    >>> u = alanine_universe()
+    >>> path = os.path.join(tempfile.mkdtemp(), "features.txt")
+    >>> _ = open(path, "w").write(
+    ...     "[Output]\\n"
+    ...     "b1, bond, bynum 2 5\\n"
+    ...     "d1, dihedral, bynum 5, bynum 7, bynum 9, bynum 15\\n"
+    ...     "[End]\\n")
+    >>> reader = FeatureFileReader(path, "Output", u)
+    >>> feats = reader.read()
+    >>> [f.get_name() for f in feats]
+    ['b1', 'd1']
+    >>> reader.get_num_of_features()
+    2
     """
 
     def __init__(self, feature_file, section_name, universe):

@@ -108,6 +108,18 @@ def create_sequential_nn(layer_dims, activation=jnp.tanh, *, key=None,
 
     Initialization matches ``torch.nn.Linear``'s default: both weight and
     bias ~ U(-1/√fan_in, 1/√fan_in), so training dynamics are comparable.
+
+    Example (runnable; executed by tests/test_docs.py, mirroring the
+    reference's docstring examples at molann/ann.py:88-112):
+
+    >>> import jax, jax.numpy as jnp
+    >>> nn = create_sequential_nn([2, 5, 3], key=jax.random.PRNGKey(0))
+    >>> len(nn)                      # two Linear layers
+    2
+    >>> nn.output_dimension()
+    3
+    >>> nn(jnp.ones((4, 2))).shape   # [batch, d_out]
+    (4, 3)
     """
     assert len(layer_dims) >= 2, (
         "Error: at least 2 layers are needed to define a neural network "
@@ -161,6 +173,20 @@ class AlignmentLayer(PytreeNode):
     (reference molann/ann.py:135-141) and is stored as a pytree leaf.
     Forward maps ``[l, n_inp, 3] → [l, n_inp, 3]``: the whole input is
     translated by the align-subset centroid and rotated.
+
+    Example (reference molann/ann.py:88-112):
+
+    >>> import jax.numpy as jnp
+    >>> from molann_tpu.systems import alanine_universe
+    >>> u = alanine_universe()
+    >>> align = AlignmentLayer(u.select_atoms("bynum 1 2 5"), u.atoms)
+    >>> x = jnp.asarray(u.atoms.positions[None])   # [1, 22, 3]
+    >>> aligned = align(x)
+    >>> aligned.shape
+    (1, 22, 3)
+    >>> # self-alignment maps the align atoms onto the centered reference
+    >>> bool(jnp.allclose(aligned[0, [0, 1, 4]], align.ref_x, atol=1e-5))
+    True
     """
 
     __leaves__ = ("ref_x",)
@@ -243,6 +269,20 @@ class FeatureMap(PytreeNode):
     :param feature: :class:`~molann_tpu.feature.Feature`
     :param input_atom_group: input atoms (must contain the feature's atoms)
     :param use_angle_value: radians instead of cos/sin values
+
+    Example (golden value from BASELINE.md; reference molann/ann.py:219-241):
+
+    >>> import numpy as np, jax.numpy as jnp
+    >>> from molann_tpu.feature import Feature
+    >>> from molann_tpu.systems import alanine_universe
+    >>> u = alanine_universe()
+    >>> fmap = FeatureMap(
+    ...     Feature("b1", "bond", u.select_atoms("bynum 2 5")), u.atoms)
+    >>> fmap.dim()
+    1
+    >>> x = jnp.asarray(u.atoms.positions[None])
+    >>> print(np.round(np.asarray(fmap(x)), 4))
+    [[1.5297]]
     """
 
     __leaves__ = ()
@@ -306,6 +346,25 @@ class FeatureLayer(PytreeNode):
     per-feature ``torch.cat`` (molann/ann.py:473); internally the features
     are computed type-grouped in one vectorized chain per type via the
     compiled spec (:mod:`molann_tpu.spec`).
+
+    Example (reference molann/ann.py:379-415; golden values BASELINE.md):
+
+    >>> import numpy as np, jax.numpy as jnp
+    >>> from molann_tpu.feature import Feature
+    >>> from molann_tpu.systems import alanine_universe
+    >>> u = alanine_universe()
+    >>> feats = [Feature("b1", "bond", u.select_atoms("bynum 2 5")),
+    ...          Feature("a1", "angle", u.select_atoms("bynum 20")
+    ...                  + u.select_atoms("bynum 19")
+    ...                  + u.select_atoms("bynum 21"))]
+    >>> layer = FeatureLayer(feats, u.atoms)
+    >>> layer.output_dimension()
+    2
+    >>> layer.get_feature(0).get_name()
+    'b1'
+    >>> x = jnp.asarray(u.atoms.positions[None])
+    >>> print(np.round(np.asarray(layer(x)), 4))   # columns in list order
+    [[ 1.5297 -0.3328]]
     """
 
     __leaves__ = ("feature_map_list",)
@@ -359,6 +418,22 @@ class PreprocessingANN(PytreeNode):
     :param align_layer: :class:`AlignmentLayer` or ``None`` (replaced by
         :class:`Identity`, like the reference at molann/ann.py:539-542)
     :param feature_layer: :class:`FeatureLayer`
+
+    Example (reference molann/ann.py:483-529):
+
+    >>> import jax.numpy as jnp
+    >>> from molann_tpu.feature import Feature
+    >>> from molann_tpu.systems import alanine_universe
+    >>> u = alanine_universe()
+    >>> flayer = FeatureLayer(
+    ...     [Feature("b1", "bond", u.select_atoms("bynum 2 5"))], u.atoms)
+    >>> pp = PreprocessingANN(None, flayer)   # None -> Identity alignment
+    >>> type(pp.align_layer).__name__
+    'Identity'
+    >>> pp.output_dimension()
+    1
+    >>> pp(jnp.asarray(u.atoms.positions[None])).shape
+    (1, 1)
     """
 
     __leaves__ = ("align_layer", "feature_layer")
@@ -380,7 +455,27 @@ class PreprocessingANN(PytreeNode):
 @register_model
 class MolANN(PytreeNode):
     """Full model: preprocessing + trainable network
-    (reference molann/ann.py:567-625)."""
+    (reference molann/ann.py:567-625).
+
+    Example (reference molann/ann.py:576-599); the model object is a JAX
+    pytree, so it composes directly with ``jax.jit`` / ``jax.grad``:
+
+    >>> import jax, jax.numpy as jnp
+    >>> from molann_tpu.feature import Feature
+    >>> from molann_tpu.systems import alanine_universe
+    >>> u = alanine_universe()
+    >>> pp = PreprocessingANN(None, FeatureLayer(
+    ...     [Feature("b1", "bond", u.select_atoms("bynum 2 5"))], u.atoms))
+    >>> model = MolANN(pp, create_sequential_nn([pp.output_dimension(), 5, 2]))
+    >>> x = jnp.asarray(u.atoms.positions[None])
+    >>> jax.jit(lambda m, x: m(x))(model, x).shape
+    (1, 2)
+    >>> g = jax.grad(lambda x: model(x).sum())(x)   # coordinate gradients
+    >>> bool((jnp.linalg.norm(g[0, [1, 4]], axis=-1) > 0).all())
+    True
+    >>> bool(jnp.abs(g[0, 0]).max() == 0)   # non-feature atom: zero grad
+    True
+    """
 
     __leaves__ = ("preprocessing_layer", "ann_layers")
     __static__ = ()
