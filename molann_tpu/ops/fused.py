@@ -756,6 +756,25 @@ def _extract_model(model, dtype):
     return spec, align_idx, ref_x, params, activation
 
 
+def resolve_precision(precision: str, *, training: bool) -> str:
+    """The shipped precision policy (VERDICT r2 next #4; error budget in
+    docs/design.md): ``"auto"`` resolves to ``"tf32"`` on TRAINING paths
+    (fused_train_grads / make_fused_train_step — the measured ~5e-3
+    relative coordinate-gradient error sits beneath SGD noise, for +21%
+    throughput on blocked systems; convergence pinned by
+    tests/test_train.py::test_tf32_policy_convergence) and to ``"exact"``
+    on SERVING paths (forward / cv+forces — biased-MD consumers get
+    f32-faithful values). Explicit names pass through unchanged."""
+    if precision == "auto":
+        return "tf32" if training else "exact"
+    if precision not in ("exact", "tf32", "bf16"):
+        raise ValueError(
+            f"unknown precision {precision!r}: "
+            "choose 'auto', 'exact', 'tf32', or 'bf16'"
+        )
+    return precision
+
+
 def fused_model_forward(model, x, *, tile=None, bwd_tile=None,
                         interpret=False, mode="auto", precision="exact"):
     """Run a ``MolANN`` (or ``PreprocessingANN``/``FeatureLayer``) through
@@ -769,8 +788,10 @@ def fused_model_forward(model, x, *, tile=None, bwd_tile=None,
     model). precision (blocked mode): ``"exact"`` (f32-faithful, default),
     ``"tf32"`` (~1e-5 relative), or ``"bf16"`` (~2e-3 relative, fastest) —
     see docs/design.md for the error budget; the unrolled kernel has no
-    matmuls and ignores it.
+    matmuls and ignores it. ``"auto"`` = the shipped policy
+    (:func:`resolve_precision`): exact on this serving path.
     """
+    precision = resolve_precision(precision, training=False)
     spec, align_idx, ref_x, params, activation = _extract_model(model, x.dtype)
     n_atoms = spec.n_input_atoms
     if mode == "auto":
@@ -890,7 +911,7 @@ def _grads_like(model, gparams, gref):
 
 def fused_train_grads(model, x, y_target, *, tile=None, interpret=False,
                       transposed_input=False, mode="auto",
-                      precision="exact", train_ref=False):
+                      precision="auto", train_ref=False):
     """MSE loss AND its parameter/ref gradients in one fused kernel.
 
     The single-kernel training path: one HBM read of the trajectory batch,
@@ -907,7 +928,12 @@ def fused_train_grads(model, x, y_target, *, tile=None, interpret=False,
     (default) treats the alignment reference as the frozen buffer it is in
     the reference and skips its (expensive QCP-chain) gradient entirely;
     set True to get real ``ref_x`` gradients.
+
+    precision defaults to ``"auto"`` = ``"tf32"`` here (the shipped
+    training policy, :func:`resolve_precision`: +21% measured on blocked
+    systems, convergence pinned in tests); pass ``"exact"`` to opt out.
     """
+    precision = resolve_precision(precision, training=True)
     spec, align_idx, ref_x, params, activation = _extract_model(model, x.dtype)
     if mode == "auto":
         mode = select_mode(spec, spec.n_input_atoms)
@@ -1147,6 +1173,7 @@ def fused_cv_forces(model, x, *, component=None, tile=None,
 
     Returns ``(cv_values, gradients)``. (Forces are ``-gradients``.)
     """
+    precision = resolve_precision(precision, training=False)
     spec, align_idx, ref_x, params, activation = _extract_model(model, x.dtype)
     if mode == "auto":
         mode = select_mode(spec, spec.n_input_atoms)

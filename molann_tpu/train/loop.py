@@ -99,7 +99,7 @@ def make_train_step(loss_fn, optimizer, mesh=None, *, donate=False):
 
 def make_fused_train_step(optimizer, mesh=None, *, tile=None,
                           transposed_input=False, interpret=False,
-                          mode="auto", precision="exact", train_ref=False,
+                          mode="auto", precision="auto", train_ref=False,
                           donate=False):
     """Build a jitted MSE training step on the single-kernel fused path.
 
@@ -111,6 +111,10 @@ def make_fused_train_step(optimizer, mesh=None, *, tile=None,
     ``transposed_input``, ``x [3n, l]`` and ``y [d, l]`` (the fast
     layouts). With ``mesh``, the batch shards over the data axis and XLA
     reduces the gradients over ICI exactly as in :func:`make_train_step`.
+
+    precision defaults to ``"auto"`` = tf32 on this training path (the
+    shipped policy — see
+    :func:`molann_tpu.ops.fused.resolve_precision`).
     """
     from ..ops.fused import fused_train_grads
 

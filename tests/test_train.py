@@ -109,3 +109,63 @@ def test_tail_batch_respects_multiple_of(tmp_path, rng):
         multiple_of=4, backend="numpy",
     ))
     assert [b.shape[0] for b in batches] == [8, 8]
+
+
+def test_resolve_precision_policy():
+    from molann_tpu.ops.fused import resolve_precision
+
+    assert resolve_precision("auto", training=True) == "tf32"
+    assert resolve_precision("auto", training=False) == "exact"
+    for p in ("exact", "tf32", "bf16"):
+        assert resolve_precision(p, training=True) == p
+        assert resolve_precision(p, training=False) == p
+    with pytest.raises(ValueError, match="unknown precision"):
+        resolve_precision("fp8", training=True)
+
+
+def test_tf32_policy_convergence(rng):
+    """The shipped precision='auto' (tf32) training policy (VERDICT r2
+    next #4): same model, same data, tf32-vs-exact training tracks within
+    tolerance and both converge (blocked formulation, where the edge
+    matmul pass count is what precision controls)."""
+    import jax
+    import optax
+
+    from molann_tpu.ops.fused import fused_train_grads
+    from molann_tpu.systems import alanine_model
+
+    model, u = alanine_model(hidden_dims=(8, 2))
+    x = jnp.asarray(
+        u.atoms.positions[None]
+        + 0.05 * rng.standard_normal((256, 22, 3)).astype(np.float32)
+    )
+    y = jnp.asarray(rng.standard_normal((256, 2)).astype(np.float32))
+
+    def train(precision):
+        opt = optax.adam(5e-3)
+        m = model
+        state = opt.init(m)
+
+        @jax.jit
+        def step(m, state):
+            loss, grads = fused_train_grads(
+                m, x, y, mode="blocked", interpret=True, tile=64,
+                precision=precision,
+            )
+            updates, state = opt.update(grads, state, m)
+            return optax.apply_updates(m, updates), state, loss
+
+        losses = []
+        for _ in range(40):
+            m, state, loss = step(m, state)
+            losses.append(float(loss))
+        return losses
+
+    exact = train("exact")
+    tf32 = train("auto")  # auto -> tf32 on the training path
+    assert exact[-1] < exact[0] and tf32[-1] < tf32[0]  # both converge
+    # tf32 noise (~2^-17 relative on the edge matmuls) is far beneath
+    # optimization noise: final losses agree to a fraction of the total
+    # loss decrease
+    drop = exact[0] - exact[-1]
+    assert abs(tf32[-1] - exact[-1]) < 0.05 * drop
