@@ -301,8 +301,19 @@ def cmd_convert(args):
 
 def cmd_export(args):
     from .io import export_stablehlo
+    from .io.export import export_bundle
 
     model = _load_model(args.model)
+    if args.batch_sizes:
+        sizes = [int(b) for b in args.batch_sizes.split(",")]
+        export_bundle(
+            model, n_atoms=args.n_atoms, path=args.out,
+            batch_sizes=sizes, with_gradient=args.with_gradient,
+            fused=args.fused,
+        )
+        print(f"wrote {args.out} (bundle, buckets "
+              f"{sorted(sizes, reverse=True)})")
+        return 0
     if (args.raw_mlir or args.fused) and args.export_batch is None:
         raise SystemExit(
             "error: --raw-mlir/--fused require --batch (fixed shape)")
@@ -416,6 +427,10 @@ def main(argv=None):
     px.add_argument("--fused", action="store_true",
                     help="bake the fused Pallas serving kernel into the "
                          "artifact (TPU-only; requires --batch)")
+    px.add_argument("--batch-sizes", default=None,
+                    help="comma-separated bucket sizes -> write a "
+                         "multi-bucket BUNDLE (shape-flexible serving in "
+                         "native/serve_pjrt.cpp), e.g. 4096,1024,256")
     px.set_defaults(fn=cmd_export)
 
     pb = sub.add_parser("build", help="build a model from PDB + feature file")

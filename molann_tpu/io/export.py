@@ -12,11 +12,19 @@ module as constants, exactly like TorchScript bakes its buffers.
 
 from __future__ import annotations
 
+import struct
+
 import jax
 import jax.numpy as jnp
 from jax import export as jax_export
 
-__all__ = ["export_stablehlo", "load_stablehlo"]
+__all__ = ["export_stablehlo", "export_bundle", "read_bundle",
+           "load_stablehlo"]
+
+#: Bundle container magic (native/serve_pjrt.cpp load_artifacts):
+#: 8-byte magic, u32 LE count, then per entry u64 LE batch, u64 LE
+#: nbytes, module bytes.
+BUNDLE_MAGIC = b"MOLANNB1"
 
 
 def export_stablehlo(model, n_atoms, path=None, *, with_gradient=False,
@@ -110,6 +118,69 @@ def export_stablehlo(model, n_atoms, path=None, *, with_gradient=False,
         with open(path, "wb") as fh:
             fh.write(blob)
     return blob
+
+
+def export_bundle(model, n_atoms, path=None, *, batch_sizes=(4096, 1024),
+                  with_gradient=False, platforms=None, fused=False,
+                  tile=None):
+    """Serialize a MULTI-BUCKET artifact: one fixed-batch raw StableHLO
+    module per entry of ``batch_sizes``, in one file the C++ serving
+    container consumes directly (native/serve_pjrt.cpp).
+
+    A bare PJRT runtime cannot refine shape-polymorphic modules, so
+    fixed batches are the price of no-Python serving; bundling several
+    lets the container run the largest bucket that fits the remaining
+    frames and pad only the final sub-smallest-bucket tail — arbitrary
+    trajectory lengths at kernel speed (VERDICT r2 next #1 /
+    ROADMAP #3).
+
+    Format: ``b"MOLANNB1"``, u32 LE count, then per entry u64 LE batch,
+    u64 LE byte count, module bytes. Returns the serialized bytes.
+    """
+    sizes = sorted({int(b) for b in batch_sizes}, reverse=True)
+    if not sizes or sizes[-1] <= 0:
+        raise ValueError(f"batch_sizes must be positive, got {batch_sizes}")
+    entries = []
+    for b in sizes:
+        blob = export_stablehlo(
+            model, n_atoms, with_gradient=with_gradient, batch_size=b,
+            platforms=platforms, raw_mlir=True, fused=fused, tile=tile,
+        )
+        entries.append((b, blob))
+    out = bytearray(BUNDLE_MAGIC)
+    out += struct.pack("<I", len(entries))
+    for b, blob in entries:
+        out += struct.pack("<QQ", b, len(blob))
+        out += blob
+    out = bytes(out)
+    if path is not None:
+        with open(path, "wb") as fh:
+            fh.write(out)
+    return out
+
+
+def read_bundle(path_or_bytes):
+    """Parse a bundle: returns ``[(batch_size, module_bytes), ...]``
+    (largest batch first) — the python-side mirror of the container's
+    loader, used by tests and tooling."""
+    if isinstance(path_or_bytes, (bytes, bytearray)):
+        raw = bytes(path_or_bytes)
+    else:
+        with open(path_or_bytes, "rb") as fh:
+            raw = fh.read()
+    if raw[:8] != BUNDLE_MAGIC:
+        raise ValueError("not a molann_tpu artifact bundle")
+    (count,) = struct.unpack_from("<I", raw, 8)
+    off = 12
+    out = []
+    for _ in range(count):
+        b, n = struct.unpack_from("<QQ", raw, off)
+        off += 16
+        if off + n > len(raw):
+            raise ValueError("truncated artifact bundle")
+        out.append((int(b), raw[off:off + n]))
+        off += n
+    return sorted(out, key=lambda e: -e[0])
 
 
 def load_stablehlo(path_or_bytes):

@@ -1,36 +1,49 @@
 // serve_pjrt — a no-Python serving container for molann_tpu models.
 //
-// Loads a raw StableHLO artifact (export_stablehlo(..., raw_mlir=True,
-// batch_size=B)) and runs it on any PJRT C-API plugin: libtpu.so on a TPU
-// host, a CPU plugin, or this environment's tunnel plugin. This is the
+// Loads a StableHLO artifact and runs it on any PJRT C-API plugin:
+// libtpu.so on a TPU host, this environment's tunnel plugin, or the
+// repo's mock plugin (native/mock_pjrt.cpp) in tests. This is the
 // TPU-native analogue of the reference's TorchScript serving contract
-// (reference README.rst:51: downstream engines load the .pt from C++ with
-// LibTorch, no Python needed) — here the engine side needs only the
-// PJRT C header and dlopen.
+// (reference README.rst:51: downstream engines load the .pt from C++
+// with LibTorch, no Python needed) — here the engine side needs only
+// the PJRT C header and dlopen.
 //
-//   serve_pjrt <plugin.so> <model.mlir.bc> <traj> <out.npy> [batch]
+//   serve_pjrt <plugin.so> <artifact> <traj> <out.npy> [batch]
 //              [-o key=value ...]
 //
-// -o passes plugin-specific client-create options as PJRT_NamedValues
-// (int64 when the value parses as an integer, string otherwise) — e.g.
-// libtpu's ml_framework_name, or a tunnel plugin's session handshake.
+// <artifact> is either a single raw StableHLO module
+// (export_stablehlo(..., raw_mlir=True, batch_size=B); [batch] gives
+// its batch size, default 1024) or a MULTI-BUCKET BUNDLE
+// (export_bundle(..., batch_sizes=[...])): several fixed-batch modules
+// in one file. With a bundle the scheduler always runs the largest
+// bucket that fits the remaining frames and pads only the final
+// sub-smallest-bucket tail — arbitrary trajectory lengths at kernel
+// speed with pad-and-trim on (at most) one small batch.
 //
-// <traj>: any format the native loader reads — .npy ([n_frames,
-// n_atoms, 3] or packed), CHARMM/NAMD .dcd, GROMACS .trr / compressed
-// .xtc — i.e. the container serves straight from an MD engine's output.
-// out.npy: float32 [n_frames, d] CV values (output 0 of the artifact).
-// For with_gradient artifacts (two outputs) the coordinate gradients —
-// output 1, [n_frames, n_atoms, 3] — are additionally written next to
-// out.npy with a .grad.npy suffix (forces = -gradients); a biased-MD
-// engine would consume them in-process instead.
-// The final partial batch is padded to B and trimmed after execution.
+// MULTI-DEVICE: batches round-robin over ALL addressable devices with
+// up to 2 executions in flight per device (submit-ahead pipelining).
+// With more than one device the modules are compiled as PORTABLE
+// executables and dispatched via execute_device; with one device the
+// compile options and execution path are identical to a plain
+// single-device container.
+//
+// -o passes plugin-specific client-create options as PJRT_NamedValues
+// (int64 when the value parses as an integer, string otherwise).
+//
+// <traj>: any format the native loader reads — .npy, CHARMM/NAMD .dcd,
+// GROMACS .trr / compressed .xtc. out.npy: float32 [n_frames, d] CV
+// values (output 0). For with_gradient artifacts (two outputs) the
+// coordinate gradients (output 1, forces = -gradients) are written
+// next to out.npy with a .grad.npy suffix.
 //
 // Build: make serve (needs the PJRT C header; see TF_INC in Makefile).
 
+#include <algorithm>
 #include <chrono>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <deque>
 #include <string>
 #include <vector>
 
@@ -109,18 +122,77 @@ void write_npy(const char* path, const float* data, int64_t rows,
   std::fclose(f);
 }
 
+// One fixed-batch StableHLO module (possibly one bucket of a bundle).
+struct Artifact {
+  int64_t batch;
+  std::vector<uint8_t> bytes;
+};
+
+// Bundle container (molann_tpu.io.export.export_bundle):
+//   8-byte magic "MOLANNB1", u32 LE count,
+//   then per entry: u64 LE batch, u64 LE nbytes, nbytes module bytes.
+constexpr char kBundleMagic[8] = {'M', 'O', 'L', 'A', 'N', 'N', 'B', '1'};
+
+std::vector<Artifact> load_artifacts(const char* path, int64_t default_B) {
+  std::vector<uint8_t> raw = read_file(path);
+  std::vector<Artifact> out;
+  if (raw.size() >= 12 &&
+      std::memcmp(raw.data(), kBundleMagic, sizeof(kBundleMagic)) == 0) {
+    uint32_t count = 0;
+    std::memcpy(&count, raw.data() + 8, 4);
+    size_t off = 12;
+    for (uint32_t i = 0; i < count; i++) {
+      if (off + 16 > raw.size()) die("truncated artifact bundle");
+      uint64_t batch = 0, nbytes = 0;
+      std::memcpy(&batch, raw.data() + off, 8);
+      std::memcpy(&nbytes, raw.data() + off + 8, 8);
+      off += 16;
+      if (batch == 0 || nbytes == 0 || off + nbytes > raw.size()) {
+        die("corrupt artifact bundle entry");
+      }
+      out.push_back({static_cast<int64_t>(batch),
+                     std::vector<uint8_t>(raw.begin() + off,
+                                          raw.begin() + off + nbytes)});
+      off += nbytes;
+    }
+    if (out.empty()) die("empty artifact bundle");
+  } else {
+    out.push_back({default_B, std::move(raw)});
+  }
+  // largest bucket first: the scheduler scans in order
+  std::sort(out.begin(), out.end(),
+            [](const Artifact& a, const Artifact& b) {
+              return a.batch > b.batch;
+            });
+  return out;
+}
+
+struct Compiled {
+  int64_t B;
+  PJRT_LoadedExecutable* exec;
+  size_t num_outputs;
+};
+
+// One submitted batch awaiting completion.
+struct InFlight {
+  int64_t start, take, B;
+  PJRT_Buffer* in;
+  std::vector<PJRT_Buffer*> outs;
+  PJRT_Event* done;
+};
+
 }  // namespace
 
 int main(int argc, char** argv) {
   if (argc < 5) {
     std::fprintf(
         stderr,
-        "usage: %s <pjrt_plugin.so> <model.mlir.bc> <traj.npy> <out.npy> "
+        "usage: %s <pjrt_plugin.so> <artifact> <traj> <out.npy> "
         "[batch=1024] [-o key=value ...]\n",
         argv[0]);
     return 2;
   }
-  int64_t B = 1024;
+  int64_t default_B = 1024;
   std::vector<std::pair<std::string, std::string>> raw_opts;
   for (int i = 5; i < argc; i++) {
     if (std::strcmp(argv[i], "-o") == 0 && i + 1 < argc) {
@@ -129,8 +201,8 @@ int main(int argc, char** argv) {
       if (eq == std::string::npos) die("-o expects key=value");
       raw_opts.emplace_back(kv.substr(0, eq), kv.substr(eq + 1));
     } else {
-      B = atoll(argv[i]);
-      if (B <= 0) die("batch must be positive");
+      default_B = atoll(argv[i]);
+      if (default_B <= 0) die("batch must be positive");
     }
   }
   std::vector<PJRT_NamedValue> opts(raw_opts.size());
@@ -180,40 +252,63 @@ int main(int argc, char** argv) {
   ad.struct_size = PJRT_Client_AddressableDevices_Args_STRUCT_SIZE;
   ad.client = client;
   check(g_api->PJRT_Client_AddressableDevices(&ad), "AddressableDevices");
-  if (ad.num_addressable_devices == 0) die("no addressable devices");
-  PJRT_Device* device = ad.addressable_devices[0];
-  std::fprintf(stderr, "devices: %zu\n", ad.num_addressable_devices);
+  const size_t n_dev = ad.num_addressable_devices;
+  if (n_dev == 0) die("no addressable devices");
+  std::fprintf(stderr, "devices: %zu\n", n_dev);
 
-  // --- compile ---
-  std::vector<uint8_t> module = read_file(argv[2]);
-  PJRT_Program program{};
-  program.struct_size = PJRT_Program_STRUCT_SIZE;
-  program.code = reinterpret_cast<char*>(module.data());
-  program.code_size = module.size();
-  program.format = "mlir";
-  program.format_size = 4;
+  // --- compile every bucket ---
   // serialized xla.CompileOptionsProto:
   //   executable_build_options { num_replicas: 1  num_partitions: 1 }
-  // (field numbers 3 / 4 / 5 per xla/pjrt/proto/compile_options.proto)
-  static const char kOptions[] = {0x1a, 0x04, 0x20, 0x01, 0x28, 0x01};
-  PJRT_Client_Compile_Args comp{};
-  comp.struct_size = PJRT_Client_Compile_Args_STRUCT_SIZE;
-  comp.client = client;
-  comp.program = &program;
-  comp.compile_options = kOptions;
-  comp.compile_options_size = sizeof(kOptions);
-  check(g_api->PJRT_Client_Compile(&comp), "Compile");
-  PJRT_LoadedExecutable* exec = comp.executable;
+  // (executable_build_options = field 3; num_replicas/num_partitions =
+  // fields 4/5 of ExecutableBuildOptionsProto). With num_devices > 1 the
+  // top-level bool compile_portable_executable (field 4) is appended so
+  // the one executable can be dispatched to any device via
+  // execute_device.
+  std::vector<char> copts = {0x1a, 0x04, 0x20, 0x01, 0x28, 0x01};
+  if (n_dev > 1) {
+    copts.push_back(0x20);  // field 4, varint
+    copts.push_back(0x01);  // true
+  }
 
-  PJRT_LoadedExecutable_GetExecutable_Args ge{};
-  ge.struct_size = PJRT_LoadedExecutable_GetExecutable_Args_STRUCT_SIZE;
-  ge.loaded_executable = exec;
-  check(g_api->PJRT_LoadedExecutable_GetExecutable(&ge), "GetExecutable");
-  PJRT_Executable_NumOutputs_Args no{};
-  no.struct_size = PJRT_Executable_NumOutputs_Args_STRUCT_SIZE;
-  no.executable = ge.executable;
-  check(g_api->PJRT_Executable_NumOutputs(&no), "NumOutputs");
-  std::fprintf(stderr, "compiled: %zu output(s)\n", no.num_outputs);
+  std::vector<Artifact> artifacts = load_artifacts(argv[2], default_B);
+  std::vector<Compiled> buckets;
+  const auto t_compile0 = std::chrono::steady_clock::now();
+  for (const Artifact& a : artifacts) {
+    PJRT_Program program{};
+    program.struct_size = PJRT_Program_STRUCT_SIZE;
+    program.code = reinterpret_cast<char*>(
+        const_cast<uint8_t*>(a.bytes.data()));
+    program.code_size = a.bytes.size();
+    program.format = "mlir";
+    program.format_size = 4;
+    PJRT_Client_Compile_Args comp{};
+    comp.struct_size = PJRT_Client_Compile_Args_STRUCT_SIZE;
+    comp.client = client;
+    comp.program = &program;
+    comp.compile_options = copts.data();
+    comp.compile_options_size = copts.size();
+    check(g_api->PJRT_Client_Compile(&comp), "Compile");
+
+    PJRT_LoadedExecutable_GetExecutable_Args ge{};
+    ge.struct_size = PJRT_LoadedExecutable_GetExecutable_Args_STRUCT_SIZE;
+    ge.loaded_executable = comp.executable;
+    check(g_api->PJRT_LoadedExecutable_GetExecutable(&ge), "GetExecutable");
+    PJRT_Executable_NumOutputs_Args no{};
+    no.struct_size = PJRT_Executable_NumOutputs_Args_STRUCT_SIZE;
+    no.executable = ge.executable;
+    check(g_api->PJRT_Executable_NumOutputs(&no), "NumOutputs");
+    buckets.push_back({a.batch, comp.executable, no.num_outputs});
+    std::fprintf(stderr, "compiled bucket B=%lld: %zu output(s)\n",
+                 static_cast<long long>(a.batch), no.num_outputs);
+  }
+  const double compile_s =
+      std::chrono::duration<double>(std::chrono::steady_clock::now() -
+                                    t_compile0)
+          .count();
+  std::fprintf(stderr, "compile: %.1f s (%zu bucket(s))\n", compile_s,
+               buckets.size());
+  const size_t num_outputs = buckets[0].num_outputs;
+  const bool want_grad = num_outputs >= 2;
 
   // --- trajectory (any native-loader format: npy/dcd/trr/xtc) ---
   int64_t n_frames = 0, fpf = 0;
@@ -224,77 +319,51 @@ int main(int argc, char** argv) {
                static_cast<long long>(n_frames),
                static_cast<long long>(n_atoms));
 
-  std::vector<float> host_in(static_cast<size_t>(B) * fpf);
   std::vector<float> out_all;   // [n_frames, d], d discovered on batch 0
-  std::vector<float> grad_all;  // [n_frames, 3n] when the artifact has 2 outputs
-  const bool want_grad = no.num_outputs >= 2;
+  std::vector<float> grad_all;  // [n_frames, 3n] for 2-output artifacts
   if (want_grad) grad_all.resize(static_cast<size_t>(n_frames) * fpf);
   int64_t d_out = -1;
 
-  const auto t_serve0 = std::chrono::steady_clock::now();
-  for (int64_t start = 0; start < n_frames; start += B) {
-    const int64_t take = std::min(B, n_frames - start);
-    if (tl_read_range(ldr, start, take, host_in.data()) != 0) {
-      die(std::string("read trajectory: ") + tl_last_error());
+  // schedule: largest bucket that fits the remaining frames; the final
+  // sub-smallest-bucket tail runs (padded) in the smallest bucket
+  const int64_t smallest_B = buckets.back().B;
+  struct Sched { int64_t start, take; const Compiled* c; };
+  std::vector<Sched> schedule;
+  for (int64_t start = 0; start < n_frames;) {
+    const int64_t remaining = n_frames - start;
+    const Compiled* pick = nullptr;
+    for (const Compiled& c : buckets) {
+      if (c.B <= remaining) { pick = &c; break; }
     }
-    if (take < B) {  // pad the tail batch with the last frame
-      const float* last = host_in.data() + (take - 1) * fpf;
-      for (int64_t r = take; r < B; r++) {
-        std::memcpy(host_in.data() + r * fpf, last, fpf * sizeof(float));
-      }
-    }
-    // overlap page-in of the next batch with this batch's execution
-    if (start + B < n_frames) {
-      std::vector<int64_t> nxt;
-      for (int64_t f = start + B;
-           f < std::min(start + 2 * B, n_frames); f++) {
-        nxt.push_back(f);
-      }
-      tl_prefetch(ldr, nxt.data(), static_cast<int64_t>(nxt.size()));
-    }
+    if (pick == nullptr) pick = &buckets.back();  // padded tail
+    schedule.push_back({start, std::min(pick->B, remaining), pick});
+    start += schedule.back().take;
+  }
+  int64_t padded = 0;
+  for (const Sched& s : schedule) padded += (s.c->B - s.take);
+  std::fprintf(stderr,
+               "schedule: %zu batch(es), %lld padded frame(s) "
+               "(smallest bucket %lld)\n",
+               schedule.size(), static_cast<long long>(padded),
+               static_cast<long long>(smallest_B));
 
-    const int64_t dims[3] = {B, n_atoms, 3};
-    PJRT_Client_BufferFromHostBuffer_Args hb{};
-    hb.struct_size = PJRT_Client_BufferFromHostBuffer_Args_STRUCT_SIZE;
-    hb.client = client;
-    hb.data = host_in.data();
-    hb.type = PJRT_Buffer_Type_F32;
-    hb.dims = dims;
-    hb.num_dims = 3;
-    hb.host_buffer_semantics =
-        PJRT_HostBufferSemantics_kImmutableUntilTransferCompletes;
-    hb.device = device;
-    check(g_api->PJRT_Client_BufferFromHostBuffer(&hb), "BufferFromHost");
-    await(hb.done_with_host_buffer, "host buffer transfer");
-    PJRT_Buffer* in_buf = hb.buffer;
+  const size_t max_inflight = 2 * n_dev;
+  std::deque<InFlight> inflight;
+  std::vector<float> host_in;
 
-    PJRT_ExecuteOptions opts{};
-    opts.struct_size = PJRT_ExecuteOptions_STRUCT_SIZE;
-    PJRT_Buffer* const arg_list[1] = {in_buf};
-    PJRT_Buffer* const* const arg_lists[1] = {arg_list};
-    std::vector<PJRT_Buffer*> outs(no.num_outputs, nullptr);
-    PJRT_Buffer** const out_lists[1] = {outs.data()};
-    PJRT_Event* done[1] = {nullptr};
-    PJRT_LoadedExecutable_Execute_Args ex{};
-    ex.struct_size = PJRT_LoadedExecutable_Execute_Args_STRUCT_SIZE;
-    ex.executable = exec;
-    ex.options = &opts;
-    ex.argument_lists = arg_lists;
-    ex.num_devices = 1;
-    ex.num_args = 1;
-    ex.output_lists = out_lists;
-    ex.device_complete_events = done;
-    check(g_api->PJRT_LoadedExecutable_Execute(&ex), "Execute");
-    await(done[0], "execution");
+  auto drain_one = [&]() {
+    InFlight fl = inflight.front();
+    inflight.pop_front();
+    await(fl.done, "execution");
 
     // output 0 = CV values [B, d]
     PJRT_Buffer_ToHostBuffer_Args th{};
     th.struct_size = PJRT_Buffer_ToHostBuffer_Args_STRUCT_SIZE;
-    th.src = outs[0];
+    th.src = fl.outs[0];
     th.dst = nullptr;
     check(g_api->PJRT_Buffer_ToHostBuffer(&th), "ToHost(size)");
     if (d_out < 0) {
-      d_out = static_cast<int64_t>(th.dst_size) / (B * sizeof(float));
+      d_out = static_cast<int64_t>(th.dst_size) / (fl.B * sizeof(float));
       out_all.resize(static_cast<size_t>(n_frames) * d_out);
     }
     // host_layout = nullptr copies in the DEVICE layout — on TPU that is
@@ -313,8 +382,8 @@ int main(int argc, char** argv) {
     th.dst = host_out.data();
     check(g_api->PJRT_Buffer_ToHostBuffer(&th), "ToHost");
     await(th.event, "device-to-host copy");
-    std::memcpy(out_all.data() + start * d_out, host_out.data(),
-                static_cast<size_t>(take) * d_out * sizeof(float));
+    std::memcpy(out_all.data() + fl.start * d_out, host_out.data(),
+                static_cast<size_t>(fl.take) * d_out * sizeof(float));
 
     if (want_grad) {
       // output 1 = coordinate gradients [B, n_atoms, 3]
@@ -325,28 +394,100 @@ int main(int argc, char** argv) {
       glay.tiled.struct_size = PJRT_Buffer_MemoryLayout_Tiled_STRUCT_SIZE;
       glay.tiled.minor_to_major = m2m3;
       glay.tiled.minor_to_major_size = 3;
-      std::vector<float> host_g(static_cast<size_t>(B) * fpf);
+      std::vector<float> host_g(static_cast<size_t>(fl.B) * fpf);
       PJRT_Buffer_ToHostBuffer_Args tg{};
       tg.struct_size = PJRT_Buffer_ToHostBuffer_Args_STRUCT_SIZE;
-      tg.src = outs[1];
+      tg.src = fl.outs[1];
       tg.host_layout = &glay;
       tg.dst = host_g.data();
       tg.dst_size = host_g.size() * sizeof(float);
       check(g_api->PJRT_Buffer_ToHostBuffer(&tg), "ToHost(grad)");
       await(tg.event, "gradient device-to-host copy");
-      std::memcpy(grad_all.data() + start * fpf, host_g.data(),
-                  static_cast<size_t>(take) * fpf * sizeof(float));
+      std::memcpy(grad_all.data() + fl.start * fpf, host_g.data(),
+                  static_cast<size_t>(fl.take) * fpf * sizeof(float));
     }
 
     PJRT_Buffer_Destroy_Args bd{};
     bd.struct_size = PJRT_Buffer_Destroy_Args_STRUCT_SIZE;
-    bd.buffer = in_buf;
+    bd.buffer = fl.in;
     check(g_api->PJRT_Buffer_Destroy(&bd), "Buffer_Destroy");
-    for (PJRT_Buffer* b : outs) {
+    for (PJRT_Buffer* b : fl.outs) {
       bd.buffer = b;
       check(g_api->PJRT_Buffer_Destroy(&bd), "Buffer_Destroy");
     }
+  };
+
+  const auto t_serve0 = std::chrono::steady_clock::now();
+  for (size_t bi = 0; bi < schedule.size(); bi++) {
+    const Sched& s = schedule[bi];
+    const int64_t B = s.c->B;
+    PJRT_Device* device = ad.addressable_devices[bi % n_dev];
+
+    host_in.resize(static_cast<size_t>(B) * fpf);
+    if (tl_read_range(ldr, s.start, s.take, host_in.data()) != 0) {
+      die(std::string("read trajectory: ") + tl_last_error());
+    }
+    if (s.take < B) {  // pad the tail batch with the last frame
+      const float* last = host_in.data() + (s.take - 1) * fpf;
+      for (int64_t r = s.take; r < B; r++) {
+        std::memcpy(host_in.data() + r * fpf, last, fpf * sizeof(float));
+      }
+    }
+    // overlap page-in of the next batch with this batch's execution
+    if (bi + 1 < schedule.size()) {
+      std::vector<int64_t> nxt;
+      const Sched& n = schedule[bi + 1];
+      for (int64_t f = n.start; f < n.start + n.take; f++) nxt.push_back(f);
+      tl_prefetch(ldr, nxt.data(), static_cast<int64_t>(nxt.size()));
+    }
+
+    const int64_t dims[3] = {B, n_atoms, 3};
+    PJRT_Client_BufferFromHostBuffer_Args hb{};
+    hb.struct_size = PJRT_Client_BufferFromHostBuffer_Args_STRUCT_SIZE;
+    hb.client = client;
+    hb.data = host_in.data();
+    hb.type = PJRT_Buffer_Type_F32;
+    hb.dims = dims;
+    hb.num_dims = 3;
+    hb.host_buffer_semantics =
+        PJRT_HostBufferSemantics_kImmutableUntilTransferCompletes;
+    hb.device = device;
+    check(g_api->PJRT_Client_BufferFromHostBuffer(&hb), "BufferFromHost");
+    await(hb.done_with_host_buffer, "host buffer transfer");
+
+    InFlight fl;
+    fl.start = s.start;
+    fl.take = s.take;
+    fl.B = B;
+    fl.in = hb.buffer;
+    fl.outs.assign(s.c->num_outputs, nullptr);
+    fl.done = nullptr;
+
+    PJRT_ExecuteOptions eopts{};
+    eopts.struct_size = PJRT_ExecuteOptions_STRUCT_SIZE;
+    PJRT_Buffer* const arg_list[1] = {fl.in};
+    PJRT_Buffer* const* const arg_lists[1] = {arg_list};
+    PJRT_Buffer** const out_lists[1] = {fl.outs.data()};
+    PJRT_Event* done[1] = {nullptr};
+    PJRT_LoadedExecutable_Execute_Args ex{};
+    ex.struct_size = PJRT_LoadedExecutable_Execute_Args_STRUCT_SIZE;
+    ex.executable = s.c->exec;
+    ex.options = &eopts;
+    ex.argument_lists = arg_lists;
+    ex.num_devices = 1;
+    ex.num_args = 1;
+    ex.output_lists = out_lists;
+    ex.device_complete_events = done;
+    // portable executables (n_dev > 1) are dispatched per device; with
+    // one device the compile-time placement stands, as before
+    if (n_dev > 1) ex.execute_device = device;
+    check(g_api->PJRT_LoadedExecutable_Execute(&ex), "Execute");
+    fl.done = done[0];
+    inflight.push_back(std::move(fl));
+
+    while (inflight.size() >= max_inflight) drain_one();
   }
+  while (!inflight.empty()) drain_one();
 
   const double serve_s =
       std::chrono::duration<double>(std::chrono::steady_clock::now() -
@@ -354,9 +495,9 @@ int main(int argc, char** argv) {
           .count();
   std::fprintf(stderr,
                "served %lld frames in %.3f s (%.2fM frames/s incl. host "
-               "round-trips)\n",
+               "round-trips, %zu device(s))\n",
                static_cast<long long>(n_frames), serve_s,
-               n_frames / serve_s / 1e6);
+               n_frames / serve_s / 1e6, n_dev);
   write_npy(argv[4], out_all.data(), n_frames, d_out);
   std::fprintf(stderr, "wrote %s: [%lld, %lld]\n", argv[4],
                static_cast<long long>(n_frames),
@@ -373,6 +514,16 @@ int main(int argc, char** argv) {
   }
 
   tl_close(ldr);
+  // destroy executables BEFORE the client: a relay-backed plugin can
+  // hold the device lease while any loaded executable is alive, which
+  // wedges the next process's Client_Create for the lease TTL
+  for (const Compiled& c : buckets) {
+    PJRT_LoadedExecutable_Destroy_Args ed{};
+    ed.struct_size = PJRT_LoadedExecutable_Destroy_Args_STRUCT_SIZE;
+    ed.executable = c.exec;
+    check(g_api->PJRT_LoadedExecutable_Destroy(&ed),
+          "LoadedExecutable_Destroy");
+  }
   PJRT_Client_Destroy_Args cd{};
   cd.struct_size = PJRT_Client_Destroy_Args_STRUCT_SIZE;
   cd.client = client;

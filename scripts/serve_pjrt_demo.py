@@ -53,6 +53,7 @@ jax.config.update("jax_platforms", "cpu")  # lowering is host-side; the
 import numpy as np
 sys.path.insert(0, {repo!r})
 from molann_tpu.io import export_stablehlo
+from molann_tpu.io.export import export_bundle
 from molann_tpu.systems import alanine_model
 import jax.numpy as jnp
 model, u = alanine_model()
@@ -68,7 +69,29 @@ xj = jnp.asarray(frames)
 np.save({ref!r}, np.asarray(model(xj)))
 np.save({gref!r}, np.asarray(
     jax.grad(lambda v: jnp.sum(model(v)))(xj)))
-print("exported", {art!r}, "and fused", {fart!r})
+
+# multi-bucket bundle (XLA-lowered) + an odd-length trajectory that
+# exercises both buckets AND the padded tail: 2577 = 2x1024 + 2x256 + 17
+bframes = (u.atoms.positions[None]
+           + 0.05 * rng.normal(size=(2577, 22, 3))).astype(np.float32)
+export_bundle(model, 22, path={bart!r}, batch_sizes=[1024, 256],
+              with_gradient=True, platforms=("tpu",))
+np.save({btraj!r}, bframes)
+xb = jnp.asarray(bframes)
+np.save({bref!r}, np.asarray(model(xb)))
+np.save({bgref!r}, np.asarray(
+    jax.grad(lambda v: jnp.sum(model(v)))(xb)))
+
+# throughput trajectory for the fused artifact (served in one process
+# with the parity run — the tunnel compiles once per process)
+tframes = (u.atoms.positions[None]
+           + 0.05 * rng.normal(size=({tn}, 22, 3))).astype(np.float32)
+np.save({ttraj!r}, tframes)
+xt = jnp.asarray(tframes[:600])
+np.save({tref!r}, np.asarray(model(xt)))
+np.save({tgref!r}, np.asarray(
+    jax.grad(lambda v: jnp.sum(model(v)))(xt)))
+print("exported", {art!r}, "fused", {fart!r}, "bundle", {bart!r})
 """
 
 
@@ -78,18 +101,31 @@ def main():
     if not os.path.exists(BINARY):
         sys.exit(f"{BINARY} missing — run: make -C native serve")
 
+    throughput_frames = int(os.environ.get("SERVE_DEMO_TFRAMES", 16384))
+
     with tempfile.TemporaryDirectory() as d:
         art = os.path.join(d, "model.mlir.bc")
         fart = os.path.join(d, "fused.mlir.bc")
+        bart = os.path.join(d, "model.bundle")
         traj = os.path.join(d, "traj.npy")
+        btraj = os.path.join(d, "btraj.npy")
+        ttraj = os.path.join(d, "ttraj.npy")
         ref_p = os.path.join(d, "ref.npy")
         gref_p = os.path.join(d, "gref.npy")
+        bref_p = os.path.join(d, "bref.npy")
+        bgref_p = os.path.join(d, "bgref.npy")
+        tref_p = os.path.join(d, "tref.npy")
+        tgref_p = os.path.join(d, "tgref.npy")
 
         # phase 1 (CPU child — no device involvement): export + refs
         subprocess.run(
             [sys.executable, "-c",
-             EXPORT_CHILD.format(repo=REPO, art=art, fart=fart, traj=traj,
-                                 ref=ref_p, gref=gref_p, batch=batch)],
+             EXPORT_CHILD.format(repo=REPO, art=art, fart=fart, bart=bart,
+                                 traj=traj, btraj=btraj, ttraj=ttraj,
+                                 ref=ref_p, gref=gref_p, bref=bref_p,
+                                 bgref=bgref_p, tref=tref_p,
+                                 tgref=tgref_p, batch=batch,
+                                 tn=throughput_frames)],
             check=True,
         )
 
@@ -99,19 +135,44 @@ def main():
             env.update(AXON_ENV)
             extra = sum((["-o", o] for o in AXON_OPTS), [])
 
-        ref = np.load(ref_p)
-        gref = np.load(gref_p)
+        def serve(label, artifact, trajectory, out, batch_arg=None,
+                  timeout=1500):
+            """Run the container; one retry after a cool-down — the
+            tunnel's device grant occasionally wedges between
+            back-to-back sessions and self-recovers in ~5 min."""
+            import re
+            import time
 
-        # phase 2: serve BOTH artifacts (XLA-lowered and fused-kernel)
-        # from the no-Python consumer; tolerances are cross-platform f32
-        # (refs computed on CPU, execution on TPU)
-        for label, a in (("xla", art), ("fused-kernel", fart)):
-            out = os.path.join(d, f"out_{label.split('-')[0]}.npy")
-            cmd = [BINARY, plugin, a, traj, out, str(batch)] + extra
-            if plugin == AXON_PLUGIN:
-                cmd += ["-o", f"session_id=serve-demo-{uuid.uuid4()}"]
-            print("+", " ".join(cmd))
-            subprocess.run(cmd, check=True, env=env)
+            for attempt in (1, 2):
+                cmd = [BINARY, plugin, artifact, trajectory, out]
+                if batch_arg:
+                    cmd.append(str(batch_arg))
+                cmd += extra
+                if plugin == AXON_PLUGIN:
+                    cmd += ["-o", f"session_id=serve-demo-{uuid.uuid4()}"]
+                print("+", " ".join(cmd), flush=True)
+                try:
+                    proc = subprocess.run(cmd, check=True, env=env,
+                                          stderr=subprocess.PIPE, text=True,
+                                          timeout=timeout)
+                    break
+                except (subprocess.TimeoutExpired,
+                        subprocess.CalledProcessError) as e:
+                    if attempt == 2:
+                        raise
+                    print(f"[{label}] attempt 1 failed "
+                          f"({type(e).__name__}); cooling down 360 s",
+                          flush=True)
+                    time.sleep(360)
+            sys.stderr.write(proc.stderr)
+            m = re.search(r"served (\d+) frames in ([0-9.]+) s", proc.stderr)
+            if m:
+                rate = int(m.group(1)) / max(float(m.group(2)), 1e-9)
+                print(f"[{label}] container serve rate: {rate/1e6:.2f}M "
+                      f"frames/s (excl. compile, incl. host round-trips)")
+            return proc.stderr
+
+        def assert_parity(label, out, ref, gref):
             got = np.load(out)
             err = np.abs(got - ref).max()
             g = np.load(out[: -len(".npy")] + ".grad.npy").reshape(
@@ -120,6 +181,43 @@ def main():
             print(f"[{label}] CV maxerr {err:.3g}, grad rel {gerr:.3g}")
             assert got.shape == ref.shape and err < 1e-4, (label, err)
             assert g.shape == gref.shape and gerr < 5e-4, (label, gerr)
+
+        ref = np.load(ref_p)
+        gref = np.load(gref_p)
+
+        # phase 2: parity — XLA artifact on the 600-frame trajectory,
+        # tolerances are cross-platform f32 (refs on CPU, execution TPU)
+        out = os.path.join(d, "out_xla.npy")
+        serve("xla", art, traj, out, batch)
+        assert_parity("xla", out, ref, gref)
+
+        # phase 3: the multi-bucket BUNDLE on an odd-length trajectory —
+        # bucket scheduling + tail padding on real hardware
+        import time as _time
+
+        _time.sleep(45)  # let the tunnel release the previous session
+        bout = os.path.join(d, "out_bundle.npy")
+        stderr = serve("bundle", bart, btraj, bout)
+        assert "2 bucket(s)" in stderr or "bucket" in stderr
+        assert_parity("bundle", bout, np.load(bref_p), np.load(bgref_p))
+
+        # phase 4: fused-kernel artifact — parity on the first 600
+        # frames AND the measured container throughput on a big batch
+        _time.sleep(45)
+        fout = os.path.join(d, "out_fused.npy")
+        serve("fused-kernel", fart, ttraj, fout, batch)
+        got = np.load(fout)
+        assert got.shape[0] == throughput_frames
+        tref = np.load(tref_p)
+        tgref = np.load(tgref_p)
+        terr = np.abs(got[:600] - tref).max()
+        tg = np.load(fout[: -len(".npy")] + ".grad.npy")[:600].reshape(
+            -1, 22, 3)
+        tgerr = np.abs(tg - tgref).max() / np.abs(tgref).max()
+        print(f"[fused-kernel] CV maxerr {terr:.3g}, grad rel {tgerr:.3g} "
+              f"(first 600 of {throughput_frames} frames)")
+        assert terr < 1e-4 and tgerr < 5e-4, (terr, tgerr)
+        assert np.isfinite(got).all()
         print("SERVE_PJRT DEMO OK")
 
 

@@ -160,3 +160,15 @@ def test_forces_compact_path_sparse_system(tmp_path):
     np.testing.assert_allclose(
         y, np.asarray(model(jnp.asarray(frames))), atol=1e-5
     )
+
+
+def test_export_bundle_cli(workdir):
+    from molann_tpu.io.export import read_bundle
+
+    out = workdir / "model.bundle"
+    rc = main(["export", str(workdir / "model.npz"), "--n-atoms", "22",
+               "--out", str(out), "--with-gradient",
+               "--batch-sizes", "64,16"])
+    assert rc == 0
+    entries = read_bundle(str(out))
+    assert [b for b, _ in entries] == [64, 16]

@@ -1,0 +1,205 @@
+"""Multi-device, shape-flexible C++ serving (VERDICT r2 next #1).
+
+The container (native/serve_pjrt.cpp) is exercised against the repo's
+mock PJRT plugin (native/mock_pjrt.cpp): N fake devices executing a
+fixed, numpy-recomputable per-frame function. That checks everything
+the plugin boundary lets us check without hardware — bundle parsing,
+largest-bucket-that-fits scheduling, tail padding/trim, round-robin
+dispatch over all devices (portable execute_device), submit-ahead
+pipelining, and exact per-frame reassembly of both outputs. The real
+TPU end of the same binary is validated by scripts/serve_pjrt_demo.py
+(SERVE_VALIDATION artifacts).
+"""
+
+import os
+import re
+import shutil
+import struct
+import subprocess
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+NATIVE = os.path.join(REPO, "native")
+SERVE = os.path.join(REPO, "molann_tpu", "io", "_native", "serve_pjrt")
+
+
+def _tf_include():
+    try:
+        import tensorflow
+
+        return os.path.join(os.path.dirname(tensorflow.__file__), "include")
+    except Exception:
+        return None
+
+
+@pytest.fixture(scope="module")
+def mock_plugin(tmp_path_factory):
+    inc = _tf_include()
+    if shutil.which("g++") is None or inc is None:
+        pytest.skip("no g++ / PJRT header")
+    out = tmp_path_factory.mktemp("mock") / "libmock_pjrt.so"
+    subprocess.run(
+        ["g++", "-O2", "-std=c++17", "-fPIC", "-I", inc,
+         os.path.join(NATIVE, "mock_pjrt.cpp"), "-shared", "-o", str(out)],
+        check=True, capture_output=True,
+    )
+    return str(out)
+
+
+@pytest.fixture(scope="module")
+def serve_bin(tmp_path_factory):
+    if os.path.exists(SERVE):
+        return SERVE
+    inc = _tf_include()
+    if shutil.which("g++") is None or inc is None:
+        pytest.skip("no committed serve_pjrt and no toolchain")
+    out = tmp_path_factory.mktemp("serve") / "serve_pjrt"
+    subprocess.run(
+        ["g++", "-O2", "-std=c++17", "-I", inc,
+         os.path.join(NATIVE, "serve_pjrt.cpp"),
+         os.path.join(NATIVE, "traj_loader.cpp"),
+         "-ldl", "-pthread", "-o", str(out)],
+        check=True, capture_output=True,
+    )
+    return str(out)
+
+
+def _bundle(buckets):
+    out = bytearray(b"MOLANNB1") + struct.pack("<I", len(buckets))
+    for b in buckets:
+        blob = b"mock-bucket-%d" % b
+        out += struct.pack("<QQ", b, len(blob)) + blob
+    return bytes(out)
+
+
+def _run(serve_bin, mock_plugin, workdir, artifact, frames, *, devices,
+         outputs=2, batch_arg=None):
+    traj = os.path.join(workdir, "traj.npy")
+    np.save(traj, frames)
+    art = os.path.join(workdir, "artifact.bin")
+    with open(art, "wb") as fh:
+        fh.write(artifact)
+    out = os.path.join(workdir, "out.npy")
+    cmd = [serve_bin, mock_plugin, art, traj, out]
+    if batch_arg:
+        cmd.append(str(batch_arg))
+    env = dict(os.environ, MOCK_DEVICES=str(devices),
+               MOCK_OUTPUTS=str(outputs))
+    proc = subprocess.run(cmd, env=env, capture_output=True, text=True)
+    assert proc.returncode == 0, proc.stderr
+    return out, proc.stderr
+
+
+def _check_outputs(out_path, frames, *, grad=True):
+    n = frames.shape[0]
+    flat = frames.reshape(n, -1)
+    got = np.load(out_path)
+    assert got.shape == (n, 2)
+    # col 0 is a sum (accumulation-order noise); col 1 and the gradients
+    # are exact copies — any routing/reassembly error breaks them
+    np.testing.assert_allclose(got[:, 0], flat.sum(1, dtype=np.float64),
+                               rtol=1e-5)
+    np.testing.assert_array_equal(got[:, 1], flat[:, 0])
+    gpath = out_path.replace(".npy", ".grad.npy")
+    if grad:
+        np.testing.assert_array_equal(np.load(gpath), -0.5 * flat)
+    else:
+        assert not os.path.exists(gpath)
+
+
+@pytest.fixture()
+def frames(rng):
+    return rng.normal(size=(1000, 5, 3)).astype(np.float32)
+
+
+def test_multi_device_bundle_serving(tmp_path, serve_bin, mock_plugin,
+                                     frames):
+    out, err = _run(serve_bin, mock_plugin, str(tmp_path),
+                    _bundle([256, 64]), frames, devices=4)
+    _check_outputs(out, frames)
+    assert "devices: 4" in err
+    # 1000 = 3x256 + 3x64 + one padded 64 => 7 batches over 4 devices
+    assert "7 batch(es), 24 padded frame(s)" in err
+    counts = [int(c) for c in re.findall(r"dev\d+=(\d+)", err)]
+    assert len(counts) == 4 and sum(counts) == 7
+    assert sum(1 for c in counts if c > 0) == 4  # every device ran
+
+
+def test_single_vs_multi_device_identical(tmp_path, serve_bin, mock_plugin,
+                                          frames):
+    d1 = tmp_path / "d1"
+    d4 = tmp_path / "d4"
+    d1.mkdir(), d4.mkdir()
+    out1, _ = _run(serve_bin, mock_plugin, str(d1), _bundle([128, 32]),
+                   frames, devices=1)
+    out4, _ = _run(serve_bin, mock_plugin, str(d4), _bundle([128, 32]),
+                   frames, devices=4)
+    np.testing.assert_array_equal(np.load(out1), np.load(out4))
+    np.testing.assert_array_equal(
+        np.load(out1.replace(".npy", ".grad.npy")),
+        np.load(out4.replace(".npy", ".grad.npy")),
+    )
+
+
+@pytest.mark.parametrize("n", [1, 63, 64, 65, 1000, 1024])
+def test_bucket_schedule_arbitrary_lengths(tmp_path, serve_bin, mock_plugin,
+                                           rng, n):
+    frames = rng.normal(size=(n, 4, 3)).astype(np.float32)
+    d = tmp_path / f"n{n}"
+    d.mkdir()
+    out, err = _run(serve_bin, mock_plugin, str(d), _bundle([512, 64]),
+                    frames, devices=3)
+    _check_outputs(out, frames)
+
+
+def test_single_module_artifact_with_batch_arg(tmp_path, serve_bin,
+                                               mock_plugin, frames):
+    out, err = _run(serve_bin, mock_plugin, str(tmp_path),
+                    b"raw single module", frames, devices=2, batch_arg=128)
+    _check_outputs(out, frames)
+    assert "compiled bucket B=128" in err
+
+
+def test_no_gradient_artifact(tmp_path, serve_bin, mock_plugin, frames):
+    out, _ = _run(serve_bin, mock_plugin, str(tmp_path), _bundle([256]),
+                  frames, devices=2, outputs=1)
+    _check_outputs(out, frames, grad=False)
+
+
+def test_corrupt_bundle_rejected(tmp_path, serve_bin, mock_plugin, frames):
+    bad = _bundle([64])[:-4]  # truncate the last module
+    traj = os.path.join(str(tmp_path), "traj.npy")
+    np.save(traj, frames)
+    art = os.path.join(str(tmp_path), "bad.bin")
+    with open(art, "wb") as fh:
+        fh.write(bad)
+    proc = subprocess.run(
+        [serve_bin, mock_plugin, art, traj,
+         os.path.join(str(tmp_path), "o.npy")],
+        env=dict(os.environ, MOCK_DEVICES="2"),
+        capture_output=True, text=True,
+    )
+    assert proc.returncode != 0
+    assert "bundle" in proc.stderr
+
+
+def test_export_bundle_roundtrip(tmp_path, rng):
+    """Python-side bundle writer/parser (molann_tpu.io.export): real
+    StableHLO modules for two buckets, parseable by read_bundle and
+    carrying distinct fixed batch dims."""
+    from molann_tpu.io.export import export_bundle, read_bundle
+    from molann_tpu.systems import alanine_model
+
+    model, _ = alanine_model()
+    path = tmp_path / "model.bundle"
+    blob = export_bundle(model, 22, str(path), batch_sizes=[64, 16],
+                         with_gradient=True, platforms=("cpu",))
+    assert path.read_bytes() == blob
+    entries = read_bundle(str(path))
+    assert [b for b, _ in entries] == [64, 16]
+    for _, module in entries:
+        assert len(module) > 100  # real serialized MLIR, not a stub
+    # the two modules genuinely differ (different baked batch dims)
+    assert entries[0][1] != entries[1][1]
