@@ -177,3 +177,17 @@ def test_cv_forces_transposed_interpret(model_and_frames):
     np.testing.assert_allclose(
         np.asarray(gt.T), np.asarray(g_ref.reshape(32, 66)), atol=1e-5
     )
+
+
+def test_cv_forces_remat_tile_guard():
+    """ADVICE r2 medium: fused_cv_forces(remat=True, tile!=1024) must hit
+    the clear _check_tile error when compiled, not a raw Mosaic lowering
+    failure (the remat flag was previously hardcoded False in the
+    guard)."""
+    from molann_tpu.systems import alanine_model
+
+    model, u = alanine_model()
+    x = jnp.asarray(u.atoms.positions[None])
+    with pytest.raises(ValueError, match="interleaved-remat"):
+        F.fused_cv_forces(model, x, tile=2048, remat=True, interpret=False,
+                          mode="unrolled")
