@@ -1,12 +1,16 @@
 from .serialize import load_model, save_model
-from .export import export_stablehlo, load_stablehlo
-from .dcd import read_dcd, write_dcd
-from .xdr import read_trr, read_xtc, write_trr, write_xtc
+from .export import (export_bundle, export_stablehlo,
+                     load_stablehlo, read_bundle)
+from .dcd import DCDWriter, read_dcd, write_dcd
+from .xdr import (TRRWriter, XTCWriter, read_trr, read_xtc,
+                  write_trr, write_xtc)
 
 __all__ = [
     "save_model",
     "load_model",
     "export_stablehlo",
+    "export_bundle",
+    "read_bundle",
     "load_stablehlo",
     "read_dcd",
     "write_dcd",
@@ -14,4 +18,7 @@ __all__ = [
     "write_trr",
     "read_xtc",
     "write_xtc",
+    "DCDWriter",
+    "TRRWriter",
+    "XTCWriter",
 ]
