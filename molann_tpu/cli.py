@@ -10,6 +10,8 @@ config system); these commands wrap the framework for production batch use:
     python -m molann_tpu export model.npz --n-atoms 22 --out model.stablehlo
     python -m molann_tpu build model.pdb features.txt --section Output \\
         --align "bynum 1 2 5" --mlp 8 5 3 --out model.npz
+    python -m molann_tpu sample model.npz model.pdb --bias metad \\
+        --out sampled.xtc --bias-out bias.npz
 
 Trajectories are ``.npy`` files ([n_frames, n_atoms, 3] or packed
 [n_frames, 3n] float32) or CHARMM/NAMD ``.dcd``; evaluation streams
@@ -327,6 +329,87 @@ def cmd_export(args):
     return 0
 
 
+def cmd_sample(args):
+    """Biased (or plain) Langevin sampling along a saved model's CVs on
+    the toy internal-coordinate potential — the closed enhanced-sampling
+    loop from the command line (see molann_tpu.sampling /
+    examples/biased_dynamics.py for the library form)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .sampling import (
+        ToyPeptidePotential,
+        metadynamics_langevin,
+        overdamped_langevin,
+        steered_langevin,
+    )
+    from .topology import Universe
+
+    model = _load_model(args.model)
+    u = Universe(args.pdb)
+    free = tuple(int(a) - 1 for a in args.free_torsion.split(","))
+    if len(free) != 4:
+        raise SystemExit("error: --free-torsion needs 4 comma-separated "
+                         "1-based atom serials")
+    pot = ToyPeptidePotential(u, free_torsion=free, barrier=args.barrier)
+    n = len(u.atoms)
+    x0 = jnp.asarray(
+        np.repeat(u.atoms.positions[None], args.walkers, axis=0)
+    )
+    key = jax.random.PRNGKey(args.seed)
+    bias = None
+    if args.bias == "none":
+        traj, _ = overdamped_langevin(
+            pot.energy, x0, n_steps=args.steps, dt=args.dt, kT=args.kT,
+            key=key, thin=args.thin,
+        )
+    elif args.bias == "metad":
+        traj, _, bias = metadynamics_langevin(
+            pot.energy, model, x0, n_steps=args.steps, dt=args.dt,
+            kT=args.kT, key=key, height=args.height, sigma=args.sigma,
+            stride=args.stride,
+        )
+    elif args.bias == "steered":
+        s0 = [float(v) for v in args.s0.split(",")]
+        s1 = [float(v) for v in args.s1.split(",")]
+        traj, _ = steered_langevin(
+            pot.energy, model, x0, s0=s0, s1=s1,
+            k_spring=args.k_spring, n_steps=args.steps, dt=args.dt,
+            kT=args.kT, key=key, thin=args.thin,
+        )
+    else:  # pragma: no cover — argparse choices guard this
+        raise SystemExit(f"unknown bias {args.bias}")
+
+    frames = np.asarray(traj).reshape(-1, n, 3)
+    low = str(args.out).lower()
+    if low.endswith(".dcd"):
+        from .io.dcd import write_dcd
+
+        write_dcd(args.out, frames)
+    elif low.endswith(".trr"):
+        from .io.xdr import write_trr
+
+        write_trr(args.out, frames)
+    elif low.endswith(".xtc"):
+        from .io.xdr import write_xtc
+
+        write_xtc(args.out, frames)
+    else:
+        np.save(args.out, frames)
+    cos_phi = np.cos(np.asarray(pot.phi(jnp.asarray(frames))))
+    print(f"wrote {args.out}: {frames.shape[0]} frames "
+          f"({args.walkers} walker(s) x {frames.shape[0] // args.walkers} "
+          f"records); free-torsion cos(phi) in "
+          f"[{cos_phi.min():+.2f}, {cos_phi.max():+.2f}]")
+    if bias is not None and args.bias_out:
+        np.savez(
+            args.bias_out, centers=np.asarray(bias.centers),
+            height=bias.height, sigma=bias.sigma,
+        )
+        print(f"wrote {args.bias_out}: {bias.centers.shape[0]} deposits")
+    return 0
+
+
 def cmd_build(args):
     from .ann import (
         AlignmentLayer,
@@ -432,6 +515,39 @@ def main(argv=None):
                          "multi-bucket BUNDLE (shape-flexible serving in "
                          "native/serve_pjrt.cpp), e.g. 4096,1024,256")
     px.set_defaults(fn=cmd_export)
+
+    ps = sub.add_parser(
+        "sample",
+        help="biased Langevin sampling along the model's CVs (toy "
+             "potential; the closed enhanced-sampling loop)")
+    ps.add_argument("model", help="saved CV model (.npz)")
+    ps.add_argument("pdb", help="structure defining the toy potential")
+    ps.add_argument("--bias", choices=["none", "metad", "steered"],
+                    default="metad")
+    ps.add_argument("--out", default="sampled.npy",
+                    help="trajectory output (.npy/.dcd/.trr/.xtc)")
+    ps.add_argument("--bias-out", default=None,
+                    help="write metadynamics deposits (.npz)")
+    ps.add_argument("--steps", type=int, default=5000)
+    ps.add_argument("--walkers", type=int, default=4)
+    ps.add_argument("--dt", type=float, default=2e-4)
+    ps.add_argument("--kT", type=float, default=0.25)
+    ps.add_argument("--thin", type=int, default=50,
+                    help="record every N-th frame (none/steered)")
+    ps.add_argument("--seed", type=int, default=0)
+    ps.add_argument("--free-torsion", default="5,7,9,15",
+                    help="1-based atom serials of the free torsion")
+    ps.add_argument("--barrier", type=float, default=6.0)
+    ps.add_argument("--height", type=float, default=0.5,
+                    help="metadynamics Gaussian height")
+    ps.add_argument("--sigma", type=float, default=0.25)
+    ps.add_argument("--stride", type=int, default=50,
+                    help="metadynamics deposit stride (also the record "
+                         "interval)")
+    ps.add_argument("--s0", default=None, help="steered start CV (comma)")
+    ps.add_argument("--s1", default=None, help="steered end CV (comma)")
+    ps.add_argument("--k-spring", type=float, default=10.0)
+    ps.set_defaults(fn=cmd_sample)
 
     pb = sub.add_parser("build", help="build a model from PDB + feature file")
     pb.add_argument("pdb")

@@ -172,3 +172,42 @@ def test_export_bundle_cli(workdir):
     assert rc == 0
     entries = read_bundle(str(out))
     assert [b for b, _ in entries] == [64, 16]
+
+
+def test_sample_cli_metadynamics_escapes(workdir):
+    """The closed enhanced-sampling loop from the CLI: metadynamics
+    along the built model's CVs escapes the start basin (cos(phi)
+    crosses the barrier) and writes trajectory + deposits."""
+    out = workdir / "sampled.npy"
+    bias_out = workdir / "bias.npz"
+    rc = main(["sample", str(workdir / "model.npz"),
+               str(workdir / "system.pdb"),
+               "--bias", "metad", "--steps", "4000", "--walkers", "3",
+               "--out", str(out), "--bias-out", str(bias_out)])
+    assert rc == 0
+    frames = np.load(out)
+    assert frames.shape[1:] == (22, 3) and np.isfinite(frames).all()
+    dep = np.load(bias_out)
+    assert dep["centers"].shape[0] == 3 * (4000 // 50)
+    # escape check via the potential's own phi
+    import jax.numpy as jnp
+
+    from molann_tpu.sampling import ToyPeptidePotential
+    from molann_tpu.topology import Universe
+
+    pot = ToyPeptidePotential(Universe(str(workdir / "system.pdb")))
+    cos_phi = np.cos(np.asarray(pot.phi(jnp.asarray(frames))))
+    assert cos_phi.max() > 0.0  # crossed at least to the barrier top
+
+
+def test_sample_cli_unbiased_stays(workdir):
+    out = workdir / "unbiased.xtc"
+    rc = main(["sample", str(workdir / "model.npz"),
+               str(workdir / "system.pdb"),
+               "--bias", "none", "--steps", "2000", "--walkers", "2",
+               "--out", str(out)])
+    assert rc == 0
+    from molann_tpu.io.xdr import read_xtc
+
+    frames, _, _ = read_xtc(str(out))
+    assert frames.shape[1:] == (22, 3)
