@@ -34,16 +34,23 @@ __all__ = ["MetadBias", "steered_langevin", "metadynamics_langevin"]
 
 
 class MetadBias:
-    """Accumulated metadynamics bias: Gaussians of ``height`` and width
+    """Accumulated metadynamics bias: Gaussians of ``height`` (scaled by
+    per-deposit ``weights`` in the well-tempered variant) and width
     ``sigma`` at ``centers [k, d]`` in CV space. ``energy(cv [W, d]) ->
-    [W]``; callable on coordinates via a cv_fn at construction."""
+    [W]``."""
 
-    def __init__(self, centers, height, sigma, n_active=None):
+    def __init__(self, centers, height, sigma, n_active=None,
+                 weights=None, gamma=None):
         self.centers = jnp.asarray(centers, dtype=jnp.float32)
         self.height = float(height)
         self.sigma = float(sigma)
         k = self.centers.shape[0]
         self.n_active = k if n_active is None else n_active
+        self.weights = (
+            jnp.ones((k,), jnp.float32) if weights is None
+            else jnp.asarray(weights, jnp.float32)
+        )
+        self.gamma = gamma  # well-tempered bias factor (None = standard)
 
     def energy(self, cv):
         diff = cv[:, None, :] - self.centers[None, :, :]
@@ -53,12 +60,19 @@ class MetadBias:
         mask = (
             jnp.arange(self.centers.shape[0]) < self.n_active
         ).astype(cv.dtype)
-        return self.height * jnp.sum(g * mask[None, :], axis=-1)
+        return self.height * jnp.sum(
+            g * (mask * self.weights)[None, :], axis=-1
+        )
 
     def free_energy_estimate(self, grid):
-        """``-V(s)`` on a ``[m, d]`` grid of CV points: the standard
-        metadynamics free-energy estimator (up to a constant)."""
-        return -self.energy(jnp.asarray(grid, dtype=jnp.float32))
+        """Free energy on a ``[m, d]`` grid of CV points (up to a
+        constant): ``-V(s)`` for standard metadynamics, scaled by
+        ``gamma/(gamma-1)`` in the well-tempered variant (the standard
+        WTMetaD estimator)."""
+        v = self.energy(jnp.asarray(grid, dtype=jnp.float32))
+        if self.gamma is not None:
+            return -(self.gamma / (self.gamma - 1.0)) * v
+        return -v
 
 
 def steered_langevin(energy_fn, cv_model, x0, *, s0, s1, k_spring,
@@ -107,7 +121,8 @@ def steered_langevin(energy_fn, cv_model, x0, *, s0, s1, k_spring,
 
 
 def metadynamics_langevin(energy_fn, cv_model, x0, *, n_steps, dt, kT,
-                          key, height, sigma, stride):
+                          key, height, sigma, stride,
+                          well_tempered_gamma=None):
     """Multiple-walker metadynamics along the model's CV.
 
     Every ``stride`` steps each of the W walkers deposits one Gaussian
@@ -116,12 +131,22 @@ def metadynamics_langevin(energy_fn, cv_model, x0, *, n_steps, dt, kT,
     approximation), then the deposit happens — so the whole run is a
     scan over ``n_steps // stride`` periods.
 
+    well_tempered_gamma: bias factor ``γ > 1`` switches on WELL-TEMPERED
+    metadynamics: each deposit is scaled by
+    ``exp(-V(s)/(kT (γ-1)))`` at its own location, so hill heights decay
+    as a basin fills and the bias converges to ``-(1-1/γ) F(s)`` instead
+    of growing forever (the textbook Barducci-Bussi-Parrinello scheme).
+    ``None`` = standard metadynamics (constant hills).
+
     Returns ``(traj [n_periods, W, n, 3] recorded at period ends,
     x_final, bias)`` where ``bias`` is the accumulated
-    :class:`MetadBias` (centers ``[n_periods * W, d]``).
+    :class:`MetadBias` (centers ``[n_periods * W, d]``, per-deposit
+    weights in the well-tempered case).
     """
     if n_steps % stride:
         raise ValueError("n_steps must be a multiple of stride")
+    if well_tempered_gamma is not None and well_tempered_gamma <= 1.0:
+        raise ValueError("well_tempered_gamma must be > 1")
     x0 = jnp.asarray(x0, dtype=jnp.float32)
     n_periods = n_steps // stride
     W = x0.shape[0]
@@ -130,17 +155,16 @@ def metadynamics_langevin(energy_fn, cv_model, x0, *, n_steps, dt, kT,
     height = float(height)
 
     centers0 = jnp.zeros((n_periods * W, d), dtype=jnp.float32)
+    weights0 = jnp.zeros((n_periods * W,), dtype=jnp.float32)
 
-    def bias_energy(x, centers, n_active):
-        cv = cv_model(x)
+    def bias_at(cv, centers, weights):
         diff = cv[:, None, :] - centers[None, :, :]
         g = jnp.exp(-jnp.sum(diff * diff, axis=-1) / (2.0 * sigma**2))
-        mask = (jnp.arange(centers.shape[0]) < n_active).astype(x.dtype)
-        return height * jnp.sum(g * mask[None, :], axis=-1)
+        return height * jnp.sum(g * weights[None, :], axis=-1)
 
-    def total(x, centers, n_active):
+    def total(x, centers, weights):
         return jnp.sum(energy_fn(x)) + jnp.sum(
-            bias_energy(x, centers, n_active)
+            bias_at(cv_model(x), centers, weights)
         )
 
     grad = jax.grad(total)
@@ -148,24 +172,34 @@ def metadynamics_langevin(energy_fn, cv_model, x0, *, n_steps, dt, kT,
     noise_scale = jnp.sqrt(2.0 * jnp.float32(kT) * dt_)
 
     def inner(carry, k):
-        x, centers, n_active = carry
+        x, centers, weights = carry
         xi = jax.random.normal(k, x.shape, dtype=x.dtype)
-        x = x - dt_ * grad(x, centers, n_active) + noise_scale * xi
-        return (x, centers, n_active), None
+        x = x - dt_ * grad(x, centers, weights) + noise_scale * xi
+        return (x, centers, weights), None
 
     def period(carry, pk):
         p, k = pk
-        (x, centers, n_active), _ = jax.lax.scan(
+        (x, centers, weights), _ = jax.lax.scan(
             inner, carry, jax.random.split(k, stride)
         )
-        centers = jax.lax.dynamic_update_slice(
-            centers, cv_model(x), (p * W, 0)
-        )
-        return (x, centers, n_active + W), x
+        cv = cv_model(x)
+        if well_tempered_gamma is None:
+            w_new = jnp.ones((W,), jnp.float32)
+        else:
+            w_new = jnp.exp(
+                -bias_at(cv, centers, weights)
+                / (kT * (well_tempered_gamma - 1.0))
+            )
+        centers = jax.lax.dynamic_update_slice(centers, cv, (p * W, 0))
+        weights = jax.lax.dynamic_update_slice(weights, w_new, (p * W,))
+        return (x, centers, weights), x
 
     keys = jax.random.split(key, n_periods)
-    (x_final, centers, _), traj = jax.lax.scan(
-        period, (x0, centers0, jnp.int32(0)),
+    (x_final, centers, weights), traj = jax.lax.scan(
+        period, (x0, centers0, weights0),
         (jnp.arange(n_periods), keys),
     )
-    return traj, x_final, MetadBias(centers, height, sigma)
+    return traj, x_final, MetadBias(
+        centers, height, sigma, weights=weights,
+        gamma=well_tempered_gamma,
+    )

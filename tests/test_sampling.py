@@ -138,3 +138,38 @@ def test_closed_loop_example_escapes():
     assert res["escaped"]
     assert res["cos_unbiased_max"] < -0.5 < res["cos_biased_max"]
     assert res["cv_gap"] > 5 * res["cv_spread"]  # CV separates the basins
+
+
+def test_well_tempered_metadynamics(universe, pot, phi_cossin):
+    """Well-tempered variant: hills decay as a basin fills (later
+    deposits in the start basin are strictly smaller than the first),
+    walkers still escape, and the free-energy estimator carries the
+    gamma/(gamma-1) rescaling."""
+    traj, _, bias = metadynamics_langevin(
+        pot.energy, phi_cossin, _walkers(universe, 3), n_steps=6000,
+        dt=DT, kT=KT, key=jax.random.PRNGKey(1), height=0.7, sigma=0.25,
+        stride=50, well_tempered_gamma=25.0,
+    )  # kT*(gamma-1) = 6.0 matches the barrier: hills decay but the
+    # bias can still climb it (gamma=8 would cap the fill at ~1/3 of
+    # the barrier — well-tempered physics, verified by hand)
+    w = np.asarray(bias.weights)
+    assert w[0] == 1.0  # first deposit sees zero bias
+    assert (w > 0).all() and (w <= 1.0 + 1e-6).all()
+    assert w[3:30].mean() < 0.95  # hills shrink as the basin fills
+    cos_phi = np.cos(np.asarray(pot.phi(traj.reshape(-1, 22, 3))))
+    assert cos_phi.max() > 0.5  # still escapes
+
+    grid = np.stack([np.cos(np.linspace(-np.pi, np.pi, 30)),
+                     np.sin(np.linspace(-np.pi, np.pi, 30))], axis=1)
+    fes = np.asarray(bias.free_energy_estimate(grid))
+    v = np.asarray(bias.energy(jnp.asarray(grid, jnp.float32)))
+    np.testing.assert_allclose(fes, -(25.0 / 24.0) * v, rtol=1e-6)
+
+
+def test_well_tempered_gamma_validation(universe, pot, phi_cossin):
+    with pytest.raises(ValueError, match="well_tempered_gamma"):
+        metadynamics_langevin(
+            pot.energy, phi_cossin, _walkers(universe, 1), n_steps=100,
+            dt=DT, kT=KT, key=jax.random.PRNGKey(0), height=0.5,
+            sigma=0.25, stride=50, well_tempered_gamma=1.0,
+        )
