@@ -368,6 +368,7 @@ def cmd_sample(args):
             pot.energy, model, x0, n_steps=args.steps, dt=args.dt,
             kT=args.kT, key=key, height=args.height, sigma=args.sigma,
             stride=args.stride,
+            well_tempered_gamma=args.well_tempered_gamma,
         )
     elif args.bias == "steered":
         s0 = [float(v) for v in args.s0.split(",")]
@@ -402,9 +403,15 @@ def cmd_sample(args):
           f"records); free-torsion cos(phi) in "
           f"[{cos_phi.min():+.2f}, {cos_phi.max():+.2f}]")
     if bias is not None and args.bias_out:
+        extra = {}
+        if bias.gamma is not None:
+            # well-tempered: hills decay per deposit — the effective
+            # height of deposit k is height * weights[k]
+            extra = dict(weights=np.asarray(bias.weights),
+                         gamma=bias.gamma)
         np.savez(
             args.bias_out, centers=np.asarray(bias.centers),
-            height=bias.height, sigma=bias.sigma,
+            height=bias.height, sigma=bias.sigma, **extra,
         )
         print(f"wrote {args.bias_out}: {bias.centers.shape[0]} deposits")
     return 0
@@ -544,6 +551,10 @@ def main(argv=None):
     ps.add_argument("--stride", type=int, default=50,
                     help="metadynamics deposit stride (also the record "
                          "interval)")
+    ps.add_argument("--well-tempered-gamma", type=float, default=None,
+                    help="bias factor > 1 switches on well-tempered "
+                         "metadynamics (hills decay; pick so that "
+                         "kT*(gamma-1) ~ the barrier height)")
     ps.add_argument("--s0", default=None, help="steered start CV (comma)")
     ps.add_argument("--s1", default=None, help="steered end CV (comma)")
     ps.add_argument("--k-spring", type=float, default=10.0)

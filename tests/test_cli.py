@@ -211,3 +211,40 @@ def test_sample_cli_unbiased_stays(workdir):
 
     frames, _, _ = read_xtc(str(out))
     assert frames.shape[1:] == (22, 3)
+
+
+def test_sample_cli_well_tempered(workdir):
+    """--well-tempered-gamma switches on hill decay and the bias-out
+    file carries the per-deposit weights + gamma needed to reconstruct
+    the bias (without them a WT hills file would read back as
+    constant-height hills)."""
+    if not (workdir / "model.npz").exists():
+        assert main(["build", str(workdir / "system.pdb"),
+                     str(workdir / "features.txt"),
+                     "--section", "Output", "--align", "bynum 1 2 5",
+                     "--mlp", "5", "1",
+                     "--out", str(workdir / "model.npz")]) == 0
+    out = workdir / "wt.npy"
+    bias_out = workdir / "wt_bias.npz"
+    rc = main(["sample", str(workdir / "model.npz"),
+               str(workdir / "system.pdb"),
+               "--bias", "metad", "--steps", "2000", "--walkers", "2",
+               "--well-tempered-gamma", "25",
+               "--out", str(out), "--bias-out", str(bias_out)])
+    assert rc == 0
+    dep = np.load(bias_out)
+    assert set(dep.keys()) >= {"centers", "height", "sigma", "weights",
+                               "gamma"}
+    w = dep["weights"]
+    assert w.shape == dep["centers"].shape[:1]
+    assert float(dep["gamma"]) == 25.0
+    # hills must actually decay as basins fill
+    assert w.min() < 0.9 and w.max() <= 1.0 + 1e-6
+    # standard metadynamics keeps the old, weight-free format
+    rc = main(["sample", str(workdir / "model.npz"),
+               str(workdir / "system.pdb"),
+               "--bias", "metad", "--steps", "500", "--walkers", "1",
+               "--out", str(out), "--bias-out", str(bias_out)])
+    assert rc == 0
+    dep = np.load(bias_out)
+    assert "weights" not in dep and "gamma" not in dep
