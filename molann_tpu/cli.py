@@ -12,6 +12,7 @@ config system); these commands wrap the framework for production batch use:
         --align "bynum 1 2 5" --mlp 8 5 3 --out model.npz
     python -m molann_tpu sample model.npz model.pdb --bias metad \\
         --out sampled.xtc --bias-out bias.npz
+    python -m molann_tpu fes bias.npz --grid=-3.2:3.2:200 --out fes.npy
 
 Trajectories are ``.npy`` files ([n_frames, n_atoms, 3] or packed
 [n_frames, 3n] float32) or CHARMM/NAMD ``.dcd``; evaluation streams
@@ -403,17 +404,56 @@ def cmd_sample(args):
           f"records); free-torsion cos(phi) in "
           f"[{cos_phi.min():+.2f}, {cos_phi.max():+.2f}]")
     if bias is not None and args.bias_out:
-        extra = {}
-        if bias.gamma is not None:
-            # well-tempered: hills decay per deposit — the effective
-            # height of deposit k is height * weights[k]
-            extra = dict(weights=np.asarray(bias.weights),
-                         gamma=bias.gamma)
-        np.savez(
-            args.bias_out, centers=np.asarray(bias.centers),
-            height=bias.height, sigma=bias.sigma, **extra,
-        )
+        bias.save(args.bias_out)
         print(f"wrote {args.bias_out}: {bias.centers.shape[0]} deposits")
+    return 0
+
+
+def cmd_fes(args):
+    """Reconstruct the free-energy surface from a metadynamics hills
+    file (``sample --bias-out``): F(s) = -V(s) for standard hills,
+    scaled by gamma/(gamma-1) for well-tempered runs, shifted so
+    min F = 0 on the grid."""
+    from .sampling import MetadBias
+
+    bias = MetadBias.load(args.hills)
+    d = bias.centers.shape[1]
+    specs = args.grid.split(",")
+    if len(specs) == 1 and d > 1:
+        specs = specs * d
+    if len(specs) != d:
+        raise SystemExit(f"error: hills are {d}-dimensional; --grid "
+                         f"needs 1 or {d} lo:hi:n specs")
+    axes = []
+    for spec in specs:
+        try:
+            lo, hi, n = spec.split(":")
+            axes.append(np.linspace(float(lo), float(hi), int(n),
+                                    dtype=np.float32))
+        except ValueError:
+            raise SystemExit(f"error: bad --grid spec {spec!r} "
+                             "(want lo:hi:n)")
+    mesh = np.meshgrid(*axes, indexing="ij")
+    grid = np.stack([m.ravel() for m in mesh], axis=-1)
+    f = np.array(bias.free_energy_estimate(grid))
+    f -= f.min()
+    shape = tuple(len(a) for a in axes)
+    kind = (f"well-tempered (gamma={bias.gamma:g})"
+            if bias.gamma is not None else "standard")
+    print(f"{args.hills}: {int(bias.n_active)} {kind} deposits, "
+          f"{d}-d CV; barrier estimate (max-min on grid) = "
+          f"{f.max():.4f}")
+    if args.out:
+        if args.out.endswith(".csv"):
+            with open(args.out, "w") as fh:
+                fh.write(",".join(f"s{i}" for i in range(d))
+                         + ",free_energy\n")
+                for row, val in zip(grid, f):
+                    fh.write(",".join(f"{v:.6g}" for v in row)
+                             + f",{val:.6g}\n")
+        else:
+            np.save(args.out, f.reshape(shape))
+        print(f"wrote {args.out}: grid {shape}")
     return 0
 
 
@@ -559,6 +599,19 @@ def main(argv=None):
     ps.add_argument("--s1", default=None, help="steered end CV (comma)")
     ps.add_argument("--k-spring", type=float, default=10.0)
     ps.set_defaults(fn=cmd_sample)
+
+    pg = sub.add_parser(
+        "fes",
+        help="free-energy surface from a metadynamics hills file")
+    pg.add_argument("hills", help="deposits .npz from sample --bias-out")
+    pg.add_argument("--grid", default="-3.2:3.2:200",
+                    metavar="LO:HI:N[,LO:HI:N...]",
+                    help="CV grid, one comma-separated lo:hi:n per CV "
+                         "dimension (a single spec is broadcast to all "
+                         "dims); use --grid=... when lo is negative")
+    pg.add_argument("--out", default=None,
+                    help=".npy (grid-shaped) or .csv (long-form) output")
+    pg.set_defaults(fn=cmd_fes)
 
     pb = sub.add_parser("build", help="build a model from PDB + feature file")
     pb.add_argument("pdb")

@@ -74,6 +74,53 @@ class MetadBias:
             return -(self.gamma / (self.gamma - 1.0)) * v
         return -v
 
+    def frame_weights(self, cv, kT):
+        """Per-frame reweighting factors ``w_t ∝ exp(+V_b(s_t)/kT)``
+        for recovering UNBIASED averages from a biased trajectory under
+        the final (quasi-static) bias — the standard last-bias WTMetaD
+        estimator. Returns weights normalized to mean 1 over the input
+        (so ``mean(w * f(s))`` estimates the unbiased ``<f>``),
+        numerically stabilized by subtracting the max exponent.
+
+        Feed these straight into the ``weights=`` argument of
+        :func:`molann_tpu.train.autoencoder_loss` to retrain a CV model
+        on reweighted biased data — the adaptive
+        sample→reweight→retrain loop of the reference's downstream
+        research workflow (reference README.rst:51, "adaptive learning
+        of reaction coordinates")."""
+        v = self.energy(jnp.asarray(cv, dtype=jnp.float32)) / float(kT)
+        w = jnp.exp(v - jnp.max(v))
+        return w / jnp.mean(w)
+
+    def save(self, path):
+        """Write the hills to ``path`` (.npz). Well-tempered runs carry
+        per-deposit ``weights`` + ``gamma``; standard runs stay in the
+        weight-free format (the two are mutually round-trippable via
+        :meth:`load`). Only the active deposits are written."""
+        import numpy as np
+
+        k = int(self.n_active)
+        extra = {}
+        if self.gamma is not None:
+            extra = dict(
+                weights=np.asarray(self.weights[:k]), gamma=self.gamma
+            )
+        np.savez(path, centers=np.asarray(self.centers[:k]),
+                 height=self.height, sigma=self.sigma, **extra)
+
+    @classmethod
+    def load(cls, path):
+        """Rebuild a :class:`MetadBias` from a hills ``.npz`` written by
+        :meth:`save` (or ``molann_tpu sample --bias-out``)."""
+        import numpy as np
+
+        with np.load(path) as f:
+            return cls(
+                f["centers"], float(f["height"]), float(f["sigma"]),
+                weights=f["weights"] if "weights" in f else None,
+                gamma=float(f["gamma"]) if "gamma" in f else None,
+            )
+
 
 def steered_langevin(energy_fn, cv_model, x0, *, s0, s1, k_spring,
                      n_steps, dt, kT, key, thin=10):

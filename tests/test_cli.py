@@ -248,3 +248,44 @@ def test_sample_cli_well_tempered(workdir):
     assert rc == 0
     dep = np.load(bias_out)
     assert "weights" not in dep and "gamma" not in dep
+
+
+def test_fes_cli(tmp_path, capsys):
+    """'fes' reconstructs F(s) from a hills file: single Gaussian at 0
+    -> F is h at the far edges, 0 at the center, and the WT variant is
+    rescaled by gamma/(gamma-1)."""
+    from molann_tpu.sampling import MetadBias
+
+    hills = tmp_path / "hills.npz"
+    MetadBias(np.zeros((1, 1), np.float32), height=0.5,
+              sigma=0.2).save(hills)
+    out = tmp_path / "fes.npy"
+    rc = main(["fes", str(hills), "--grid=-2:2:81",
+               "--out", str(out)])
+    assert rc == 0
+    f = np.load(out)
+    assert f.shape == (81,)
+    assert abs(f[40]) < 1e-6          # center of the Gaussian -> min F
+    np.testing.assert_allclose(f[0], 0.5, atol=1e-4)  # far edge -> h
+    assert "barrier estimate" in capsys.readouterr().out
+
+    # well-tempered hills carry the gamma/(gamma-1) prefactor + csv out
+    MetadBias(np.zeros((1, 1), np.float32), height=0.5, sigma=0.2,
+              weights=np.array([0.8], np.float32),
+              gamma=5.0).save(hills)
+    csv = tmp_path / "fes.csv"
+    rc = main(["fes", str(hills), "--grid=-2:2:81",
+               "--out", str(csv)])
+    assert rc == 0
+    rows = csv.read_text().splitlines()
+    assert rows[0] == "s0,free_energy"
+    vals = np.array([float(r.split(",")[1]) for r in rows[1:]])
+    np.testing.assert_allclose(vals[0], (5 / 4) * 0.8 * 0.5, atol=1e-4)
+
+    # 2-d hills: single spec broadcasts, grid-shaped output
+    MetadBias(np.zeros((1, 2), np.float32), height=0.5,
+              sigma=0.2).save(hills)
+    rc = main(["fes", str(hills), "--grid=-1:1:11",
+               "--out", str(out)])
+    assert rc == 0
+    assert np.load(out).shape == (11, 11)

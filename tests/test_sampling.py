@@ -173,3 +173,96 @@ def test_well_tempered_gamma_validation(universe, pot, phi_cossin):
             dt=DT, kT=KT, key=jax.random.PRNGKey(0), height=0.5,
             sigma=0.25, stride=50, well_tempered_gamma=1.0,
         )
+
+
+def test_metad_bias_save_load_roundtrip(tmp_path, rng):
+    """save/load round-trips both hills formats; only active deposits
+    are persisted."""
+    centers = rng.normal(size=(9, 2)).astype(np.float32)
+    std = MetadBias(centers, height=0.4, sigma=0.3, n_active=6)
+    std.save(tmp_path / "std.npz")
+    back = MetadBias.load(tmp_path / "std.npz")
+    assert back.gamma is None and back.centers.shape == (6, 2)
+    cv = rng.normal(size=(5, 2)).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(back.energy(jnp.asarray(cv))),
+                               np.asarray(std.energy(jnp.asarray(cv))),
+                               rtol=1e-6)
+    with np.load(tmp_path / "std.npz") as f:
+        assert "weights" not in f  # weight-free standard format
+
+    w = rng.uniform(0.2, 1.0, size=9).astype(np.float32)
+    wt = MetadBias(centers, height=0.4, sigma=0.3, weights=w, gamma=15.0)
+    wt.save(tmp_path / "wt.npz")
+    back = MetadBias.load(tmp_path / "wt.npz")
+    assert back.gamma == 15.0
+    np.testing.assert_allclose(np.asarray(back.weights), w, rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(back.free_energy_estimate(cv)),
+        np.asarray(wt.free_energy_estimate(cv)), rtol=1e-6)
+
+
+def test_wt_metadynamics_recovers_double_well_barrier():
+    """Physics check of the whole deposit->FES chain on an analytic 1-d
+    double well V(s) = b ((s/s0)^2 - 1)^2: long well-tempered
+    metadynamics along the identity CV reconstructs the barrier height
+    between the basin minimum and the top at s=0."""
+    barrier = 3.0
+
+    def energy(x):  # x [W, 1, 1]
+        s = x[..., 0, 0]
+        return barrier * (s * s - 1.0) ** 2
+
+    cv = lambda x: x[:, 0, :]  # noqa: E731 — identity CV
+    x0 = jnp.full((4, 1, 1), -1.0, jnp.float32)  # all walkers left basin
+    _, _, bias = metadynamics_langevin(
+        energy, cv, x0, n_steps=30000, dt=2e-3, kT=0.35,
+        key=jax.random.PRNGKey(7), height=0.12, sigma=0.15, stride=100,
+        well_tempered_gamma=1.0 + barrier / 0.35,
+    )
+    grid = np.linspace(-1.6, 1.6, 161, dtype=np.float32)[:, None]
+    f = np.array(bias.free_energy_estimate(grid))
+    f -= f.min()
+    top = f[np.abs(grid[:, 0]).argmin()]
+    # both minima deep, barrier at s=0 within 35% of the analytic value
+    assert abs(top - barrier) < 0.35 * barrier
+    left = f[: 80][np.abs(grid[:80, 0] + 1.0).argmin()]
+    right = f[80:][np.abs(grid[80:, 0] - 1.0).argmin()]
+    assert left < 0.35 * barrier and right < 0.35 * barrier
+
+
+def test_reweighting_recovers_unbiased_populations():
+    """frame_weights turns a biased trajectory back into unbiased
+    statistics: on a TILTED double well V = b(s^2-1)^2 + c s, the
+    reweighted basin-population ratio matches exp(-dV/kT) where the raw
+    biased ratio (flattened by metadynamics) does not."""
+    b, c, kT = 2.5, 0.6, 0.4
+
+    def energy(x):
+        s = x[..., 0, 0]
+        return b * (s * s - 1.0) ** 2 + c * s
+
+    cv = lambda x: x[:, 0, :]  # noqa: E731
+    x0 = jnp.full((6, 1, 1), -1.0, jnp.float32)
+    traj, _, bias = metadynamics_langevin(
+        energy, cv, x0, n_steps=80000, dt=2e-3, kT=kT,
+        key=jax.random.PRNGKey(3), height=0.08, sigma=0.15, stride=100,
+        well_tempered_gamma=1.0 + 2 * b / kT,
+    )
+    # last-bias estimator needs the quasi-static tail: keep the second
+    # half (periods x walkers), after the bias has mostly converged
+    S = np.asarray(traj[..., 0, 0])
+    s = S[S.shape[0] // 2:].ravel()
+    w = np.asarray(bias.frame_weights(s[:, None], kT))
+    assert abs(w.mean() - 1.0) < 1e-5                 # normalized
+    right = s > 0.0
+    assert right.any() and (~right).any()             # biased run visits both
+    ratio_biased = right.mean() / (~right).mean()
+    ratio_rw = w[right].sum() / w[~right].sum()
+    # analytic population ratio from numerical quadrature
+    grid = np.linspace(-2.5, 2.5, 4001)
+    p = np.exp(-(b * (grid**2 - 1) ** 2 + c * grid) / kT)
+    ratio_true = p[grid > 0].sum() / p[grid <= 0].sum()
+    assert ratio_true < 0.3                           # strongly asymmetric
+    # reweighting lands within 2x of truth; raw biased ratio is >3x off
+    assert 0.5 * ratio_true < ratio_rw < 2.0 * ratio_true
+    assert ratio_biased > 3.0 * ratio_true
