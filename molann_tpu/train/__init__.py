@@ -8,7 +8,10 @@ from .loop import (
 )
 from .losses import (
     autoencoder_loss,
+    cv_coordinate_gradients,
+    eigenfunction_loss,
     fused_mse_loss,
+    make_eigenfunction_loss,
     mse_loss,
     registry as loss_registry,
 )
@@ -35,6 +38,9 @@ __all__ = [
     "mse_loss",
     "fused_mse_loss",
     "autoencoder_loss",
+    "cv_coordinate_gradients",
+    "eigenfunction_loss",
+    "make_eigenfunction_loss",
     "loss_registry",
     "TrajectoryDataset",
     "batch_iterator",

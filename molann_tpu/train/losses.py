@@ -3,13 +3,26 @@
 The reference ships no training loop (SURVEY.md §2.3); these are the
 standard objectives its downstream CV-training codes use, expressed over
 ``(model, batch)`` pytrees so they plug into :mod:`molann_tpu.train.loop`.
+Two CV-learning objectives from the reference's research ecosystem
+(reference README.rst:51 — "adaptive learning of reaction coordinates")
+are provided: the autoencoder reconstruction loss and the variational
+generator-eigenfunction loss.
 """
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
-__all__ = ["mse_loss", "fused_mse_loss", "autoencoder_loss", "registry"]
+__all__ = [
+    "mse_loss",
+    "fused_mse_loss",
+    "autoencoder_loss",
+    "cv_coordinate_gradients",
+    "eigenfunction_loss",
+    "make_eigenfunction_loss",
+    "registry",
+]
 
 
 def mse_loss(model, batch):
@@ -46,7 +59,95 @@ def autoencoder_loss(encoder, decoder, preprocessing, x, weights=None):
     return jnp.mean(err)
 
 
+def cv_coordinate_gradients(model, x):
+    """Per-frame coordinate gradients of every CV component at once.
+
+    ``x [l, n, 3] -> [k, l, n, 3]`` where ``k`` is the model's output
+    dimension: ``out[i, f] = ∂ model(x)[f, i] / ∂ x[f]``. Frames are
+    independent, so one VJP per output component (vmapped over a basis of
+    cotangents) gives all per-frame gradients in ``k`` backward passes of
+    the *batched* model — no per-sample jacobians.
+    """
+    f, vjp = jax.vjp(model, x)
+    l, k = f.shape
+    basis = jnp.eye(k, dtype=f.dtype)  # [k, k]
+    cotangents = jnp.broadcast_to(basis[:, None, :], (k, l, k))
+    return jax.vmap(lambda ct: vjp(ct)[0])(cotangents)
+
+
+def eigenfunction_loss(model, x, *, beta=1.0, alpha=10.0,
+                       eig_weights=None, weights=None, return_aux=False):
+    """Variational loss for eigenfunctions of the overdamped-Langevin
+    generator — the second CV-learning objective of the reference's
+    research ecosystem (reference README.rst:51; the eigenfunction method
+    of Zhang/Li/Schütte-style adaptive reaction-coordinate learning).
+
+    For a model with ``k`` outputs ``f_1..f_k`` evaluated on frames ``x``
+    sampled from (or reweighted to, via ``weights``) the Boltzmann measure
+    at inverse temperature ``beta``:
+
+    - Rayleigh quotients ``E_i = (1/beta)·E[|∇f_i|²]`` estimate the
+      generator eigenvalues when the ``f_i`` are orthonormal in L²(μ);
+    - loss = ``Σ_i ω_i E_i + alpha·Σ_{i≤j} (⟨f_i,f_j⟩ − δ_ij)²`` where
+      ``⟨·,·⟩`` is the (weighted) covariance of mean-centered outputs and
+      ``ω`` (``eig_weights``, default ``k, k-1, …, 1``) is strictly
+      decreasing so minimization orders eigenvalues ascending: output 0
+      learns the SLOWEST mode (the reaction coordinate).
+
+    ``weights [l]`` are importance weights (e.g.
+    :meth:`molann_tpu.sampling.MetadBias.frame_weights` from a biased
+    trajectory); unnormalized is fine. With ``return_aux=True`` also
+    returns ``{"eigenvalues": [k], "cov": [k,k]}`` where eigenvalues are
+    the per-mode Rayleigh quotients normalized by the realized variances
+    (exact estimates even before the orthonormality penalty converges).
+    """
+    f = model(x)
+    l, k = f.shape
+    if weights is None:
+        w = jnp.full((l,), 1.0 / l, f.dtype)
+    else:
+        w = jnp.asarray(weights, f.dtype)
+        w = w / jnp.sum(w)
+    if eig_weights is None:
+        eig_weights = jnp.arange(k, 0, -1, f.dtype)
+    else:
+        eig_weights = jnp.asarray(eig_weights, f.dtype)
+
+    fc = f - jnp.sum(w[:, None] * f, axis=0)
+    cov = (fc * w[:, None]).T @ fc  # [k, k]
+
+    grads = cv_coordinate_gradients(model, x)  # [k, l, n, 3]
+    gsq = jnp.sum(grads * grads, axis=(2, 3))  # [k, l]
+    rayleigh = jnp.sum(gsq * w[None, :], axis=1) / beta  # [k]
+
+    delta = cov - jnp.eye(k, dtype=f.dtype)
+    # i <= j once each: full Frobenius counts off-diagonals twice, so
+    # halve them (upper-triangle sum, written without gathers)
+    penalty = 0.5 * (jnp.sum(delta * delta) + jnp.sum(jnp.diag(delta) ** 2))
+
+    loss = jnp.sum(eig_weights * rayleigh) + alpha * penalty
+    if return_aux:
+        var = jnp.clip(jnp.diag(cov), 1e-12)
+        return loss, {"eigenvalues": rayleigh / var, "cov": cov}
+    return loss
+
+
+def make_eigenfunction_loss(**kwargs):
+    """``(model, batch) -> scalar`` wrapper for :func:`fit` /
+    :func:`make_train_step`. ``batch`` is ``x`` or ``(x, weights)``."""
+
+    def loss_fn(model, batch):
+        if isinstance(batch, (tuple, list)):
+            x, weights = batch
+        else:
+            x, weights = batch, None
+        return eigenfunction_loss(model, x, weights=weights, **kwargs)
+
+    return loss_fn
+
+
 registry = {
     "mse": mse_loss,
     "fused_mse": fused_mse_loss,
+    "eigenfunction": make_eigenfunction_loss(),
 }

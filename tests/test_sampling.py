@@ -140,6 +140,30 @@ def test_closed_loop_example_escapes():
     assert res["cv_gap"] > 5 * res["cv_spread"]  # CV separates the basins
 
 
+def test_adaptive_cv_loop_example_escapes():
+    """examples/adaptive_cv_loop.py end to end (quick mode): with NO
+    prior knowledge of basin B, adaptive rounds of (WT metadynamics
+    along the current CV -> retrain) discover it, where the unbiased
+    run and the round-0 CV's training data never leave basin A."""
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "examples", "adaptive_cv_loop.py",
+    )
+    spec = importlib.util.spec_from_file_location("adaptive_cv_loop", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    res = mod.main(quick=True)
+    assert res["escaped"] and res["escaped_round"] <= 3
+    assert res["cos_unbiased_max"] < -0.5 < res["cos_biased_max"]
+    # the final CV still separates the basins on held-out frames
+    assert res["sep1"] > 2.0
+    # hills-based FES sees a substantial barrier along the biasing CV
+    assert res["fes_barrier"] > 4 * KT
+    # reweighting knows basin B is rare in the unbiased ensemble even
+    # though the biased trajectory visits it heavily
+    assert res["pop_b_reweighted"] < 0.5 * res["pop_b_biased"]
+
+
 def test_well_tempered_metadynamics(universe, pot, phi_cossin):
     """Well-tempered variant: hills decay as a basin fills (later
     deposits in the start basin are strictly smaller than the first),

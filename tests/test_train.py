@@ -169,3 +169,134 @@ def test_tf32_policy_convergence(rng):
     # loss decrease
     drop = exact[0] - exact[-1]
     assert abs(tf32[-1] - exact[-1]) < 0.05 * drop
+
+
+def test_cv_coordinate_gradients_matches_per_component(rng):
+    from molann_tpu.train import cv_coordinate_gradients
+
+    model, u = alanine_model()
+    x = jnp.asarray(
+        u.atoms.positions[None]
+        + 0.05 * rng.normal(size=(3, 22, 3)).astype(np.float32)
+    )
+    g = cv_coordinate_gradients(model, x)
+    k = model(x).shape[1]
+    assert g.shape == (k, *x.shape)
+    for i in range(k):
+        np.testing.assert_allclose(
+            np.asarray(g[i]),
+            np.asarray(coordinate_gradients(model, x, component=i)),
+            atol=1e-6,
+        )
+
+
+def test_eigenfunction_loss_recovers_ou_spectrum(rng):
+    """On a quadratic potential V = ½ xᵀAx (an OU process) the generator's
+    first nontrivial eigenfunctions are the linear maps along A's
+    eigenvectors with eigenvalues = A's eigenvalues. Train a 2-CV MLP on
+    Boltzmann samples (here beta=1, A=diag(1,4,9), so x ~ N(0, A⁻¹)) and
+    check the learned spectrum and mode order."""
+    import jax
+    import optax
+
+    from molann_tpu.ann import create_sequential_nn
+    from molann_tpu.train import eigenfunction_loss
+
+    a = np.array([1.0, 4.0, 9.0], np.float32)
+    xs = (rng.normal(size=(4096, 1, 3)) / np.sqrt(a)).astype(np.float32)
+    xs = jnp.asarray(xs)
+
+    mlp = create_sequential_nn([3, 16, 2], key=jax.random.PRNGKey(0))
+
+    def loss_fn(m):
+        return eigenfunction_loss(
+            lambda xx: m(xx.reshape(xx.shape[0], -1)), xs, alpha=20.0
+        )
+
+    opt = optax.adam(5e-3)
+    state = opt.init(mlp)
+    step = jax.jit(
+        lambda m, s: (lambda l, g: (l, *_apply(opt, m, s, g)))(
+            *jax.value_and_grad(loss_fn)(m)
+        )
+    )
+    for _ in range(400):
+        loss, mlp, state = step(mlp, state)
+
+    _, aux = eigenfunction_loss(
+        lambda xx: mlp(xx.reshape(xx.shape[0], -1)), xs, alpha=20.0,
+        return_aux=True,
+    )
+    eigs = np.sort(np.asarray(aux["eigenvalues"]))
+    # slowest two modes of A = diag(1, 4, 9) under the sampled measure
+    assert abs(eigs[0] - 1.0) < 0.4
+    assert abs(eigs[1] - 4.0) < 1.5
+    # output 0 (largest eig_weight) is the SLOWEST mode: along x-axis
+    z = np.asarray(mlp(xs.reshape(-1, 3)))
+    c = np.corrcoef(z[:, 0], np.asarray(xs)[:, 0, 0])[0, 1]
+    assert abs(c) > 0.9
+
+
+def _apply(opt, model, state, grads):
+    import optax
+
+    updates, state = opt.update(grads, state, model)
+    return optax.apply_updates(model, updates), state
+
+
+def test_eigenfunction_loss_weights_equal_duplication(rng):
+    """Importance weighting is exact: weight-2 on a frame == listing the
+    frame twice (the reweighted estimator the sampling module's
+    frame_weights feeds)."""
+    import jax
+
+    from molann_tpu.ann import create_sequential_nn
+    from molann_tpu.train import eigenfunction_loss
+
+    mlp = create_sequential_nn([3, 8, 2], key=jax.random.PRNGKey(1))
+    model = lambda xx: mlp(xx.reshape(xx.shape[0], -1))  # noqa: E731
+    xs = jnp.asarray(rng.normal(size=(10, 1, 3)).astype(np.float32))
+    w = np.ones(10, np.float32)
+    w[3] = 2.0
+    dup = jnp.concatenate([xs, xs[3:4]])
+    a = eigenfunction_loss(model, xs, weights=jnp.asarray(w))
+    b = eigenfunction_loss(model, dup)
+    np.testing.assert_allclose(float(a), float(b), rtol=1e-5)
+
+
+def test_make_eigenfunction_loss_batch_forms(rng):
+    import jax
+
+    from molann_tpu.ann import create_sequential_nn
+    from molann_tpu.train import make_eigenfunction_loss
+
+    mlp = create_sequential_nn([3, 8, 1], key=jax.random.PRNGKey(2))
+    model = lambda xx: mlp(xx.reshape(xx.shape[0], -1))  # noqa: E731
+    xs = jnp.asarray(rng.normal(size=(6, 1, 3)).astype(np.float32))
+    loss_fn = make_eigenfunction_loss(alpha=5.0)
+    plain = loss_fn(model, xs)
+    pair = loss_fn(model, (xs, jnp.ones(6)))
+    np.testing.assert_allclose(float(plain), float(pair), rtol=1e-6)
+
+
+def test_eigenfunction_example_learns_slow_mode():
+    """examples/train_eigenfunction_cv.py end to end (quick mode):
+    eigenfunctions trained on REWEIGHTED biased data put the interbasin
+    hopping mode on output 0 with a clear spectral gap."""
+    import importlib.util
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "examples", "train_eigenfunction_cv.py",
+    )
+    spec = importlib.util.spec_from_file_location(
+        "train_eigenfunction_cv", path
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    res = mod.main(quick=True)
+    assert res["gap"] > 3.0                 # slow mode well separated
+    assert abs(res["corr_basin"]) > 0.5     # CV0 tracks the hopping mode
+    assert abs(res["corr_cvs"]) < 0.5       # orthonormality held
+    assert 0.0 < res["pop_b"] < 0.5         # reweighting is sane
