@@ -117,3 +117,35 @@ def test_training_reduces_loss(model_and_data):
         res.model.preprocessing_layer.align_layer.ref_x
     )
     np.testing.assert_array_equal(ref_x_before, ref_x_after)  # buffer frozen
+
+
+def test_data_parallel_eigenfunction_step(mesh, model_and_data):
+    """The eigenfunction objective's weighted mean/covariance are GLOBAL
+    batch statistics; under GSPMD the sharded-batch step must reduce them
+    across devices exactly (not per-shard-normalize). Weighted batch ==
+    the reweighted-biased-data training mode."""
+    from molann_tpu.train import make_eigenfunction_loss
+
+    model, x, _ = model_and_data
+    w = jnp.asarray(
+        np.random.default_rng(7).uniform(0.1, 2.0, size=(64,)).astype(
+            np.float32
+        )
+    )
+    loss_fn = make_eigenfunction_loss(beta=4.0, alpha=10.0)
+    optimizer = masked_optimizer(optax.adam(1e-2), trainable_mask(model))
+    repl = replicated_sharding(mesh)
+
+    model_dp = jax.device_put(model, repl)
+    opt_state_dp = jax.device_put(optimizer.init(model_dp), repl)
+    step_dp = make_train_step(loss_fn, optimizer, mesh)
+    batch = shard_batch((x, w), mesh)
+    model_dp, opt_state_dp, loss_dp = step_dp(model_dp, opt_state_dp, batch)
+
+    step_1d = make_train_step(loss_fn, optimizer)
+    model_1d, _, loss_1d = step_1d(model, optimizer.init(model), (x, w))
+
+    assert abs(float(loss_dp) - float(loss_1d)) < 1e-4
+    w_dp = np.asarray(model_dp.ann_layers.params[0][0])
+    w_1d = np.asarray(model_1d.ann_layers.params[0][0])
+    np.testing.assert_allclose(w_dp, w_1d, atol=1e-5)
