@@ -10,6 +10,8 @@ config system); these commands wrap the framework for production batch use:
     python -m molann_tpu export model.npz --n-atoms 22 --out model.stablehlo
     python -m molann_tpu build model.pdb features.txt --section Output \\
         --align "bynum 1 2 5" --mlp 8 5 3 --out model.npz
+    python -m molann_tpu train model.npz traj.npy --loss eigenfunction \\
+        --beta 4 --weights w.npy --steps 2000 --out trained.npz
     python -m molann_tpu sample model.npz model.pdb --bias metad \\
         --out sampled.xtc --bias-out bias.npz
     python -m molann_tpu fes bias.npz --grid=-3.2:3.2:200 --out fes.npy
@@ -457,6 +459,85 @@ def cmd_fes(args):
     return 0
 
 
+def cmd_train(args):
+    """Train a saved model on a trajectory.
+
+    The reference ships no training loop (SURVEY.md §2.3); this wraps
+    :func:`molann_tpu.train.fit` for the objectives that need no extra
+    Python: MSE regression onto per-frame targets and the variational
+    generator-eigenfunction loss (optionally importance-weighted, e.g.
+    by metadynamics frame weights from ``molann_tpu sample``/``fes``).
+    """
+    import jax.numpy as jnp
+    import optax
+
+    from .io import save_model
+    from .train import (
+        TrajectoryDataset,
+        batch_iterator,
+        fit,
+        make_eigenfunction_loss,
+        mse_loss,
+    )
+
+    model = _load_model(args.model)
+    ds = TrajectoryDataset(args.traj)
+    n = len(ds)
+
+    targets = weights = None
+    if args.loss == "mse":
+        if not args.targets:
+            print("error: --loss mse requires --targets", file=sys.stderr)
+            return 1
+        targets = np.load(args.targets, mmap_mode="r")
+        if len(targets) != n:
+            print(f"error: targets rows {len(targets)} != frames {n}",
+                  file=sys.stderr)
+            return 1
+        loss_fn = mse_loss
+    else:
+        loss_fn = make_eigenfunction_loss(beta=args.beta, alpha=args.alpha)
+        if args.weights:
+            weights = np.asarray(np.load(args.weights), np.float32)
+            if weights.shape != (n,):
+                print(f"error: weights shape {weights.shape} != ({n},)",
+                      file=sys.stderr)
+                return 1
+
+    mesh = None
+    multiple = 1
+    if args.devices:
+        import jax
+
+        from .parallel import data_mesh
+
+        ndev = min(args.devices, len(jax.devices()))
+        mesh = data_mesh(ndev)
+        multiple = ndev
+
+    def batches():
+        it = batch_iterator(ds, args.batch_size, seed=args.seed,
+                            multiple_of=multiple, return_indices=True)
+        for x, idx in it:
+            x = jnp.asarray(x)
+            if targets is not None:
+                yield (x, jnp.asarray(np.asarray(targets[idx], np.float32)))
+            elif weights is not None:
+                yield (x, jnp.asarray(weights[idx]))
+            else:
+                yield x
+
+    res = fit(model, loss_fn, batches(),
+              optimizer=optax.adam(args.lr), mesh=mesh,
+              num_steps=args.steps, log_every=args.log_every,
+              checkpoint_dir=args.checkpoint_dir,
+              checkpoint_every=args.checkpoint_every)
+    save_model(args.out, res.model)
+    print(f"trained {len(res.losses)} steps: loss {res.losses[0]:.6g} -> "
+          f"{res.losses[-1]:.6g}; wrote {args.out}")
+    return 0
+
+
 def cmd_build(args):
     from .ann import (
         AlignmentLayer,
@@ -613,6 +694,34 @@ def main(argv=None):
                     help=".npy (grid-shaped) or .csv (long-form) output")
     pg.set_defaults(fn=cmd_fes)
 
+    pt = sub.add_parser("train", help="train a model on a trajectory")
+    pt.add_argument("model")
+    pt.add_argument("traj",
+                    help=".npy trajectory [n, atoms, 3] "
+                         "(use 'convert' for dcd/trr/xtc)")
+    pt.add_argument("--loss", choices=["mse", "eigenfunction"],
+                    default="mse")
+    pt.add_argument("--targets", default=None,
+                    help=".npy per-frame targets [n, d] (mse)")
+    pt.add_argument("--weights", default=None,
+                    help=".npy per-frame importance weights [n] "
+                         "(eigenfunction; e.g. metadynamics frame weights)")
+    pt.add_argument("--beta", type=float, default=1.0,
+                    help="inverse temperature (eigenfunction)")
+    pt.add_argument("--alpha", type=float, default=10.0,
+                    help="orthonormality penalty weight (eigenfunction)")
+    pt.add_argument("--steps", type=int, default=1000)
+    pt.add_argument("--batch-size", type=int, default=1024)
+    pt.add_argument("--lr", type=float, default=1e-3)
+    pt.add_argument("--seed", type=int, default=0)
+    pt.add_argument("--devices", type=int, default=0,
+                    help="shard batches over N devices (data-parallel)")
+    pt.add_argument("--checkpoint-dir", default=None)
+    pt.add_argument("--checkpoint-every", type=int, default=0)
+    pt.add_argument("--log-every", type=int, default=100)
+    pt.add_argument("--out", default="trained.npz")
+    pt.set_defaults(fn=cmd_train)
+
     pb = sub.add_parser("build", help="build a model from PDB + feature file")
     pb.add_argument("pdb")
     pb.add_argument("features")
@@ -626,7 +735,17 @@ def main(argv=None):
     pb.set_defaults(fn=cmd_build)
 
     args = p.parse_args(argv)
-    return args.fn(args)
+    try:
+        return args.fn(args)
+    except BrokenPipeError:
+        # stdout closed early (e.g. piped into `head`): exit quietly with
+        # the conventional 128+SIGPIPE status instead of a traceback;
+        # point stdout at devnull so the interpreter's final flush does
+        # not raise again
+        import os
+
+        os.dup2(os.open(os.devnull, os.O_WRONLY), sys.stdout.fileno())
+        return 141
 
 
 if __name__ == "__main__":

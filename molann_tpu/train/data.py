@@ -63,26 +63,32 @@ class TrajectoryDataset:
 
 
 def batch_iterator(dataset, batch_size, *, shuffle=True, seed=0,
-                   epochs=None, drop_remainder=True, multiple_of=1):
+                   epochs=None, drop_remainder=True, multiple_of=1,
+                   return_indices=False):
     """Yield float32 frame batches ``[batch_size, n_atoms, 3]``.
 
     batch_size is rounded down to a multiple of ``multiple_of`` (pass the
     device count for even sharding). ``epochs=None`` iterates forever.
+    With ``return_indices``, yields ``(batch, idx)`` so per-frame
+    side-arrays (targets, importance weights) can be gathered in step.
     """
     n = len(dataset)
     batch_size = max(multiple_of, (batch_size // multiple_of) * multiple_of)
     rng = np.random.default_rng(seed)
     epoch = 0
+
+    def emit(idx):
+        batch = dataset[idx]
+        return (batch, idx) if return_indices else batch
+
     while epochs is None or epoch < epochs:
         order = rng.permutation(n) if shuffle else np.arange(n)
         for start in range(0, n - batch_size + 1, batch_size):
-            idx = np.sort(order[start : start + batch_size])
-            yield dataset[idx]
+            yield emit(np.sort(order[start : start + batch_size]))
         rem = (n % batch_size) // multiple_of * multiple_of
         if not drop_remainder and rem:
             # tail trimmed to multiple_of so sharding still divides evenly
-            tail = np.sort(order[n - n % batch_size :][:rem])
-            yield dataset[tail]
+            yield emit(np.sort(order[n - n % batch_size :][:rem]))
         epoch += 1
 
 

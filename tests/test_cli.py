@@ -289,3 +289,74 @@ def test_fes_cli(tmp_path, capsys):
                "--out", str(out)])
     assert rc == 0
     assert np.load(out).shape == (11, 11)
+
+
+def test_train_cli_mse(workdir, capsys):
+    """'train --loss mse' fits the saved model to per-frame targets and
+    the written model reloads with a lower loss than the initial one."""
+    frames = np.load(workdir / "traj.npy")
+    # regress onto a simple deterministic function of the coordinates
+    y = frames[:, 4, :2].astype(np.float32)
+    np.save(workdir / "targets.npy", y)
+    assert main([
+        "build", str(workdir / "system.pdb"), str(workdir / "features.txt"),
+        "--section", "Output", "--mlp", "8", "2",
+        "--out", str(workdir / "m0.npz"),
+    ]) == 0
+    rc = main([
+        "train", str(workdir / "m0.npz"), str(workdir / "traj.npy"),
+        "--targets", str(workdir / "targets.npy"),
+        "--steps", "60", "--batch-size", "256", "--lr", "5e-3",
+        "--log-every", "0", "--out", str(workdir / "m1.npz"),
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "trained 60 steps" in out
+
+    import jax.numpy as jnp
+
+    from molann_tpu.io import load_model
+
+    m0, m1 = load_model(str(workdir / "m0.npz")), load_model(
+        str(workdir / "m1.npz"))
+    x = jnp.asarray(frames)
+    e0 = float(np.mean((np.asarray(m0(x)) - y) ** 2))
+    e1 = float(np.mean((np.asarray(m1(x)) - y) ** 2))
+    assert e1 < e0 * 0.9
+
+
+def test_train_cli_eigenfunction_weighted(workdir, capsys):
+    """'train --loss eigenfunction --weights' runs the importance-weighted
+    variational objective and reduces it."""
+    n = len(np.load(workdir / "traj.npy"))
+    w = np.random.default_rng(3).uniform(0.5, 2.0, n).astype(np.float32)
+    np.save(workdir / "w.npy", w)
+    assert main([
+        "build", str(workdir / "system.pdb"), str(workdir / "features.txt"),
+        "--section", "Output", "--mlp", "8", "2",
+        "--out", str(workdir / "me0.npz"),
+    ]) == 0
+    rc = main([
+        "train", str(workdir / "me0.npz"), str(workdir / "traj.npy"),
+        "--loss", "eigenfunction", "--weights", str(workdir / "w.npy"),
+        "--beta", "4.0", "--steps", "80", "--batch-size", "256",
+        "--lr", "5e-3", "--log-every", "0",
+        "--out", str(workdir / "me1.npz"),
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    first, last = out.split("loss ")[1].split(";")[0].split(" -> ")
+    assert float(last) < float(first)
+
+
+def test_train_cli_errors(workdir, capsys):
+    assert main([
+        "train", str(workdir / "model.npz"), str(workdir / "traj.npy"),
+    ]) == 1
+    assert "requires --targets" in capsys.readouterr().err
+    np.save(workdir / "short.npy", np.ones(3, np.float32))
+    assert main([
+        "train", str(workdir / "model.npz"), str(workdir / "traj.npy"),
+        "--loss", "eigenfunction", "--weights", str(workdir / "short.npy"),
+    ]) == 1
+    assert "weights shape" in capsys.readouterr().err
