@@ -67,6 +67,15 @@ def cv_coordinate_gradients(model, x):
     independent, so one VJP per output component (vmapped over a basis of
     cotangents) gives all per-frame gradients in ``k`` backward passes of
     the *batched* model — no per-sample jacobians.
+
+    Example:
+        >>> import jax, jax.numpy as jnp
+        >>> from molann_tpu.ann import create_sequential_nn
+        >>> mlp = create_sequential_nn([6, 8, 2], key=jax.random.PRNGKey(0))
+        >>> model = lambda x: mlp(x.reshape(x.shape[0], -1))
+        >>> x = jax.random.normal(jax.random.PRNGKey(1), (16, 2, 3))
+        >>> cv_coordinate_gradients(model, x).shape
+        (2, 16, 2, 3)
     """
     f, vjp = jax.vjp(model, x)
     l, k = f.shape
@@ -100,6 +109,19 @@ def eigenfunction_loss(model, x, *, beta=1.0, alpha=10.0,
     returns ``{"eigenvalues": [k], "cov": [k,k]}`` where eigenvalues are
     the per-mode Rayleigh quotients normalized by the realized variances
     (exact estimates even before the orthonormality penalty converges).
+
+    Example:
+        >>> import jax, jax.numpy as jnp
+        >>> from molann_tpu.ann import create_sequential_nn
+        >>> mlp = create_sequential_nn([6, 8, 2], key=jax.random.PRNGKey(0))
+        >>> model = lambda x: mlp(x.reshape(x.shape[0], -1))
+        >>> x = jax.random.normal(jax.random.PRNGKey(1), (64, 2, 3))
+        >>> loss, aux = eigenfunction_loss(model, x, beta=2.0,
+        ...                                return_aux=True)
+        >>> bool(jnp.isfinite(loss))
+        True
+        >>> aux["eigenvalues"].shape, aux["cov"].shape
+        ((2,), (2, 2))
     """
     f = model(x)
     l, k = f.shape
@@ -134,7 +156,19 @@ def eigenfunction_loss(model, x, *, beta=1.0, alpha=10.0,
 
 def make_eigenfunction_loss(**kwargs):
     """``(model, batch) -> scalar`` wrapper for :func:`fit` /
-    :func:`make_train_step`. ``batch`` is ``x`` or ``(x, weights)``."""
+    :func:`make_train_step`. ``batch`` is ``x`` or ``(x, weights)``.
+
+    Example:
+        >>> import jax, jax.numpy as jnp
+        >>> from molann_tpu.ann import create_sequential_nn
+        >>> mlp = create_sequential_nn([6, 8, 2], key=jax.random.PRNGKey(0))
+        >>> model = lambda x: mlp(x.reshape(x.shape[0], -1))
+        >>> x = jax.random.normal(jax.random.PRNGKey(1), (32, 2, 3))
+        >>> loss_fn = make_eigenfunction_loss(alpha=5.0)
+        >>> float(loss_fn(model, x)) == float(loss_fn(model,
+        ...                                           (x, jnp.ones(32))))
+        True
+    """
 
     def loss_fn(model, batch):
         if isinstance(batch, (tuple, list)):
