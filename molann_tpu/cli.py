@@ -535,6 +535,20 @@ def cmd_train(args):
     save_model(args.out, res.model)
     print(f"trained {len(res.losses)} steps: loss {res.losses[0]:.6g} -> "
           f"{res.losses[-1]:.6g}; wrote {args.out}")
+    if args.loss == "eigenfunction":
+        # report the learned spectrum on an evenly-spaced frame sample
+        from .train import eigenfunction_loss
+
+        sel = np.unique(np.linspace(0, n - 1, min(n, 4096)).astype(int))
+        xs = jnp.asarray(ds[sel])
+        ws = jnp.asarray(weights[sel]) if weights is not None else None
+        _, aux = eigenfunction_loss(
+            res.model, xs, beta=args.beta, alpha=args.alpha,
+            weights=ws, return_aux=True,
+        )
+        eigs = np.asarray(aux["eigenvalues"])
+        print("estimated generator eigenvalues (ascending = slowest "
+              "first): " + ", ".join(f"{e:.4g}" for e in eigs))
     return 0
 
 

@@ -458,6 +458,39 @@ def main():
     check("bias forces via fused kernel == jnp chain rule", errb < 1e-4,
           f"rel={errb:.2e}")
 
+    # -- eigenfunction CV objective on hardware ----------------------------
+    from molann_tpu.train import eigenfunction_loss, make_eigenfunction_loss
+
+    emodel = alanine_model()[0]
+    xe = jnp.asarray(
+        u.atoms.positions[None]
+        + 0.05 * rng.standard_normal((512, 22, 3)),
+        jnp.float32,
+    )
+    we = jnp.asarray(rng.uniform(0.5, 2.0, 512), jnp.float32)
+    eopt = masked_optimizer(optax.adam(2e-3), trainable_mask(emodel))
+    estate = eopt.init(emodel)
+    estep = make_train_step(make_eigenfunction_loss(beta=4.0, alpha=20.0),
+                            eopt)
+    el0 = None
+    for i in range(30):
+        emodel, estate, el = estep(emodel, estate, (xe, we))
+        if i == 0:
+            el0 = float(el)
+    el1 = float(el)
+    check("eigenfunction objective trains on TPU (weighted)",
+          np.isfinite(el1) and el1 < el0, f"loss {el0:.2f} -> {el1:.2f}")
+    # importance weighting is exact on the chip: weight-2 on one frame
+    # == listing the frame twice
+    wa = jnp.ones(64).at[3].set(2.0)
+    ea = float(eigenfunction_loss(emodel, xe[:64], weights=wa))
+    eb = float(eigenfunction_loss(
+        emodel, jnp.concatenate([xe[:64], xe[3:4]])
+    ))
+    erel = abs(ea - eb) / (abs(eb) + 1e-12)
+    check("eigenfunction weighting == frame duplication on TPU",
+          erel < 1e-4, f"rel={erel:.2e}")
+
     # -- throughput --------------------------------------------------------
     n = 1 << 23
     # generated on device: host->device copies of GB-scale arrays over the

@@ -347,16 +347,23 @@ def test_train_cli_eigenfunction_weighted(workdir, capsys):
     out = capsys.readouterr().out
     first, last = out.split("loss ")[1].split(";")[0].split(" -> ")
     assert float(last) < float(first)
+    assert "generator eigenvalues" in out
 
 
 def test_train_cli_errors(workdir, capsys):
     assert main([
-        "train", str(workdir / "model.npz"), str(workdir / "traj.npy"),
+        "build", str(workdir / "system.pdb"), str(workdir / "features.txt"),
+        "--section", "Output", "--mlp", "4", "2",
+        "--out", str(workdir / "merr.npz"),
+    ]) == 0
+    capsys.readouterr()
+    assert main([
+        "train", str(workdir / "merr.npz"), str(workdir / "traj.npy"),
     ]) == 1
     assert "requires --targets" in capsys.readouterr().err
     np.save(workdir / "short.npy", np.ones(3, np.float32))
     assert main([
-        "train", str(workdir / "model.npz"), str(workdir / "traj.npy"),
+        "train", str(workdir / "merr.npz"), str(workdir / "traj.npy"),
         "--loss", "eigenfunction", "--weights", str(workdir / "short.npy"),
     ]) == 1
     assert "weights shape" in capsys.readouterr().err
