@@ -464,9 +464,12 @@ def cmd_train(args):
 
     The reference ships no training loop (SURVEY.md §2.3); this wraps
     :func:`molann_tpu.train.fit` for the objectives that need no extra
-    Python: MSE regression onto per-frame targets and the variational
-    generator-eigenfunction loss (optionally importance-weighted, e.g.
-    by metadynamics frame weights from ``molann_tpu sample``/``fes``).
+    Python: MSE regression onto per-frame targets, the variational
+    generator-eigenfunction loss, and the autoencoder reconstruction
+    loss (saved model's MLP = encoder, a fresh decoder is trained
+    jointly and discarded unless --decoder-out). The latter two accept
+    per-frame importance weights (e.g. metadynamics frame weights from
+    ``molann_tpu sample``/``fes``) to train on reweighted biased data.
     """
     import jax.numpy as jnp
     import optax
@@ -485,6 +488,12 @@ def cmd_train(args):
     n = len(ds)
 
     targets = weights = None
+    if args.loss != "mse" and args.weights:
+        weights = np.asarray(np.load(args.weights), np.float32)
+        if weights.shape != (n,):
+            print(f"error: weights shape {weights.shape} != ({n},)",
+                  file=sys.stderr)
+            return 1
     if args.loss == "mse":
         if not args.targets:
             print("error: --loss mse requires --targets", file=sys.stderr)
@@ -495,14 +504,40 @@ def cmd_train(args):
                   file=sys.stderr)
             return 1
         loss_fn = mse_loss
-    else:
+    elif args.loss == "eigenfunction":
         loss_fn = make_eigenfunction_loss(beta=args.beta, alpha=args.alpha)
-        if args.weights:
-            weights = np.asarray(np.load(args.weights), np.float32)
-            if weights.shape != (n,):
-                print(f"error: weights shape {weights.shape} != ({n},)",
-                      file=sys.stderr)
-                return 1
+    else:  # autoencoder: the saved MolANN's MLP is the encoder; a fresh
+        # decoder reconstructs the feature vector and is discarded (or
+        # saved via --decoder-out) after training
+        import jax
+
+        from .ann import create_sequential_nn
+        from .models.ann import MolANN as _MolANN
+        from .train import autoencoder_loss
+
+        if not isinstance(model, _MolANN):
+            print("error: --loss autoencoder needs a MolANN model "
+                  "(build with --mlp: the MLP is the encoder)",
+                  file=sys.stderr)
+            return 1
+        k = model.ann_layers.output_dimension()
+        fdim = model.preprocessing_layer.output_dimension()
+        dec_dims = [k, *(args.decoder_hidden or []), fdim]
+        decoder = create_sequential_nn(
+            dec_dims, key=jax.random.PRNGKey(args.seed + 1)
+        )
+
+        def loss_fn(pair, batch):
+            m, dec = pair
+            if isinstance(batch, (tuple, list)):
+                x, w = batch
+            else:
+                x, w = batch, None
+            return autoencoder_loss(
+                m.ann_layers, dec, m.preprocessing_layer, x, weights=w
+            )
+
+        model = (model, decoder)
 
     mesh = None
     multiple = 1
@@ -532,7 +567,12 @@ def cmd_train(args):
               num_steps=args.steps, log_every=args.log_every,
               checkpoint_dir=args.checkpoint_dir,
               checkpoint_every=args.checkpoint_every)
-    save_model(args.out, res.model)
+    trained = res.model
+    if args.loss == "autoencoder":
+        trained, decoder = trained
+        if args.decoder_out:
+            save_model(args.decoder_out, decoder)
+    save_model(args.out, trained)
     print(f"trained {len(res.losses)} steps: loss {res.losses[0]:.6g} -> "
           f"{res.losses[-1]:.6g}; wrote {args.out}")
     if args.loss == "eigenfunction":
@@ -543,7 +583,7 @@ def cmd_train(args):
         xs = jnp.asarray(ds[sel])
         ws = jnp.asarray(weights[sel]) if weights is not None else None
         _, aux = eigenfunction_loss(
-            res.model, xs, beta=args.beta, alpha=args.alpha,
+            trained, xs, beta=args.beta, alpha=args.alpha,
             weights=ws, return_aux=True,
         )
         eigs = np.asarray(aux["eigenvalues"])
@@ -713,13 +753,20 @@ def main(argv=None):
     pt.add_argument("traj",
                     help=".npy trajectory [n, atoms, 3] "
                          "(use 'convert' for dcd/trr/xtc)")
-    pt.add_argument("--loss", choices=["mse", "eigenfunction"],
+    pt.add_argument("--loss",
+                    choices=["mse", "eigenfunction", "autoencoder"],
                     default="mse")
     pt.add_argument("--targets", default=None,
                     help=".npy per-frame targets [n, d] (mse)")
     pt.add_argument("--weights", default=None,
                     help=".npy per-frame importance weights [n] "
-                         "(eigenfunction; e.g. metadynamics frame weights)")
+                         "(eigenfunction/autoencoder; e.g. metadynamics "
+                         "frame weights)")
+    pt.add_argument("--decoder-hidden", type=int, nargs="*", default=None,
+                    help="decoder hidden dims (autoencoder; default: "
+                         "direct linear map back to feature space)")
+    pt.add_argument("--decoder-out", default=None,
+                    help="also save the trained decoder (autoencoder)")
     pt.add_argument("--beta", type=float, default=1.0,
                     help="inverse temperature (eigenfunction)")
     pt.add_argument("--alpha", type=float, default=10.0,

@@ -367,3 +367,51 @@ def test_train_cli_errors(workdir, capsys):
         "--loss", "eigenfunction", "--weights", str(workdir / "short.npy"),
     ]) == 1
     assert "weights shape" in capsys.readouterr().err
+
+
+def test_train_cli_autoencoder(workdir, capsys):
+    """'train --loss autoencoder' trains the saved MolANN's MLP as an
+    encoder against a jointly-trained decoder; reconstruction improves
+    and the decoder is saved on request."""
+    assert main([
+        "build", str(workdir / "system.pdb"), str(workdir / "features.txt"),
+        "--section", "Output", "--mlp", "8", "1",
+        "--out", str(workdir / "ae0.npz"),
+    ]) == 0
+    rc = main([
+        "train", str(workdir / "ae0.npz"), str(workdir / "traj.npy"),
+        "--loss", "autoencoder", "--decoder-hidden", "8",
+        "--steps", "80", "--batch-size", "256", "--lr", "5e-3",
+        "--log-every", "0", "--out", str(workdir / "ae1.npz"),
+        "--decoder-out", str(workdir / "dec.npz"),
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    first, last = out.split("loss ")[1].split(";")[0].split(" -> ")
+    assert float(last) < float(first)
+
+    import jax.numpy as jnp
+
+    from molann_tpu.io import load_model
+
+    enc = load_model(str(workdir / "ae1.npz"))
+    dec = load_model(str(workdir / "dec.npz"))
+    x = jnp.asarray(np.load(workdir / "traj.npy")[:128])
+    f = enc.preprocessing_layer(x)
+    rec = dec(enc.ann_layers(f))
+    err = float(np.mean(np.sum((np.asarray(rec) - np.asarray(f)) ** 2, 1)))
+    assert np.isfinite(err) and err == pytest.approx(float(last), rel=0.5)
+
+
+def test_train_cli_autoencoder_needs_mlp(workdir, capsys):
+    """A preprocessing-only model (no MLP encoder) is rejected."""
+    assert main([
+        "build", str(workdir / "system.pdb"), str(workdir / "features.txt"),
+        "--section", "Output", "--out", str(workdir / "pp.npz"),
+    ]) == 0
+    capsys.readouterr()
+    assert main([
+        "train", str(workdir / "pp.npz"), str(workdir / "traj.npy"),
+        "--loss", "autoencoder",
+    ]) == 1
+    assert "needs a MolANN" in capsys.readouterr().err
