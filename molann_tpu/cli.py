@@ -21,7 +21,9 @@ Trajectories are ``.npy`` files ([n_frames, n_atoms, 3] or packed
 batches through the native loader and, on TPU, the fused kernels
 (unrolled or blocked, auto-selected by system size — large systems never
 fall back to the slow XLA path silently). Outputs stream to disk-backed
-memmaps, so trajectory-sized results never sit in host RAM.
+memmaps, so trajectory-sized results never sit in host RAM. Pass
+``--devices N`` to evaluate/forces to shard batches over the device mesh
+(the molann_tpu.serve path).
 """
 
 from __future__ import annotations
@@ -131,6 +133,46 @@ def _evaluate(args, want_forces):
     model = _load_model(args.model)
     n_atoms, d_out = _model_dims(model)
     n_frames = _check_traj(args.traj, n_atoms)
+
+    if getattr(args, "devices", 0):
+        # multi-device: stream through the mesh serving path
+        # (molann_tpu.serve), results written straight into the memmaps
+        from .parallel import data_mesh
+        from .serve import evaluate_trajectory
+
+        ndev = min(args.devices, len(jax.devices()))
+        mesh = data_mesh(ndev)
+        quantum = 8 * ndev
+        bs = min(args.batch_size, -(-n_frames // quantum) * quantum)
+        y_out = np.lib.format.open_memmap(
+            args.out, mode="w+", dtype=np.float32, shape=(n_frames, d_out)
+        )
+        if want_forces:
+            g_out = np.lib.format.open_memmap(
+                args.forces_out, mode="w+", dtype=np.float32,
+                shape=(n_frames, 3 * n_atoms),
+            )
+            evaluate_trajectory(
+                model, args.traj, mesh=mesh, forces=True,
+                batch_size=bs, tile=args.tile,
+                interpret=args.interpret,
+                component=getattr(args, "component", None),
+                cvs_out=y_out, grads_out=g_out.reshape(-1, n_atoms, 3),
+            )
+            np.negative(g_out, out=g_out)  # force convention
+            g_out.flush()
+        else:
+            evaluate_trajectory(
+                model, args.traj, mesh=mesh,
+                batch_size=bs, tile=args.tile,
+                interpret=args.interpret, cvs_out=y_out,
+            )
+        y_out.flush()
+        print(f"wrote {args.out}: {y_out.shape} ({ndev} devices)")
+        if want_forces:
+            print(f"wrote {args.forces_out}: {g_out.shape}")
+        return 0
+
     # fused Pallas kernels on TPU (or under --interpret); plain XLA
     # otherwise — CPU/GPU backends don't run compiled Mosaic kernels.
     # (TPU-proxy platforms may register under their own name while
@@ -548,6 +590,8 @@ def cmd_train(args):
 
         ndev = min(args.devices, len(jax.devices()))
         mesh = data_mesh(ndev)
+        quantum = 8 * ndev
+        bs = min(args.batch_size, -(-n_frames // quantum) * quantum)
         multiple = ndev
 
     def batches():
@@ -649,6 +693,9 @@ def main(argv=None):
                         choices=["auto", "native", "numpy"])
         sp.add_argument("--interpret", action="store_true",
                         help="run kernels in interpret mode (CPU)")
+        sp.add_argument("--devices", type=int, default=0,
+                        help="shard batches over N devices via the mesh "
+                             "serving path")
         sp.add_argument("--verbose", action="store_true")
 
     pe = sub.add_parser("evaluate", help="evaluate CV values over a trajectory")

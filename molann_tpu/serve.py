@@ -117,7 +117,7 @@ def _open_traj(traj):
 def evaluate_trajectory(model, traj, *, mesh=None, batch_size=None,
                         forces=False, mode="auto", tile=None,
                         interpret=False, precision="exact",
-                        component=None):
+                        component=None, cvs_out=None, grads_out=None):
     """Stream a trajectory through the fused serving path over all mesh
     devices; returns ``cvs [n_frames, d]`` (and ``grads [n_frames, n,
     3]`` with ``forces=True``) as numpy arrays.
@@ -128,6 +128,10 @@ def evaluate_trajectory(model, traj, *, mesh=None, batch_size=None,
     batch size, so only one tail batch pays padding (same contract as
     the C++ container); ``batch_size`` defaults to
     ``min(n_frames_rounded, 65536)`` rounded to mesh x 8 frames.
+
+    ``cvs_out`` / ``grads_out``: optional preallocated output buffers
+    (e.g. disk-backed memmaps, so trajectory-sized results never sit in
+    host RAM); shapes ``[n_frames, d]`` and ``[n_frames, n, 3]``.
     """
     if mesh is None:
         mesh = data_mesh()
@@ -144,9 +148,8 @@ def evaluate_trajectory(model, traj, *, mesh=None, batch_size=None,
         interpret=interpret, precision=precision, component=component,
     )
 
-    cvs_out = None
-    grads_out = np.empty((n_frames, n_atoms, 3), np.float32) if forces \
-        else None
+    if forces and grads_out is None:
+        grads_out = np.empty((n_frames, n_atoms, 3), np.float32)
     for start in range(0, n_frames, batch_size):
         take = min(batch_size, n_frames - start)
         chunk = read(start, take)

@@ -415,3 +415,47 @@ def test_train_cli_autoencoder_needs_mlp(workdir, capsys):
         "--loss", "autoencoder",
     ]) == 1
     assert "needs a MolANN" in capsys.readouterr().err
+
+
+def test_evaluate_and_forces_multi_device(workdir):
+    """--devices N routes through the mesh serving path; outputs match
+    the single-device commands exactly (same kernels, interpret mode)."""
+    if not (workdir / "model.npz").exists():  # self-contained under -k
+        assert main([
+            "build", str(workdir / "system.pdb"),
+            str(workdir / "features.txt"),
+            "--section", "Output", "--align", "bynum 1 2 5",
+            "--mlp", "5", "2", "--out", str(workdir / "model.npz"),
+        ]) == 0
+    if not (workdir / "cvs.npy").exists():
+        assert main([
+            "evaluate", str(workdir / "model.npz"),
+            str(workdir / "traj.npy"),
+            "--out", str(workdir / "cvs.npy"), "--batch-size", "256",
+        ]) == 0
+    if not (workdir / "f.npy").exists():
+        assert main([
+            "forces", str(workdir / "model.npz"), str(workdir / "traj.npy"),
+            "--component", "0", "--out", str(workdir / "cv0.npy"),
+            "--forces-out", str(workdir / "f.npy"),
+            "--batch-size", "512",
+        ]) == 0
+    assert main([
+        "evaluate", str(workdir / "model.npz"), str(workdir / "traj.npy"),
+        "--out", str(workdir / "cvs8.npy"), "--devices", "8",
+        "--interpret", "--batch-size", "256",
+    ]) == 0
+    ref = np.load(workdir / "cvs.npy")      # from the single-device test
+    got = np.load(workdir / "cvs8.npy")
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+    assert main([
+        "forces", str(workdir / "model.npz"), str(workdir / "traj.npy"),
+        "--component", "0",
+        "--out", str(workdir / "cv0_8.npy"),
+        "--forces-out", str(workdir / "f8.npy"),
+        "--devices", "8", "--interpret", "--batch-size", "256",
+    ]) == 0
+    np.testing.assert_allclose(
+        np.load(workdir / "f8.npy"), np.load(workdir / "f.npy"), atol=1e-5
+    )
