@@ -63,51 +63,20 @@ def cmd_info(args):
 
 def _model_dims(model):
     """(n_input_atoms, d_out) of a saved model."""
-    from .models.ann import FeatureLayer, MolANN, PreprocessingANN
+    from .models.ann import model_dims
 
-    if isinstance(model, MolANN):
-        n = model.preprocessing_layer.feature_layer.spec.n_input_atoms
-        return n, model.ann_layers.output_dimension()
-    if isinstance(model, PreprocessingANN):
-        return model.feature_layer.spec.n_input_atoms, model.output_dimension()
-    if isinstance(model, FeatureLayer):
-        return model.spec.n_input_atoms, model.output_dimension()
-    raise TypeError(f"cannot evaluate a {type(model).__name__}")
+    return model_dims(model)
 
 
 def _traj_dims(path):
     """(n_frames, floats_per_frame) of a .npy/.dcd/.trr/.xtc trajectory."""
-    low = str(path).lower()
-    if low.endswith((".dcd", ".trr", ".xtc")):
-        try:
-            from .io.native_loader import NativeTrajLoader
+    from .io.reader import open_frame_reader
 
-            ldr = NativeTrajLoader(path)
-            return ldr.n_frames, ldr.floats_per_frame
-        except Exception:
-            if low.endswith(".dcd"):
-                from .io.dcd import read_dcd
-
-                frames, _ = read_dcd(path)
-            elif low.endswith(".trr"):
-                from .io.xdr import read_trr
-
-                frames = read_trr(path)[0]
-            else:
-                from .io.xdr import read_xtc
-
-                frames = read_xtc(path)[0]
-            return frames.shape[0], 3 * frames.shape[1]
-    mm = np.load(path, mmap_mode="r")
-    shape = tuple(mm.shape)
-    if len(shape) == 3 and shape[2] == 3:
-        return shape[0], 3 * shape[1]
-    if len(shape) == 2:
-        return shape[0], shape[1]
-    raise SystemExit(
-        f"error: trajectory {path} has shape {shape}; expected "
-        "[n_frames, n_atoms, 3] or packed [n_frames, 3n]"
-    )
+    try:
+        _, n_frames, n_atoms = open_frame_reader(path)
+    except ValueError as e:
+        raise SystemExit(f"error: {e}")
+    return n_frames, 3 * n_atoms
 
 
 def _check_traj(path, n_atoms):
@@ -158,8 +127,8 @@ def _evaluate(args, want_forces):
                 interpret=args.interpret,
                 component=getattr(args, "component", None),
                 cvs_out=y_out, grads_out=g_out.reshape(-1, n_atoms, 3),
+                grads_transform=np.negative,  # force convention, in-flight
             )
-            np.negative(g_out, out=g_out)  # force convention
             g_out.flush()
         else:
             evaluate_trajectory(
@@ -281,40 +250,13 @@ def cmd_convert(args):
     scale = np.float32(args.scale)
 
     def chunks():
-        # native loader preferred (mmap + threaded gather); pure-python
-        # fallbacks keep the command working without a compiler
-        def post(c):
-            return c * scale if scale != 1.0 else c
+        from .io.reader import open_frame_reader
 
-        try:
-            from .io.native_loader import NativeTrajLoader
-
-            ldr = NativeTrajLoader(args.traj)
-            for s in range(0, n_frames, chunk):
-                c = min(chunk, n_frames - s)
-                yield s, post(ldr.read_range(s, c))
-            return
-        except Exception:
-            pass
-        low = str(args.traj).lower()
-        if low.endswith(".dcd"):
-            from .io.dcd import read_dcd
-
-            frames, _ = read_dcd(args.traj)
-            flat = frames.reshape(n_frames, fpf)
-        elif low.endswith(".trr"):
-            from .io.xdr import read_trr
-
-            flat = read_trr(args.traj)[0].reshape(n_frames, fpf)
-        elif low.endswith(".xtc"):
-            from .io.xdr import read_xtc
-
-            flat = read_xtc(args.traj)[0].reshape(n_frames, fpf)
-        else:
-            flat = np.load(args.traj, mmap_mode="r").reshape(n_frames, fpf)
+        read, _, _ = open_frame_reader(args.traj)
         for s in range(0, n_frames, chunk):
             c = min(chunk, n_frames - s)
-            yield s, post(np.asarray(flat[s : s + c], dtype=np.float32))
+            block = read(s, c).reshape(c, fpf)
+            yield s, (block * scale if scale != 1.0 else block)
 
     low_out = out.lower()
     if low_out.endswith((".dcd", ".trr", ".xtc")):
@@ -416,6 +358,10 @@ def cmd_sample(args):
             well_tempered_gamma=args.well_tempered_gamma,
         )
     elif args.bias == "steered":
+        if args.s0 is None or args.s1 is None:
+            raise SystemExit(
+                "error: --bias steered requires --s0 and --s1 "
+                "(comma-separated start/end CV values)")
         s0 = [float(v) for v in args.s0.split(",")]
         s1 = [float(v) for v in args.s1.split(",")]
         traj, _ = steered_langevin(
@@ -590,8 +536,6 @@ def cmd_train(args):
 
         ndev = min(args.devices, len(jax.devices()))
         mesh = data_mesh(ndev)
-        quantum = 8 * ndev
-        bs = min(args.batch_size, -(-n_frames // quantum) * quantum)
         multiple = ndev
 
     def batches():

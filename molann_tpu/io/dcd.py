@@ -88,6 +88,11 @@ class DCDWriter:
     def close(self):
         if self._fh is None:
             return
+        if self._n_atoms is None:
+            # zero chunks appended: the mandatory NATOM record was never
+            # written — emit it (0 atoms) so the file stays structurally
+            # valid for readers
+            self._fh.write(_rec(struct.pack("<i", 0)))
         # back-patch NSET (icntrl[0]) and NSTEP (icntrl[3]); both sit
         # inside the first record: 4 (reclen) + 4 (CORD) + i*4
         self._fh.seek(4 + 4 + 0 * 4)
@@ -154,5 +159,8 @@ def read_dcd(path):
             frames.append(np.stack(planes, axis=1))
         except (ValueError, struct.error):
             break
-    out = np.asarray(frames, dtype=np.float32)
+    if frames:
+        out = np.asarray(frames, dtype=np.float32)
+    else:
+        out = np.zeros((0, n_atoms, 3), np.float32)
     return out, (np.asarray(cells) if has_cell else None)

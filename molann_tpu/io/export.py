@@ -174,6 +174,8 @@ def read_bundle(path_or_bytes):
     off = 12
     out = []
     for _ in range(count):
+        if off + 16 > len(raw):  # entry header itself cut off
+            raise ValueError("truncated artifact bundle")
         b, n = struct.unpack_from("<QQ", raw, off)
         off += 16
         if off + n > len(raw):

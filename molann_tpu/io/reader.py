@@ -1,0 +1,75 @@
+"""Unified trajectory reading: one dispatch for every supported input.
+
+Three call sites used to carry near-identical copies of the "native
+loader preferred, pure-python per-extension fallback" logic (the CLI's
+convert/evaluate paths and the mesh serving module); this is now the
+single home. The reference has no trajectory IO at all (SURVEY.md §2.3
+— its forward takes an in-memory tensor); trajectory formats exist here
+because that is how MD users' frames arrive.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["open_frame_reader"]
+
+
+def open_frame_reader(traj):
+    """-> ``(read, n_frames, n_atoms)`` with
+    ``read(start, count) -> [count, n_atoms, 3] float32``.
+
+    ``traj``: an in-memory ``[l, n, 3]`` (or packed ``[l, 3n]``) array,
+    or a path to ``.npy`` / ``.dcd`` / ``.trr`` / ``.xtc``. Paths prefer
+    the native loader (mmap + threaded gather, any format); pure-python
+    decoders keep everything working without a compiler. ``.npy`` files
+    are memory-mapped, so opening is cheap regardless of size.
+    """
+    if isinstance(traj, np.ndarray) or hasattr(traj, "shape"):
+        arr = np.asarray(traj, dtype=np.float32)
+        if arr.ndim == 2:  # packed [l, 3n]
+            arr = arr.reshape(arr.shape[0], -1, 3)
+        if arr.ndim != 3 or arr.shape[-1] != 3:
+            raise ValueError(f"expected [l, n, 3] frames, got {arr.shape}")
+        return (lambda s, c: arr[s : s + c]), arr.shape[0], arr.shape[1]
+
+    try:
+        from .native_loader import NativeTrajLoader
+
+        ldr = NativeTrajLoader(traj)
+        n_atoms = ldr.floats_per_frame // 3
+
+        def read(s, c):
+            return ldr.read_range(s, c).reshape(c, n_atoms, 3)
+
+        return read, ldr.n_frames, n_atoms
+    except Exception:
+        pass
+
+    low = str(traj).lower()
+    if low.endswith(".dcd"):
+        from .dcd import read_dcd
+
+        frames = read_dcd(traj)[0]
+    elif low.endswith(".trr"):
+        from .xdr import read_trr
+
+        frames = read_trr(traj)[0]
+    elif low.endswith(".xtc"):
+        from .xdr import read_xtc
+
+        frames = read_xtc(traj)[0]
+    else:
+        frames = np.load(traj, mmap_mode="r")
+        if frames.ndim == 2:
+            frames = frames.reshape(frames.shape[0], -1, 3)
+        if frames.ndim != 3 or frames.shape[-1] != 3:
+            raise ValueError(
+                f"trajectory {traj} has shape {np.shape(frames)}; expected "
+                "[n_frames, n_atoms, 3] or packed [n_frames, 3n]"
+            )
+    return (
+        (lambda s, c: np.asarray(frames[s : s + c], np.float32)),
+        frames.shape[0],
+        frames.shape[1],
+    )

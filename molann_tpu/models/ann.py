@@ -50,7 +50,22 @@ __all__ = [
     "PreprocessingANN",
     "MolANN",
     "Identity",
+    "model_dims",
 ]
+
+
+def model_dims(model):
+    """``(n_input_atoms, d_out)`` of any evaluable model
+    (:class:`MolANN`, :class:`PreprocessingANN`, or :class:`FeatureLayer`)
+    — the shapes a trajectory-evaluation pipeline needs before running it."""
+    if isinstance(model, MolANN):
+        n = model.preprocessing_layer.feature_layer.spec.n_input_atoms
+        return n, model.ann_layers.output_dimension()
+    if isinstance(model, PreprocessingANN):
+        return model.feature_layer.spec.n_input_atoms, model.output_dimension()
+    if isinstance(model, FeatureLayer):
+        return model.spec.n_input_atoms, model.output_dimension()
+    raise TypeError(f"cannot evaluate a {type(model).__name__}")
 
 
 def _check_input(x, n_atoms):

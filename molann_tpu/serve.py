@@ -43,20 +43,35 @@ def make_serving_fn(model, mesh=None, *, forces=True, mode="auto",
     handles padding/trimming and streaming. ``mesh=None`` = all local
     devices on a ``('data',)`` mesh (size 1 falls back to a plain jit —
     no shard_map overhead).
+
+    Each shard runs the fused Pallas kernel on TPU (or anywhere under
+    ``interpret=True``); on CPU/GPU backends — which cannot execute
+    compiled Mosaic kernels — it falls back to the plain-XLA model +
+    ``jax.grad`` path (same policy as the single-device CLI), where
+    ``mode``/``tile``/``precision`` do not apply.
     """
     if mesh is None:
         mesh = data_mesh()
 
-    def per_shard(m, x):
-        if forces:
-            return fused_cv_forces(
-                m, x, component=component, tile=tile, interpret=interpret,
-                mode=mode, precision=precision,
+    use_fused = interpret or jax.default_backend() in ("tpu", "axon")
+    if use_fused:
+        def per_shard(m, x):
+            if forces:
+                return fused_cv_forces(
+                    m, x, component=component, tile=tile,
+                    interpret=interpret, mode=mode, precision=precision,
+                )
+            return fused_model_forward(
+                m, x, tile=tile, interpret=interpret, mode=mode,
+                precision=precision,
             )
-        return fused_model_forward(
-            m, x, tile=tile, interpret=interpret, mode=mode,
-            precision=precision,
-        )
+    else:
+        from .train.forces import coordinate_gradients
+
+        def per_shard(m, x):
+            if forces:
+                return m(x), coordinate_gradients(m, x, component)
+            return m(x)
 
     if np.prod(list(mesh.shape.values())) == 1:
         return jax.jit(per_shard)
@@ -70,54 +85,11 @@ def make_serving_fn(model, mesh=None, *, forces=True, mode="auto",
     return jax.jit(mapped)
 
 
-def _open_traj(traj):
-    """-> (reader fn(start, count) -> [count, n, 3] f32, n_frames,
-    n_atoms)."""
-    if isinstance(traj, np.ndarray) or hasattr(traj, "shape"):
-        arr = np.asarray(traj, dtype=np.float32)
-        if arr.ndim == 2:  # packed [l, 3n] — keep as frames x atoms x 3
-            arr = arr.reshape(arr.shape[0], -1, 3)
-        if arr.ndim != 3 or arr.shape[-1] != 3:
-            raise ValueError(f"expected [l, n, 3] frames, got {arr.shape}")
-        return (lambda s, c: arr[s:s + c]), arr.shape[0], arr.shape[1]
-    # path: prefer the native loader (mmap + threaded gather, any format)
-    try:
-        from .io.native_loader import NativeTrajLoader
-
-        ldr = NativeTrajLoader(traj)
-        n_atoms = ldr.n_atoms
-
-        def read(s, c):
-            return ldr.read_range(s, c).reshape(c, n_atoms, 3)
-
-        return read, ldr.n_frames, n_atoms
-    except Exception:
-        pass
-    low = str(traj).lower()
-    if low.endswith(".dcd"):
-        from .io.dcd import read_dcd
-
-        frames = read_dcd(traj)[0]
-    elif low.endswith(".trr"):
-        from .io.xdr import read_trr
-
-        frames = read_trr(traj)[0]
-    elif low.endswith(".xtc"):
-        from .io.xdr import read_xtc
-
-        frames = read_xtc(traj)[0]
-    else:
-        frames = np.load(traj, mmap_mode="r")
-        if frames.ndim == 2:
-            frames = frames.reshape(frames.shape[0], -1, 3)
-    return ((lambda s, c: np.asarray(frames[s:s + c], np.float32)),
-            frames.shape[0], frames.shape[1])
-
-
 def evaluate_trajectory(model, traj, *, mesh=None, batch_size=None,
                         forces=False, mode="auto", tile=None,
                         interpret=False, precision="exact",
-                        component=None, cvs_out=None, grads_out=None):
+                        component=None, cvs_out=None, grads_out=None,
+                        grads_transform=None):
     """Stream a trajectory through the fused serving path over all mesh
     devices; returns ``cvs [n_frames, d]`` (and ``grads [n_frames, n,
     3]`` with ``forces=True``) as numpy arrays.
@@ -132,11 +104,18 @@ def evaluate_trajectory(model, traj, *, mesh=None, batch_size=None,
     ``cvs_out`` / ``grads_out``: optional preallocated output buffers
     (e.g. disk-backed memmaps, so trajectory-sized results never sit in
     host RAM); shapes ``[n_frames, d]`` and ``[n_frames, n, 3]``.
+    ``grads_transform``: optional per-batch transform applied to each
+    gradient block before it is stored (e.g. ``np.negative`` for the
+    force convention — applied in-flight, so a memmapped ``grads_out``
+    never needs a second whole-file pass).
     """
+    from .io.reader import open_frame_reader
+    from .models.ann import model_dims
+
     if mesh is None:
         mesh = data_mesh()
     n_dev = int(np.prod(list(mesh.shape.values())))
-    read, n_frames, n_atoms = _open_traj(traj)
+    read, n_frames, n_atoms = open_frame_reader(traj)
 
     quantum = n_dev * 8
     if batch_size is None:
@@ -148,6 +127,8 @@ def evaluate_trajectory(model, traj, *, mesh=None, batch_size=None,
         interpret=interpret, precision=precision, component=component,
     )
 
+    if cvs_out is None:
+        cvs_out = np.empty((n_frames, model_dims(model)[1]), np.float32)
     if forces and grads_out is None:
         grads_out = np.empty((n_frames, n_atoms, 3), np.float32)
     for start in range(0, n_frames, batch_size):
@@ -161,11 +142,11 @@ def evaluate_trajectory(model, traj, *, mesh=None, batch_size=None,
         out = fn(model, jnp.asarray(chunk))
         if forces:
             y, g = out
-            grads_out[start:start + take] = np.asarray(g)[:take]
+            gb = np.asarray(g)[:take]
+            if grads_transform is not None:
+                gb = grads_transform(gb)
+            grads_out[start:start + take] = gb
         else:
             y = out
-        y = np.asarray(y)
-        if cvs_out is None:
-            cvs_out = np.empty((n_frames, y.shape[1]), np.float32)
-        cvs_out[start:start + take] = y[:take]
+        cvs_out[start:start + take] = np.asarray(y)[:take]
     return (cvs_out, grads_out) if forces else cvs_out

@@ -198,7 +198,7 @@ def main():
         _time.sleep(45)  # let the tunnel release the previous session
         bout = os.path.join(d, "out_bundle.npy")
         stderr = serve("bundle", bart, btraj, bout)
-        assert "2 bucket(s)" in stderr or "bucket" in stderr
+        assert "(2 bucket(s))" in stderr, "bundle did not compile 2 buckets"
         assert_parity("bundle", bout, np.load(bref_p), np.load(bgref_p))
 
         # phase 4: fused-kernel artifact — parity on the first 600

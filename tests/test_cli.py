@@ -459,3 +459,70 @@ def test_evaluate_and_forces_multi_device(workdir):
     np.testing.assert_allclose(
         np.load(workdir / "f8.npy"), np.load(workdir / "f.npy"), atol=1e-5
     )
+
+
+def test_train_cli_multi_device(workdir, capsys):
+    """'train --devices N' shards batches over the mesh (regression:
+    this path used to hit a NameError before any training started)."""
+    frames = np.load(workdir / "traj.npy")
+    np.save(workdir / "targets.npy", frames[:, 4, :2].astype(np.float32))
+    if not (workdir / "m0.npz").exists():  # self-contained under -k
+        assert main([
+            "build", str(workdir / "system.pdb"),
+            str(workdir / "features.txt"),
+            "--section", "Output", "--mlp", "8", "2",
+            "--out", str(workdir / "m0.npz"),
+        ]) == 0
+    rc = main([
+        "train", str(workdir / "m0.npz"), str(workdir / "traj.npy"),
+        "--targets", str(workdir / "targets.npy"),
+        "--steps", "20", "--batch-size", "256", "--devices", "4",
+        "--log-every", "0", "--out", str(workdir / "m_dp.npz"),
+    ])
+    assert rc == 0
+    assert "trained 20 steps" in capsys.readouterr().out
+    assert (workdir / "m_dp.npz").exists()
+
+
+def test_sample_steered_requires_endpoints(workdir):
+    """'sample --bias steered' without --s0/--s1 exits with a usage
+    error instead of an AttributeError traceback."""
+    if not (workdir / "model.npz").exists():  # self-contained under -k
+        assert main([
+            "build", str(workdir / "system.pdb"),
+            str(workdir / "features.txt"),
+            "--section", "Output", "--align", "bynum 1 2 5",
+            "--mlp", "5", "2", "--out", str(workdir / "model.npz"),
+        ]) == 0
+    with pytest.raises(SystemExit, match="--s0 and --s1"):
+        main([
+            "sample", str(workdir / "model.npz"),
+            str(workdir / "system.pdb"), "--bias", "steered",
+            "--steps", "10", "--out", str(workdir / "steered.npy"),
+        ])
+
+
+def test_evaluate_multi_device_cpu_fallback(workdir):
+    """--devices on a CPU backend works WITHOUT --interpret: the mesh
+    serving path falls back to plain XLA instead of failing in Mosaic
+    kernel lowering (same policy as the single-device path)."""
+    if not (workdir / "model.npz").exists():  # self-contained under -k
+        assert main([
+            "build", str(workdir / "system.pdb"),
+            str(workdir / "features.txt"),
+            "--section", "Output", "--align", "bynum 1 2 5",
+            "--mlp", "5", "2", "--out", str(workdir / "model.npz"),
+        ]) == 0
+    assert main([
+        "evaluate", str(workdir / "model.npz"), str(workdir / "traj.npy"),
+        "--out", str(workdir / "cvs_fb.npy"), "--devices", "4",
+        "--batch-size", "256",
+    ]) == 0
+    from molann_tpu.io import load_model
+    import jax.numpy as jnp
+
+    model = load_model(workdir / "model.npz")
+    frames = np.load(workdir / "traj.npy")
+    expected = np.asarray(model(jnp.asarray(frames)))
+    np.testing.assert_allclose(np.load(workdir / "cvs_fb.npy"), expected,
+                               atol=1e-5)

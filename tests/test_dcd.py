@@ -135,3 +135,16 @@ def test_evaluate_cli_on_dcd(tmp_path, rng):
     np.testing.assert_allclose(
         y, np.asarray(model(jnp.asarray(frames))), atol=1e-5
     )
+
+
+def test_writer_zero_chunks_is_valid(tmp_path):
+    """A DCDWriter closed before any append still writes the mandatory
+    NATOM record (0 atoms, 0 frames) — structurally valid, readable."""
+    from molann_tpu.io.dcd import DCDWriter
+
+    path = tmp_path / "empty.dcd"
+    with DCDWriter(path):
+        pass
+    back, cell = read_dcd(path)
+    assert back.shape == (0, 0, 3)
+    assert cell is None

@@ -129,3 +129,16 @@ def test_stablehlo_fused_blocked_artifact(tmp_path):
                             raw_mlir=True, with_gradient=True, fused=True)
     assert blob[:4] == b"ML\xefR"
     assert b"tpu_custom_call" in blob
+
+
+def test_read_bundle_truncated_entry_header():
+    """A bundle cut off inside an entry header raises the module's own
+    truncation ValueError, not a raw struct.error (mirrors the bounds
+    check in native/serve_pjrt.cpp's load_artifacts)."""
+    import struct
+
+    from molann_tpu.io.export import BUNDLE_MAGIC, read_bundle
+
+    raw = BUNDLE_MAGIC + struct.pack("<I", 1) + b"\x01\x02"
+    with pytest.raises(ValueError, match="truncated artifact bundle"):
+        read_bundle(raw)

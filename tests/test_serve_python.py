@@ -80,3 +80,45 @@ def test_serving_fn_single_device_mesh(setup):
     np.testing.assert_allclose(
         y, np.asarray(model(jnp.asarray(frames[:16]))), atol=5e-6
     )
+
+
+def test_empty_trajectory(setup):
+    """Zero frames return correctly-shaped empty arrays, not None
+    (outputs are preallocated from the model dims, not from the first
+    batch)."""
+    from molann_tpu.models.ann import model_dims
+
+    model, _ = setup
+    n, d = model_dims(model)
+    empty = np.zeros((0, n, 3), np.float32)
+    cvs, grads = evaluate_trajectory(model, empty, forces=True,
+                                     interpret=True)
+    assert cvs.shape == (0, d)
+    assert grads.shape == (0, n, 3)
+    assert evaluate_trajectory(model, empty, interpret=True).shape == (0, d)
+
+
+@pytest.mark.slow
+def test_cpu_fallback_without_interpret(setup):
+    """On the CPU backend (which cannot run compiled Mosaic kernels),
+    serving WITHOUT interpret=True falls back to the plain-XLA path and
+    still matches the model — instead of dying in kernel lowering."""
+    model, frames = setup
+    sub = frames[:64]
+    y_ref, g_ref = _reference(model, sub)
+    cvs, grads = evaluate_trajectory(model, sub, forces=True, batch_size=64)
+    np.testing.assert_allclose(cvs, y_ref, atol=5e-6)
+    np.testing.assert_allclose(grads, g_ref, atol=5e-5)
+
+
+@pytest.mark.slow
+def test_grads_transform_applied_per_batch(setup):
+    """grads_transform (the in-flight force-convention hook) is applied
+    to every batch, including the trimmed tail."""
+    model, frames = setup
+    _, g_ref = _reference(model, frames)
+    _, forces = evaluate_trajectory(
+        model, frames, forces=True, interpret=True, batch_size=128,
+        grads_transform=np.negative,
+    )
+    np.testing.assert_allclose(forces, -g_ref, atol=5e-5)
