@@ -15,6 +15,7 @@ config system); these commands wrap the framework for production batch use:
     python -m molann_tpu sample model.npz model.pdb --bias metad \\
         --out sampled.xtc --bias-out bias.npz
     python -m molann_tpu fes bias.npz --grid=-3.2:3.2:200 --out fes.npy
+    python -m molann_tpu import-torch reference_model.pt --out model.npz
 
 Trajectories are ``.npy`` files ([n_frames, n_atoms, 3] or packed
 [n_frames, 3n] float32) or CHARMM/NAMD ``.dcd``; evaluation streams
@@ -614,6 +615,29 @@ def cmd_build(args):
     return 0
 
 
+def cmd_import_torch(args):
+    """Convert a reference TorchScript artifact (torch.jit.script(...).save)
+    into a molann_tpu .npz checkpoint — the migration path for existing
+    reference models (reference README.rst:51)."""
+    from .io import save_model
+    from .io.torch_import import load_torchscript
+    from .models.ann import FeatureLayer, MolANN, PreprocessingANN
+
+    model = load_torchscript(args.torchscript)
+    save_model(args.out, model)
+    flayer = None
+    if isinstance(model, MolANN):
+        flayer = model.preprocessing_layer.feature_layer
+    elif isinstance(model, PreprocessingANN):
+        flayer = model.feature_layer
+    elif isinstance(model, FeatureLayer):
+        flayer = model
+    print(f"imported {type(model).__name__}; wrote {args.out}")
+    if flayer is not None:
+        print(flayer.get_feature_info().to_string())
+    return 0
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(
         prog="molann_tpu", description=__doc__,
@@ -773,6 +797,14 @@ def main(argv=None):
     pt.add_argument("--log-every", type=int, default=100)
     pt.add_argument("--out", default="trained.npz")
     pt.set_defaults(fn=cmd_train)
+
+    pm = sub.add_parser(
+        "import-torch",
+        help="convert a reference TorchScript .pt artifact to .npz")
+    pm.add_argument("torchscript", help=".pt file from "
+                                        "torch.jit.script(model).save(...)")
+    pm.add_argument("--out", default="model.npz")
+    pm.set_defaults(fn=cmd_import_torch)
 
     pb = sub.add_parser("build", help="build a model from PDB + feature file")
     pb.add_argument("pdb")

@@ -4,8 +4,12 @@ from .export import (export_bundle, export_stablehlo,
 from .dcd import DCDWriter, read_dcd, write_dcd
 from .xdr import (TRRWriter, XTCWriter, read_trr, read_xtc,
                   write_trr, write_xtc)
+from .reader import open_frame_reader
+from .torch_import import load_torchscript
 
 __all__ = [
+    "open_frame_reader",
+    "load_torchscript",
     "save_model",
     "load_model",
     "export_stablehlo",
