@@ -16,6 +16,7 @@ config system); these commands wrap the framework for production batch use:
         --out sampled.xtc --bias-out bias.npz
     python -m molann_tpu fes bias.npz --grid=-3.2:3.2:200 --out fes.npy
     python -m molann_tpu import-torch reference_model.pt --out model.npz
+    python -m molann_tpu export-torch trained.npz --out model.pt
 
 Trajectories are ``.npy`` files ([n_frames, n_atoms, 3] or packed
 [n_frames, 3n] float32) or CHARMM/NAMD ``.dcd``; evaluation streams
@@ -638,6 +639,18 @@ def cmd_import_torch(args):
     return 0
 
 
+def cmd_export_torch(args):
+    """Serialize a saved model as a reference-layout TorchScript artifact
+    (torch.jit.script(...).save — reference README.rst:51) so LibTorch-
+    embedded MD engines consuming reference models can run it unchanged."""
+    from .io.torch_export import export_torchscript
+
+    model = _load_model(args.model)
+    export_torchscript(model, args.out)
+    print(f"wrote {args.out} (TorchScript, reference layout)")
+    return 0
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(
         prog="molann_tpu", description=__doc__,
@@ -805,6 +818,14 @@ def main(argv=None):
                                         "torch.jit.script(model).save(...)")
     pm.add_argument("--out", default="model.npz")
     pm.set_defaults(fn=cmd_import_torch)
+
+    pxt = sub.add_parser(
+        "export-torch",
+        help="serialize a saved model as a TorchScript .pt artifact "
+             "(reference layout, for LibTorch-embedded engines)")
+    pxt.add_argument("model", help="saved model (.npz)")
+    pxt.add_argument("--out", default="model.pt")
+    pxt.set_defaults(fn=cmd_export_torch)
 
     pb = sub.add_parser("build", help="build a model from PDB + feature file")
     pb.add_argument("pdb")

@@ -6,10 +6,12 @@ from .xdr import (TRRWriter, XTCWriter, read_trr, read_xtc,
                   write_trr, write_xtc)
 from .reader import open_frame_reader
 from .torch_import import load_torchscript
+from .torch_export import export_torchscript
 
 __all__ = [
     "open_frame_reader",
     "load_torchscript",
+    "export_torchscript",
     "save_model",
     "load_model",
     "export_stablehlo",
