@@ -197,8 +197,10 @@ def _export_sequential(seq):
         b = np.asarray(b, np.float32)
         lin = torch.nn.Linear(w.shape[0], w.shape[1])
         with torch.no_grad():
-            lin.weight.copy_(torch.as_tensor(w.T))  # ours: x @ W + b
-            lin.bias.copy_(torch.as_tensor(b))
+            # np.array copies: jax params expose read-only buffers, which
+            # torch.as_tensor would wrap with a warning
+            lin.weight.copy_(torch.as_tensor(np.array(w.T)))  # x @ W + b
+            lin.bias.copy_(torch.as_tensor(np.array(b)))
         mods.append(lin)
         if i < n - 1:
             mods.append(act)

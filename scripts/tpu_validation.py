@@ -491,6 +491,35 @@ def main():
     check("eigenfunction weighting == frame duplication on TPU",
           erel < 1e-4, f"rel={erel:.2e}")
 
+    # -- TorchScript interop through the fused path ------------------------
+    # migration contract on hardware: a reference-layout .pt artifact
+    # imports and serves through the compiled Mosaic kernel at parity
+    # with torch autograd on the artifact itself
+    try:
+        import tempfile
+
+        import torch
+
+        from molann_tpu.io.torch_export import export_torchscript
+        from molann_tpu.io.torch_import import load_torchscript
+
+        with tempfile.TemporaryDirectory() as td:
+            pt = f"{td}/model.pt"
+            export_torchscript(model, pt)
+            imported = load_torchscript(pt)
+            xb = np.asarray(
+                u.atoms.positions[None]
+                + 0.04 * rng.normal(size=(512, 22, 3)),
+                np.float32,
+            )
+            yk = np.asarray(fused_model_forward(imported, jnp.asarray(xb)))
+            yt = torch.jit.load(pt)(torch.tensor(xb)).detach().numpy()
+            ierr = float(np.abs(yk - yt).max())
+            check("torchscript import -> fused kernel parity vs torch",
+                  ierr < 5e-5, f"max|err|={ierr:.2e}")
+    except ImportError:
+        print("[skip] torchscript interop (torch unavailable)")
+
     # -- throughput --------------------------------------------------------
     n = 1 << 23
     # generated on device: host->device copies of GB-scale arrays over the

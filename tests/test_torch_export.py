@@ -207,3 +207,75 @@ def test_export_torch_cli(tmp_path, capsys):
     assert "TorchScript" in capsys.readouterr().out
     m = torch.jit.load(str(out))
     assert m.original_name == "MolANN"
+
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=15, deadline=None)
+@given(seed=st.integers(0, 10_000), data=st.data())
+def test_random_model_roundtrips_through_torchscript(tmp_path_factory,
+                                                     seed, data):
+    """Fuzz the interop: random feature sets (types, atoms, order), random
+    MLP widths/activations, optional alignment — export -> torch.jit.load
+    forward parity AND export -> import output equality."""
+    import jax.random as jrandom
+
+    from molann_tpu.ann import (
+        AlignmentLayer,
+        FeatureLayer,
+        MolANN,
+        PreprocessingANN,
+        create_sequential_nn,
+    )
+    from molann_tpu.feature import Feature
+    from molann_tpu.systems import alanine_universe
+
+    u = alanine_universe()
+    rng = np.random.default_rng(seed)
+    n = len(u.atoms)
+
+    def group(k):
+        ids = rng.choice(n, size=k, replace=False) + 1  # 1-based serials
+        g = u.select_atoms(f"bynum {ids[0]}")
+        for i in ids[1:]:
+            g = g + u.select_atoms(f"bynum {i}")
+        return g
+
+    n_feats = data.draw(st.integers(1, 4))
+    feats = []
+    for i in range(n_feats):
+        ftype = data.draw(st.sampled_from(
+            ["bond", "angle", "dihedral", "position"]))
+        k = {"bond": 2, "angle": 3, "dihedral": 4}.get(
+            ftype, data.draw(st.integers(1, 5)))
+        feats.append(Feature(f"r{i}", ftype, group(k)))
+    uav = data.draw(st.booleans())
+    flayer = FeatureLayer(feats, u.atoms, uav)
+    align = None
+    if data.draw(st.booleans()):
+        align = AlignmentLayer(group(data.draw(st.integers(3, 6))), u.atoms)
+    pp = PreprocessingANN(align, flayer)
+    hidden = data.draw(
+        st.lists(st.integers(2, 8), min_size=1, max_size=3))
+    act = data.draw(st.sampled_from(["tanh", "relu", "sigmoid", "elu"]))
+    from molann_tpu.io.serialize import ACTIVATIONS
+
+    model = MolANN(pp, create_sequential_nn(
+        [pp.output_dimension(), *hidden], activation=ACTIVATIONS[act],
+        key=jrandom.PRNGKey(seed)))
+
+    frames = (
+        u.atoms.positions[None] + 0.05 * rng.normal(size=(8, n, 3))
+    ).astype(np.float32)
+    path = tmp_path_factory.mktemp("fuzz") / "m.pt"
+    export_torchscript(model, path)
+
+    want = np.asarray(model(jnp.asarray(frames)))
+    got_torch = torch.jit.load(str(path))(
+        torch.tensor(frames)).detach().numpy()
+    np.testing.assert_allclose(got_torch, want, atol=5e-5)
+    back = load_torchscript(str(path))
+    np.testing.assert_allclose(
+        np.asarray(back(jnp.asarray(frames))), want, atol=5e-5
+    )
