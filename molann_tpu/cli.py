@@ -449,6 +449,36 @@ def cmd_fes(args):
     return 0
 
 
+def _make_optimizer(args):
+    """optax optimizer from the train CLI flags: choice of update rule,
+    learning-rate schedule, and optional global-norm gradient clipping."""
+    import optax
+
+    lr = args.lr
+    if args.lr_schedule == "constant":
+        sched = lr
+    elif args.lr_schedule == "cosine":
+        sched = optax.cosine_decay_schedule(
+            lr, max(1, args.steps), alpha=args.final_lr_scale)
+    elif args.lr_schedule == "warmup-cosine":
+        sched = optax.warmup_cosine_decay_schedule(
+            0.0, lr, min(args.warmup_steps, args.steps),
+            max(1, args.steps), end_value=lr * args.final_lr_scale)
+    else:  # exponential: reach lr*final_lr_scale at the last step
+        sched = optax.exponential_decay(
+            lr, max(1, args.steps), max(args.final_lr_scale, 1e-8))
+    makers = {
+        "adam": lambda s: optax.adam(s),
+        "adamw": lambda s: optax.adamw(s, weight_decay=args.weight_decay),
+        "sgd": lambda s: optax.sgd(s, momentum=args.momentum),
+        "rmsprop": lambda s: optax.rmsprop(s),
+    }
+    opt = makers[args.optimizer](sched)
+    if args.grad_clip:
+        opt = optax.chain(optax.clip_by_global_norm(args.grad_clip), opt)
+    return opt
+
+
 def cmd_train(args):
     """Train a saved model on a trajectory.
 
@@ -462,7 +492,6 @@ def cmd_train(args):
     ``molann_tpu sample``/``fes``) to train on reweighted biased data.
     """
     import jax.numpy as jnp
-    import optax
 
     from .io import save_model
     from .train import (
@@ -553,7 +582,7 @@ def cmd_train(args):
                 yield x
 
     res = fit(model, loss_fn, batches(),
-              optimizer=optax.adam(args.lr), mesh=mesh,
+              optimizer=_make_optimizer(args), mesh=mesh,
               num_steps=args.steps, log_every=args.log_every,
               checkpoint_dir=args.checkpoint_dir,
               checkpoint_every=args.checkpoint_every)
@@ -802,6 +831,24 @@ def main(argv=None):
     pt.add_argument("--steps", type=int, default=1000)
     pt.add_argument("--batch-size", type=int, default=1024)
     pt.add_argument("--lr", type=float, default=1e-3)
+    pt.add_argument("--optimizer",
+                    choices=["adam", "adamw", "sgd", "rmsprop"],
+                    default="adam")
+    pt.add_argument("--weight-decay", type=float, default=1e-4,
+                    help="decoupled weight decay (adamw)")
+    pt.add_argument("--momentum", type=float, default=0.9,
+                    help="momentum (sgd)")
+    pt.add_argument("--lr-schedule",
+                    choices=["constant", "cosine", "warmup-cosine",
+                             "exponential"],
+                    default="constant")
+    pt.add_argument("--warmup-steps", type=int, default=100,
+                    help="linear warmup length (warmup-cosine)")
+    pt.add_argument("--final-lr-scale", type=float, default=0.01,
+                    help="lr at the last step as a fraction of --lr "
+                         "(cosine/warmup-cosine/exponential)")
+    pt.add_argument("--grad-clip", type=float, default=0.0,
+                    help="clip gradients to this global norm (0 = off)")
     pt.add_argument("--seed", type=int, default=0)
     pt.add_argument("--devices", type=int, default=0,
                     help="shard batches over N devices (data-parallel)")

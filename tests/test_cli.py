@@ -526,3 +526,32 @@ def test_evaluate_multi_device_cpu_fallback(workdir):
     expected = np.asarray(model(jnp.asarray(frames)))
     np.testing.assert_allclose(np.load(workdir / "cvs_fb.npy"), expected,
                                atol=1e-5)
+
+
+def test_train_cli_optimizer_and_schedule(workdir, capsys):
+    """'train --optimizer adamw --lr-schedule warmup-cosine --grad-clip'
+    wires the optax pipeline and still reduces the loss."""
+    frames = np.load(workdir / "traj.npy")
+    np.save(workdir / "targets.npy", frames[:, 4, :2].astype(np.float32))
+    if not (workdir / "m0.npz").exists():  # self-contained under -k
+        assert main([
+            "build", str(workdir / "system.pdb"),
+            str(workdir / "features.txt"),
+            "--section", "Output", "--mlp", "8", "2",
+            "--out", str(workdir / "m0.npz"),
+        ]) == 0
+    rc = main([
+        "train", str(workdir / "m0.npz"), str(workdir / "traj.npy"),
+        "--targets", str(workdir / "targets.npy"),
+        "--steps", "60", "--batch-size", "256",
+        "--optimizer", "adamw", "--weight-decay", "1e-3",
+        "--lr", "5e-3", "--lr-schedule", "warmup-cosine",
+        "--warmup-steps", "10", "--grad-clip", "1.0",
+        "--log-every", "0", "--out", str(workdir / "m_opt.npz"),
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "trained 60 steps" in out
+    first, last = (float(v) for v in
+                   out.split("loss ")[1].split(";")[0].split(" -> "))
+    assert last < first
