@@ -506,13 +506,17 @@ def cmd_train(args):
     ds = TrajectoryDataset(args.traj)
     n = len(ds)
 
-    targets = weights = None
+    targets = weights = labels = None
     if args.loss != "mse" and args.weights:
         weights = np.asarray(np.load(args.weights), np.float32)
         if weights.shape != (n,):
             print(f"error: weights shape {weights.shape} != ({n},)",
                   file=sys.stderr)
             return 1
+    # per-loss default penalty weight: orthonormality (eigenfunction)
+    # converges around 10, boundary conditions (committor) need ~100
+    alpha = args.alpha if args.alpha is not None else (
+        100.0 if args.loss == "committor" else 10.0)
     if args.loss == "mse":
         if not args.targets:
             print("error: --loss mse requires --targets", file=sys.stderr)
@@ -524,7 +528,25 @@ def cmd_train(args):
             return 1
         loss_fn = mse_loss
     elif args.loss == "eigenfunction":
-        loss_fn = make_eigenfunction_loss(beta=args.beta, alpha=args.alpha)
+        loss_fn = make_eigenfunction_loss(beta=args.beta, alpha=alpha)
+    elif args.loss == "committor":
+        from .train import make_committor_loss
+
+        if not args.labels:
+            print("error: --loss committor requires --labels "
+                  "(per-frame basin labels: 1=A, 2=B, 0=neither)",
+                  file=sys.stderr)
+            return 1
+        labels = np.asarray(np.load(args.labels)).astype(np.int32)
+        if labels.shape != (n,):
+            print(f"error: labels shape {labels.shape} != ({n},)",
+                  file=sys.stderr)
+            return 1
+        if not ((labels == 1).any() and (labels == 2).any()):
+            print("error: labels must mark at least one frame in each "
+                  "basin (1=A, 2=B)", file=sys.stderr)
+            return 1
+        loss_fn = make_committor_loss(beta=args.beta, alpha=alpha)
     else:  # autoencoder: the saved MolANN's MLP is the encoder; a fresh
         # decoder reconstructs the feature vector and is discarded (or
         # saved via --decoder-out) after training
@@ -576,6 +598,12 @@ def cmd_train(args):
             x = jnp.asarray(x)
             if targets is not None:
                 yield (x, jnp.asarray(np.asarray(targets[idx], np.float32)))
+            elif labels is not None:
+                if weights is not None:
+                    yield (x, jnp.asarray(labels[idx]),
+                           jnp.asarray(weights[idx]))
+                else:
+                    yield (x, jnp.asarray(labels[idx]))
             elif weights is not None:
                 yield (x, jnp.asarray(weights[idx]))
             else:
@@ -602,12 +630,27 @@ def cmd_train(args):
         xs = jnp.asarray(ds[sel])
         ws = jnp.asarray(weights[sel]) if weights is not None else None
         _, aux = eigenfunction_loss(
-            trained, xs, beta=args.beta, alpha=args.alpha,
+            trained, xs, beta=args.beta, alpha=alpha,
             weights=ws, return_aux=True,
         )
         eigs = np.asarray(aux["eigenvalues"])
         print("estimated generator eigenvalues (ascending = slowest "
               "first): " + ", ".join(f"{e:.4g}" for e in eigs))
+    elif args.loss == "committor":
+        # report how well the boundary conditions are honored
+        from .train import committor_loss
+
+        sel = np.unique(np.linspace(0, n - 1, min(n, 4096)).astype(int))
+        xs = jnp.asarray(ds[sel])
+        ws = jnp.asarray(weights[sel]) if weights is not None else None
+        _, aux = committor_loss(
+            trained, xs, jnp.asarray(labels[sel]), beta=args.beta,
+            alpha=alpha, weights=ws, return_aux=True,
+        )
+        print(f"committor diagnostics: mean q(A) = "
+              f"{float(aux['mean_q_a']):.4f} (want 0), mean q(B) = "
+              f"{float(aux['mean_q_b']):.4f} (want 1), Dirichlet energy "
+              f"= {float(aux['dirichlet']):.4g}")
     return 0
 
 
@@ -811,23 +854,29 @@ def main(argv=None):
                     help=".npy trajectory [n, atoms, 3] "
                          "(use 'convert' for dcd/trr/xtc)")
     pt.add_argument("--loss",
-                    choices=["mse", "eigenfunction", "autoencoder"],
+                    choices=["mse", "eigenfunction", "autoencoder",
+                             "committor"],
                     default="mse")
     pt.add_argument("--targets", default=None,
                     help=".npy per-frame targets [n, d] (mse)")
     pt.add_argument("--weights", default=None,
                     help=".npy per-frame importance weights [n] "
-                         "(eigenfunction/autoencoder; e.g. metadynamics "
-                         "frame weights)")
+                         "(eigenfunction/autoencoder/committor; e.g. "
+                         "metadynamics frame weights)")
+    pt.add_argument("--labels", default=None,
+                    help=".npy per-frame basin labels [n] (committor): "
+                         "1 = reactant A, 2 = product B, 0 = neither")
     pt.add_argument("--decoder-hidden", type=int, nargs="*", default=None,
                     help="decoder hidden dims (autoencoder; default: "
                          "direct linear map back to feature space)")
     pt.add_argument("--decoder-out", default=None,
                     help="also save the trained decoder (autoencoder)")
     pt.add_argument("--beta", type=float, default=1.0,
-                    help="inverse temperature (eigenfunction)")
-    pt.add_argument("--alpha", type=float, default=10.0,
-                    help="orthonormality penalty weight (eigenfunction)")
+                    help="inverse temperature (eigenfunction/committor)")
+    pt.add_argument("--alpha", type=float, default=None,
+                    help="penalty weight: orthonormality (eigenfunction, "
+                         "default 10) or boundary conditions (committor, "
+                         "default 100)")
     pt.add_argument("--steps", type=int, default=1000)
     pt.add_argument("--batch-size", type=int, default=1024)
     pt.add_argument("--lr", type=float, default=1e-3)

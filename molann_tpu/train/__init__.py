@@ -8,9 +8,11 @@ from .loop import (
 )
 from .losses import (
     autoencoder_loss,
+    committor_loss,
     cv_coordinate_gradients,
     eigenfunction_loss,
     fused_mse_loss,
+    make_committor_loss,
     make_eigenfunction_loss,
     mse_loss,
     registry as loss_registry,
@@ -41,6 +43,8 @@ __all__ = [
     "cv_coordinate_gradients",
     "eigenfunction_loss",
     "make_eigenfunction_loss",
+    "committor_loss",
+    "make_committor_loss",
     "loss_registry",
     "TrajectoryDataset",
     "batch_iterator",

@@ -3,10 +3,10 @@
 The reference ships no training loop (SURVEY.md §2.3); these are the
 standard objectives its downstream CV-training codes use, expressed over
 ``(model, batch)`` pytrees so they plug into :mod:`molann_tpu.train.loop`.
-Two CV-learning objectives from the reference's research ecosystem
+Three CV-learning objectives from the reference's research ecosystem
 (reference README.rst:51 — "adaptive learning of reaction coordinates")
-are provided: the autoencoder reconstruction loss and the variational
-generator-eigenfunction loss.
+are provided: the autoencoder reconstruction loss, the variational
+generator-eigenfunction loss, and the variational committor loss.
 """
 
 from __future__ import annotations
@@ -21,6 +21,8 @@ __all__ = [
     "cv_coordinate_gradients",
     "eigenfunction_loss",
     "make_eigenfunction_loss",
+    "committor_loss",
+    "make_committor_loss",
     "registry",
 ]
 
@@ -154,6 +156,116 @@ def eigenfunction_loss(model, x, *, beta=1.0, alpha=10.0,
     return loss
 
 
+def committor_loss(model, x, labels, *, beta=1.0, alpha=100.0,
+                   component=0, weights=None, return_aux=False):
+    """Variational committor loss — the third CV-learning objective of
+    the reference's research ecosystem (reference README.rst:51; the
+    deep-committor formulation of Li/Lin/Ren, "Computing committor
+    functions for the study of rare events using deep learning").
+
+    The committor ``q(x)`` — the probability that overdamped dynamics
+    started at ``x`` reaches product basin B before reactant basin A —
+    minimizes the Dirichlet form ``E_mu[|∇q|²]/beta`` subject to ``q=0``
+    on A and ``q=1`` on B. Here ``q = sigmoid(model(x)[:, component])``
+    (so any MolANN output is a valid parameterization) and the boundary
+    conditions enter as penalties:
+
+        loss = E_w[|∇q|²]/beta
+             + alpha·( E_w[q² | A] + E_w[(1−q)² | B] )
+
+    ``labels [l]``: integer per-frame basin labels — 1 = A (reactant),
+    2 = B (product), 0 = neither (transition region). ``weights [l]``
+    reweight to the Boltzmann measure (e.g. metadynamics
+    ``frame_weights``, or ``exp(-beta·V)`` for uniformly drawn samples);
+    unnormalized is fine. Boundary penalties are conditional means, so
+    ``alpha`` calibrates independently of the basin fractions; a batch
+    missing one basin contributes zero for that penalty. All moments are
+    global means, so the loss is exact under data-parallel
+    ``make_train_step(mesh=...)`` (GSPMD computes them over the full
+    sharded batch).
+
+    With ``return_aux=True`` also returns ``{"dirichlet", "mean_q_a",
+    "mean_q_b"}`` — trained models should show ``mean_q_a ≈ 0`` and
+    ``mean_q_b ≈ 1``.
+
+    Example:
+        >>> import jax, jax.numpy as jnp
+        >>> from molann_tpu.ann import create_sequential_nn
+        >>> mlp = create_sequential_nn([6, 8, 1], key=jax.random.PRNGKey(0))
+        >>> model = lambda x: mlp(x.reshape(x.shape[0], -1))
+        >>> x = jax.random.normal(jax.random.PRNGKey(1), (32, 2, 3))
+        >>> labels = jnp.asarray([1] * 10 + [0] * 12 + [2] * 10)
+        >>> loss, aux = committor_loss(model, x, labels, return_aux=True)
+        >>> bool(jnp.isfinite(loss)), sorted(aux)
+        (True, ['dirichlet', 'mean_q_a', 'mean_q_b'])
+    """
+
+    def q_sum(xx):
+        q = jax.nn.sigmoid(model(xx)[:, component])
+        return jnp.sum(q), q
+
+    # frames are independent, so the batch-summed gradient IS the
+    # per-frame gradient (one backward pass for the whole batch)
+    (_, q), g = jax.value_and_grad(q_sum, has_aux=True)(x)
+    gsq = jnp.sum(g * g, axis=tuple(range(1, g.ndim)))  # [l]
+
+    if weights is None:
+        w = jnp.full(q.shape, 1.0 / q.shape[0], q.dtype)
+    else:
+        w = jnp.asarray(weights, q.dtype)
+        w = w / jnp.sum(w)
+    labels = jnp.asarray(labels)
+    in_a = (labels == 1).astype(q.dtype)
+    in_b = (labels == 2).astype(q.dtype)
+
+    dirichlet = jnp.sum(w * gsq) / beta
+
+    def conditional(mask, vals):
+        mass = jnp.sum(w * mask)
+        return jnp.where(mass > 0, jnp.sum(w * mask * vals) / jnp.where(
+            mass > 0, mass, 1.0), 0.0)
+
+    pen_a = conditional(in_a, q ** 2)
+    pen_b = conditional(in_b, (1.0 - q) ** 2)
+    loss = dirichlet + alpha * (pen_a + pen_b)
+    if return_aux:
+        return loss, {
+            "dirichlet": dirichlet,
+            "mean_q_a": conditional(in_a, q),
+            "mean_q_b": conditional(in_b, q),
+        }
+    return loss
+
+
+def make_committor_loss(**kwargs):
+    """``(model, batch) -> scalar`` wrapper for :func:`fit` /
+    :func:`make_train_step`. ``batch`` is ``(x, labels)`` or
+    ``(x, labels, weights)``.
+
+    Example:
+        >>> import jax, jax.numpy as jnp
+        >>> from molann_tpu.ann import create_sequential_nn
+        >>> mlp = create_sequential_nn([6, 8, 1], key=jax.random.PRNGKey(0))
+        >>> model = lambda x: mlp(x.reshape(x.shape[0], -1))
+        >>> x = jax.random.normal(jax.random.PRNGKey(1), (16, 2, 3))
+        >>> lab = jnp.asarray([1] * 6 + [0] * 4 + [2] * 6)
+        >>> loss_fn = make_committor_loss(alpha=10.0)
+        >>> float(loss_fn(model, (x, lab))) == float(
+        ...     loss_fn(model, (x, lab, jnp.ones(16))))
+        True
+    """
+
+    def loss_fn(model, batch):
+        if len(batch) == 3:
+            x, labels, weights = batch
+        else:
+            x, labels = batch
+            weights = None
+        return committor_loss(model, x, labels, weights=weights, **kwargs)
+
+    return loss_fn
+
+
 def make_eigenfunction_loss(**kwargs):
     """``(model, batch) -> scalar`` wrapper for :func:`fit` /
     :func:`make_train_step`. ``batch`` is ``x`` or ``(x, weights)``.
@@ -184,4 +296,5 @@ registry = {
     "mse": mse_loss,
     "fused_mse": fused_mse_loss,
     "eigenfunction": make_eigenfunction_loss(),
+    "committor": make_committor_loss(),
 }

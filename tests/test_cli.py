@@ -555,3 +555,64 @@ def test_train_cli_optimizer_and_schedule(workdir, capsys):
     first, last = (float(v) for v in
                    out.split("loss ")[1].split(";")[0].split(" -> "))
     assert last < first
+
+
+def test_train_cli_committor(workdir, capsys):
+    """'train --loss committor --labels' runs the variational committor
+    objective, reduces it, and reports basin diagnostics."""
+    frames = np.load(workdir / "traj.npy")
+    # label frames by the b1 bond length (a variable the model's feature
+    # layer resolves): bottom third = reactant A, top third = product B
+    coord = np.linalg.norm(frames[:, 4] - frames[:, 1], axis=1)
+    lo, hi = np.quantile(coord, [1 / 3, 2 / 3])
+    labels = np.where(coord < lo, 1, np.where(coord > hi, 2, 0))
+    np.save(workdir / "labels.npy", labels.astype(np.int32))
+    assert main([
+        "build", str(workdir / "system.pdb"), str(workdir / "features.txt"),
+        "--section", "Output", "--mlp", "8", "1",
+        "--out", str(workdir / "mq0.npz"),
+    ]) == 0
+    capsys.readouterr()
+    rc = main([
+        "train", str(workdir / "mq0.npz"), str(workdir / "traj.npy"),
+        "--loss", "committor", "--labels", str(workdir / "labels.npy"),
+        # the noise-cloud geometry is tight (sigma 0.03 A), so a sharp
+        # transition costs high Dirichlet energy: weight the boundary
+        # conditions up accordingly
+        "--alpha", "20000", "--steps", "300", "--batch-size", "700",
+        "--lr", "5e-3",
+        "--log-every", "0", "--out", str(workdir / "mq1.npz"),
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "trained 300 steps" in out
+    assert "committor diagnostics" in out
+    first, last = (float(v) for v in
+                   out.split("loss ")[1].split(";")[0].split(" -> "))
+    assert last < first
+    # the trained q separates the basins
+    import jax
+    import jax.numpy as jnp
+
+    from molann_tpu.io import load_model
+
+    m = load_model(str(workdir / "mq1.npz"))
+    q = np.asarray(jax.nn.sigmoid(m(jnp.asarray(frames))[:, 0]))
+    assert q[labels == 1].mean() < 0.35
+    assert q[labels == 2].mean() > 0.65
+
+
+def test_train_cli_committor_requires_labels(workdir, capsys):
+    if not (workdir / "mq0.npz").exists():  # self-contained under -k
+        assert main([
+            "build", str(workdir / "system.pdb"),
+            str(workdir / "features.txt"),
+            "--section", "Output", "--mlp", "8", "1",
+            "--out", str(workdir / "mq0.npz"),
+        ]) == 0
+    capsys.readouterr()
+    assert main([
+        "train", str(workdir / "mq0.npz"), str(workdir / "traj.npy"),
+        "--loss", "committor",
+    ]) == 1
+    assert "requires --labels" in capsys.readouterr().err
