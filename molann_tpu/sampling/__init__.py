@@ -16,6 +16,7 @@ whole biased trajectory runs as ONE compiled TPU program.
 """
 
 from .bias import MetadBias, metadynamics_langevin, steered_langevin
+from .committor import empirical_committor, rotate_torsion
 from .langevin import overdamped_langevin
 from .potentials import ToyPeptidePotential
 
@@ -25,4 +26,6 @@ __all__ = [
     "steered_langevin",
     "metadynamics_langevin",
     "MetadBias",
+    "empirical_committor",
+    "rotate_torsion",
 ]
