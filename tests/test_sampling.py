@@ -290,3 +290,25 @@ def test_reweighting_recovers_unbiased_populations():
     # reweighting lands within 2x of truth; raw biased ratio is >3x off
     assert 0.5 * ratio_true < ratio_rw < 2.0 * ratio_true
     assert ratio_biased > 3.0 * ratio_true
+
+
+def test_committor_cv_example_validates():
+    """examples/committor_cv.py end to end (quick mode): a committor
+    model trained variationally passes the first-passage committor test
+    — its predicted q=1/2 configuration commits ~50/50 where its
+    confident predictions commit to the matching basin."""
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "examples", "committor_cv.py",
+    )
+    spec = importlib.util.spec_from_file_location("committor_cv", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    res = mod.main(quick=True)
+    assert res["loss1"] < 0.1 * res["loss0"]
+    assert res["pred_q_a"] < 0.1 and res["pred_q_b"] > 0.9
+    assert abs(res["pred_q_mid"] - 0.5) < 0.05
+    assert res["resolved_mid"] > 0.6
+    assert res["emp_q_a"] < 0.15 and res["emp_q_b"] > 0.85
+    # 64 replicas, ~50 resolved: MC sigma ~0.07 around the true ~0.5
+    assert 0.3 < res["emp_q_mid"] < 0.75
