@@ -479,6 +479,55 @@ def _make_optimizer(args):
     return opt
 
 
+def cmd_pmf(args):
+    """Free-energy profile from umbrella-sampling windows via MBAR.
+
+    Input: ``cvs.npy`` shaped [n_windows, n_samples] (one row of CV
+    samples per window, e.g. from
+    :func:`molann_tpu.sampling.umbrella_sampling`), plus the window
+    centers and spring constant. Writes/prints F over --grid.
+    """
+    from .sampling import mbar, pmf_from_samples
+
+    cvs = np.asarray(np.load(args.cvs), np.float32)
+    if cvs.ndim != 2:
+        raise SystemExit(f"error: {args.cvs} must be [n_windows, "
+                         f"n_samples]; got shape {cvs.shape}")
+    centers = np.asarray([float(v) for v in args.centers.split(",")],
+                         np.float32)
+    if len(centers) != cvs.shape[0]:
+        raise SystemExit(f"error: {len(centers)} centers for "
+                         f"{cvs.shape[0]} windows")
+    pooled = cvs.reshape(-1)
+    u_kn = (0.5 * args.k_spring
+            * (pooled[None, :] - centers[:, None]) ** 2) / args.kT
+    f_win, log_w = mbar(u_kn, np.full(cvs.shape[0], cvs.shape[1]))
+    try:
+        lo, hi, n = args.grid.split(":")
+        edges = np.linspace(float(lo), float(hi), int(n) + 1)
+    except ValueError:
+        raise SystemExit(f"error: bad --grid spec {args.grid!r} "
+                         "(want lo:hi:n)")
+    f = pmf_from_samples(pooled, log_w, edges, kT=args.kT)
+    mids = (edges[1:] + edges[:-1]) / 2
+    ok = np.isfinite(f)
+    print(f"{args.cvs}: {cvs.shape[0]} windows x {cvs.shape[1]} samples; "
+          f"window free energies (kT units, f0=0): "
+          + ", ".join(f"{v:.3f}" for v in np.asarray(f_win)))
+    print(f"PMF barrier estimate (max-min over populated bins) = "
+          f"{f[ok].max():.4f}")
+    if args.out:
+        if str(args.out).endswith(".csv"):
+            with open(args.out, "w") as fh:
+                fh.write("cv,free_energy\n")
+                for m, v in zip(mids, f):
+                    fh.write(f"{m:.6g},{v:.6g}\n")
+        else:
+            np.save(args.out, np.stack([mids, f]))
+        print(f"wrote {args.out}: {ok.sum()}/{len(f)} bins populated")
+    return 0
+
+
 def cmd_train(args):
     """Train a saved model on a trajectory.
 
@@ -847,6 +896,23 @@ def main(argv=None):
     pg.add_argument("--out", default=None,
                     help=".npy (grid-shaped) or .csv (long-form) output")
     pg.set_defaults(fn=cmd_fes)
+
+    pp_ = sub.add_parser(
+        "pmf",
+        help="free-energy profile from umbrella windows (MBAR)")
+    pp_.add_argument("cvs", help=".npy [n_windows, n_samples] CV samples")
+    pp_.add_argument("--centers", required=True,
+                     help="comma-separated window centers (one per row); "
+                          "use --centers=... when the first is negative")
+    pp_.add_argument("--k-spring", type=float, required=True,
+                     help="harmonic restraint constant")
+    pp_.add_argument("--kT", type=float, default=1.0)
+    pp_.add_argument("--grid", default="-1:1:40", metavar="LO:HI:N",
+                     help="CV histogram grid (use --grid=... when lo is "
+                          "negative)")
+    pp_.add_argument("--out", default=None,
+                     help=".npy ([2, n]: mids + F) or .csv output")
+    pp_.set_defaults(fn=cmd_pmf)
 
     pt = sub.add_parser("train", help="train a model on a trajectory")
     pt.add_argument("model")

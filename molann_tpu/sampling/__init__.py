@@ -18,6 +18,7 @@ whole biased trajectory runs as ONE compiled TPU program.
 from .bias import MetadBias, metadynamics_langevin, steered_langevin
 from .committor import empirical_committor, rotate_torsion
 from .langevin import overdamped_langevin
+from .mbar import mbar, pmf_from_samples, umbrella_sampling
 from .potentials import ToyPeptidePotential
 
 __all__ = [
@@ -28,4 +29,7 @@ __all__ = [
     "MetadBias",
     "empirical_committor",
     "rotate_torsion",
+    "mbar",
+    "umbrella_sampling",
+    "pmf_from_samples",
 ]
