@@ -20,6 +20,7 @@ from .committor import empirical_committor, rotate_torsion
 from .langevin import overdamped_langevin
 from .mbar import mbar, pmf_from_samples, umbrella_sampling
 from .potentials import ToyPeptidePotential
+from .remd import replica_exchange_langevin
 
 __all__ = [
     "ToyPeptidePotential",
@@ -32,4 +33,5 @@ __all__ = [
     "mbar",
     "umbrella_sampling",
     "pmf_from_samples",
+    "replica_exchange_langevin",
 ]
