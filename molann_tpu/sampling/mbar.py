@@ -34,7 +34,7 @@ from .langevin import overdamped_langevin
 __all__ = ["mbar", "umbrella_sampling", "pmf_from_samples"]
 
 
-def mbar(u_kn, n_k, *, tol=1e-10, max_iter=10_000):
+def mbar(u_kn, n_k, *, target_u_n=None, tol=1e-10, max_iter=10_000):
     """Solve the MBAR equations for ``K`` ensembles over pooled samples.
 
     u_kn: ``[K, N]`` REDUCED (dimensionless, i.e. divided by kT) bias
@@ -44,10 +44,16 @@ def mbar(u_kn, n_k, *, tol=1e-10, max_iter=10_000):
     must correspond to entry ``k`` of ``n_k`` (samples contributed per
     ensemble, ``sum(n_k) == N``).
 
+    target_u_n: optional ``[N]`` reduced potential of the TARGET
+    ensemble the returned weights should represent. Default ``None`` =
+    zeros — the shared base for umbrella windows (where the base
+    cancels). For temperature reweighting (e.g. replica-exchange rungs,
+    ``u_kn = E_n / kT_k``) pass ``E_n / kT_target`` to get weights for
+    the target temperature.
+
     Returns ``(f_k [K], log_w_n [N])``: dimensionless window free
-    energies (gauge ``f_0 = 0``) and normalized unbiased log-weights
-    (``logsumexp(log_w_n) == 0``) for the UNBIASED ensemble (reduced
-    potential 0 — the shared base). Unbiased averages are then
+    energies (gauge ``f_0 = 0``) and normalized target-ensemble
+    log-weights (``logsumexp(log_w_n) == 0``). Target averages are then
     ``sum(exp(log_w_n) * a_n)``.
 
     The self-consistent iteration
@@ -81,6 +87,8 @@ def mbar(u_kn, n_k, *, tol=1e-10, max_iter=10_000):
     f, _, _ = jax.lax.while_loop(cond, body, (f0, jnp.inf, 0))
 
     log_w = -log_denominator(f)
+    if target_u_n is not None:
+        log_w = log_w - jnp.asarray(target_u_n, jnp.float32)
     log_w = log_w - logsumexp(log_w)
     return f, log_w
 

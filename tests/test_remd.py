@@ -115,3 +115,58 @@ def test_molecular_cold_rung_escapes():
     assert dcos_cold.min() < -0.7, (
         f"cold rung never reached basin B (min dcos "
         f"{dcos_cold.min():.2f}, swap rates {np.asarray(rate)})")
+
+
+def test_temperature_mbar_reweighting_analytic():
+    """MBAR with target_u_n recombines multi-temperature ensembles: for
+    V = u²/2, ensemble k samples N(0, kT_k); weights targeted at kT_0
+    must reproduce <u²> = kT_0 using ALL rungs' samples, and the window
+    free energies match the analytic log-partition ratios."""
+    from molann_tpu.sampling import mbar
+
+    rng = np.random.default_rng(0)
+    kts = np.array([0.2, 0.5, 1.2, 3.0], np.float32)
+    n_per = 6000
+    samples = np.concatenate([
+        rng.normal(0.0, np.sqrt(kt), n_per) for kt in kts
+    ]).astype(np.float32)
+    e = samples ** 2 / 2
+    u_kn = e[None, :] / kts[:, None]
+    f, log_w = mbar(u_kn, np.full(len(kts), n_per),
+                    target_u_n=e / kts[0])
+    # analytic: f_k = -log(Z_k/Z_0) = -0.5 log(kT_k / kT_0)
+    f_exact = -0.5 * np.log(kts / kts[0])
+    np.testing.assert_allclose(np.asarray(f), f_exact, atol=0.05)
+    u2 = float(np.sum(np.exp(np.asarray(log_w)) * samples ** 2))
+    assert abs(u2 - kts[0]) / kts[0] < 0.1
+
+
+@pytest.mark.slow
+def test_remd_plus_mbar_uses_all_rungs():
+    """REMD rungs recombined by temperature-MBAR: the cold-target
+    estimate of <u²> from ALL rungs matches the analytic double-well
+    value (same check as the cold-rung-only test, now with 4x the
+    data)."""
+    from molann_tpu.sampling import mbar
+
+    kts = np.array([0.2, 0.5, 1.2, 3.0], np.float32)
+    x0 = np.zeros((4, 1, 3), np.float32)
+    x0[:, 0, 0] = -1.0
+    traj, _, _ = replica_exchange_langevin(
+        _particle_energy, x0, kts, n_steps=40_000, dt=1e-3,
+        exchange_stride=10, thin=2, key=jax.random.PRNGKey(5),
+    )
+    traj = np.asarray(traj)  # [T, R, 1, 3]
+    t_count = traj.shape[0]
+    # pool rung-major: all of rung 0's records, then rung 1's, ...
+    pooled = np.moveaxis(traj, 1, 0).reshape(4 * t_count, 1, 3)
+    e = np.asarray(_particle_energy(jnp.asarray(pooled)))
+    u_kn = e[None, :] / kts[:, None]
+    _, log_w = mbar(u_kn, np.full(4, t_count), target_u_n=e / kts[0])
+    u = pooled[:, 0, 0]
+    u2 = float(np.sum(np.exp(np.asarray(log_w)) * u ** 2))
+
+    g = np.linspace(-2.5, 2.5, 20001)
+    w = np.exp(-H * (g ** 2 - 1) ** 2 / kts[0])
+    u2_exact = float(np.trapezoid(w * g ** 2, g) / np.trapezoid(w, g))
+    assert abs(u2 - u2_exact) / u2_exact < 0.12
