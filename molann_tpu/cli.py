@@ -328,6 +328,7 @@ def cmd_sample(args):
 
     from .sampling import (
         ToyPeptidePotential,
+        baoab_langevin,
         metadynamics_langevin,
         overdamped_langevin,
         steered_langevin,
@@ -346,12 +347,27 @@ def cmd_sample(args):
         np.repeat(u.atoms.positions[None], args.walkers, axis=0)
     )
     key = jax.random.PRNGKey(args.seed)
+    if args.integrator == "baoab" and args.bias != "none":
+        raise SystemExit("error: --integrator baoab currently supports "
+                         "--bias none only (biased runs use the "
+                         "overdamped integrator)")
     bias = None
     if args.bias == "none":
-        traj, _ = overdamped_langevin(
-            pot.energy, x0, n_steps=args.steps, dt=args.dt, kT=args.kT,
-            key=key, thin=args.thin,
-        )
+        if args.integrator == "baoab":
+            masses = u.atoms.masses.astype(np.float32)
+            if (masses <= 0).any():
+                raise SystemExit("error: could not guess a mass for every "
+                                 "atom in the PDB (unknown element)")
+            traj, _, _ = baoab_langevin(
+                pot.energy, x0, n_steps=args.steps, dt=args.dt,
+                kT=args.kT, gamma=args.gamma, mass=masses, key=key,
+                thin=args.thin,
+            )
+        else:
+            traj, _ = overdamped_langevin(
+                pot.energy, x0, n_steps=args.steps, dt=args.dt, kT=args.kT,
+                key=key, thin=args.thin,
+            )
     elif args.bias == "metad":
         traj, _, bias = metadynamics_langevin(
             pot.energy, model, x0, n_steps=args.steps, dt=args.dt,
@@ -855,6 +871,12 @@ def main(argv=None):
     ps.add_argument("pdb", help="structure defining the toy potential")
     ps.add_argument("--bias", choices=["none", "metad", "steered"],
                     default="metad")
+    ps.add_argument("--integrator", choices=["overdamped", "baoab"],
+                    default="overdamped",
+                    help="baoab = underdamped Langevin with per-atom "
+                         "masses guessed from the PDB (--bias none only)")
+    ps.add_argument("--gamma", type=float, default=5.0,
+                    help="baoab friction (1/time)")
     ps.add_argument("--out", default="sampled.npy",
                     help="trajectory output (.npy/.dcd/.trr/.xtc)")
     ps.add_argument("--bias-out", default=None,

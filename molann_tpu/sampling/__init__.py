@@ -17,7 +17,7 @@ whole biased trajectory runs as ONE compiled TPU program.
 
 from .bias import MetadBias, metadynamics_langevin, steered_langevin
 from .committor import empirical_committor, rotate_torsion
-from .langevin import overdamped_langevin
+from .langevin import baoab_langevin, kinetic_temperature, overdamped_langevin
 from .mbar import mbar, pmf_from_samples, umbrella_sampling
 from .potentials import ToyPeptidePotential
 from .remd import replica_exchange_langevin
@@ -25,6 +25,8 @@ from .remd import replica_exchange_langevin
 __all__ = [
     "ToyPeptidePotential",
     "overdamped_langevin",
+    "baoab_langevin",
+    "kinetic_temperature",
     "steered_langevin",
     "metadynamics_langevin",
     "MetadBias",

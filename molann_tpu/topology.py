@@ -38,6 +38,8 @@ __all__ = [
     "FrozenAtomGroup",
     "Universe",
     "SelectionError",
+    "guess_atom_mass",
+    "guess_atom_type",
 ]
 
 
@@ -53,6 +55,31 @@ _TWO_LETTER_ELEMENTS = {
     "SE", "SI", "LI", "AL", "RB", "CS", "SR", "BA", "HE", "NE", "AR",
     "KR", "XE", "CD", "HG", "PB", "PT", "AU", "AG",
 }
+
+
+# Standard atomic masses (u), CIAAW 2021 abridged values — the same table
+# MDAnalysis' mass guesser draws from for organic/biomolecular systems.
+# Unknown types get 0.0, matching MDAnalysis' behavior for unguessable
+# atoms (callers that need real masses, e.g. the BAOAB integrator, must
+# validate positivity themselves).
+_MASSES = {
+    "H": 1.008, "D": 2.014, "He": 4.0026, "Li": 6.94, "Be": 9.0122,
+    "B": 10.81, "C": 12.011, "N": 14.007, "O": 15.999, "F": 18.998,
+    "Ne": 20.180, "Na": 22.990, "Mg": 24.305, "Al": 26.982, "Si": 28.085,
+    "P": 30.974, "S": 32.06, "Cl": 35.45, "Ar": 39.95, "K": 39.098,
+    "Ca": 40.078, "Mn": 54.938, "Fe": 55.845, "Co": 58.933, "Ni": 58.693,
+    "Cu": 63.546, "Zn": 65.38, "Se": 78.971, "Br": 79.904, "Kr": 83.798,
+    "Rb": 85.468, "Sr": 87.62, "Ag": 107.87, "Cd": 112.41, "I": 126.90,
+    "Xe": 131.29, "Cs": 132.91, "Ba": 137.33, "Pt": 195.08, "Au": 196.97,
+    "Hg": 200.59, "Pb": 207.2,
+}
+
+
+def guess_atom_mass(atom_type: str) -> float:
+    """Standard atomic mass (u) for an element-like type string; 0.0 if
+    unknown (MDAnalysis-compatible fallback)."""
+    t = atom_type.strip()
+    return _MASSES.get(t.capitalize() if len(t) > 1 else t.upper(), 0.0)
 
 
 def guess_atom_type(name: str) -> str:
@@ -104,6 +131,10 @@ class Atom:
     @property
     def position(self) -> np.ndarray:
         return self.universe._positions[self.ix]
+
+    @property
+    def mass(self) -> float:
+        return guess_atom_mass(self.type)
 
     def __eq__(self, other):
         return (
@@ -159,6 +190,15 @@ class AtomGroup:
     @property
     def resnames(self) -> np.ndarray:
         return np.array([self.universe._resnames[i] for i in self._ix])
+
+    @property
+    def masses(self) -> np.ndarray:
+        """Standard atomic masses (u) guessed from atom types,
+        MDAnalysis-compatible (unknown types -> 0.0)."""
+        return np.array(
+            [guess_atom_mass(self.universe._types[i]) for i in self._ix],
+            dtype=np.float64,
+        )
 
     @property
     def n_atoms(self) -> int:

@@ -213,6 +213,29 @@ def test_sample_cli_unbiased_stays(workdir):
     assert frames.shape[1:] == (22, 3)
 
 
+def test_sample_cli_baoab(workdir):
+    out = workdir / "baoab.npy"
+    rc = main(["sample", str(workdir / "model.npz"),
+               str(workdir / "system.pdb"),
+               "--bias", "none", "--integrator", "baoab", "--gamma", "5.0",
+               "--steps", "500", "--walkers", "2", "--dt", "5e-3",
+               "--thin", "50", "--out", str(out)])
+    assert rc == 0
+    frames = np.load(out)
+    assert frames.shape[1:] == (22, 3)
+    assert np.isfinite(frames).all()
+    # baoab is unbiased-only for now: biased runs must error clearly
+    rc2 = None
+    try:
+        main(["sample", str(workdir / "model.npz"),
+              str(workdir / "system.pdb"),
+              "--bias", "metad", "--integrator", "baoab",
+              "--steps", "100", "--out", str(workdir / "x.npy")])
+    except SystemExit as e:
+        rc2 = str(e)
+    assert rc2 is not None and "baoab" in rc2
+
+
 def test_sample_cli_well_tempered(workdir):
     """--well-tempered-gamma switches on hill decay and the bias-out
     file carries the per-deposit weights + gamma needed to reconstruct
