@@ -550,9 +550,11 @@ def cmd_train(args):
     The reference ships no training loop (SURVEY.md §2.3); this wraps
     :func:`molann_tpu.train.fit` for the objectives that need no extra
     Python: MSE regression onto per-frame targets, the variational
-    generator-eigenfunction loss, and the autoencoder reconstruction
-    loss (saved model's MLP = encoder, a fresh decoder is trained
-    jointly and discarded unless --decoder-out). The latter two accept
+    generator-eigenfunction loss, the variational committor loss, the
+    VAMP-2 time-lagged loss (pairs from a contiguous trajectory), and
+    the autoencoder reconstruction loss (saved model's MLP = encoder, a
+    fresh decoder is trained jointly and discarded unless
+    --decoder-out). The weighted objectives accept
     per-frame importance weights (e.g. metadynamics frame weights from
     ``molann_tpu sample``/``fes``) to train on reweighted biased data.
     """
@@ -612,6 +614,14 @@ def cmd_train(args):
                   "basin (1=A, 2=B)", file=sys.stderr)
             return 1
         loss_fn = make_committor_loss(beta=args.beta, alpha=alpha)
+    elif args.loss == "vamp":
+        from .train import make_vamp_loss
+
+        if args.lag < 1 or args.lag >= n:
+            print(f"error: --lag must be in [1, {n}) for this trajectory",
+                  file=sys.stderr)
+            return 1
+        loss_fn = make_vamp_loss()
     else:  # autoencoder: the saved MolANN's MLP is the encoder; a fresh
         # decoder reconstructs the feature vector and is discarded (or
         # saved via --decoder-out) after training
@@ -657,6 +667,15 @@ def cmd_train(args):
         multiple = ndev
 
     def batches():
+        if args.loss == "vamp":
+            from .train import lagged_pair_iterator
+
+            for pair in lagged_pair_iterator(
+                ds, args.batch_size, args.lag, seed=args.seed,
+                multiple_of=multiple, weights=weights,
+            ):
+                yield tuple(jnp.asarray(a) for a in pair)
+            return
         it = batch_iterator(ds, args.batch_size, seed=args.seed,
                             multiple_of=multiple, return_indices=True)
         for x, idx in it:
@@ -716,6 +735,28 @@ def cmd_train(args):
               f"{float(aux['mean_q_a']):.4f} (want 0), mean q(B) = "
               f"{float(aux['mean_q_b']):.4f} (want 1), Dirichlet energy "
               f"= {float(aux['dirichlet']):.4g}")
+    elif args.loss == "vamp":
+        # report the learned CVs' lag autocorrelations + implied timescales
+        from .train import vamp2_loss
+
+        sel = np.unique(
+            np.linspace(0, n - 1 - args.lag, min(n - args.lag, 4096))
+            .astype(int)
+        )
+        ws = jnp.asarray(weights[sel]) if weights is not None else None
+        _, aux = vamp2_loss(
+            trained, jnp.asarray(ds[sel]), jnp.asarray(ds[sel + args.lag]),
+            weights=ws, return_aux=True,
+        )
+        ac = np.asarray(aux["autocorrelations"], np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ts = np.where((ac > 0) & (ac < 1), -args.lag / np.log(ac),
+                          np.inf)
+        print(f"VAMP-2 score = {float(aux['vamp2']):.4f}; CV lag-"
+              f"{args.lag} autocorrelations (slowest first): "
+              + ", ".join(f"{a:.4f}" for a in ac)
+              + "; implied timescales (frames): "
+              + ", ".join(f"{t:.1f}" for t in ts))
     return 0
 
 
@@ -943,8 +984,11 @@ def main(argv=None):
                          "(use 'convert' for dcd/trr/xtc)")
     pt.add_argument("--loss",
                     choices=["mse", "eigenfunction", "autoencoder",
-                             "committor"],
+                             "committor", "vamp"],
                     default="mse")
+    pt.add_argument("--lag", type=int, default=10,
+                    help="time lag in frames (vamp): pairs (x_t, "
+                         "x_{t+lag}) from a CONTIGUOUS trajectory")
     pt.add_argument("--targets", default=None,
                     help=".npy per-frame targets [n, d] (mse)")
     pt.add_argument("--weights", default=None,

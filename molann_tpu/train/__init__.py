@@ -25,10 +25,18 @@ from .checkpoint import (
 from .data import (
     TrajectoryDataset,
     batch_iterator,
+    lagged_pair_iterator,
     packed_batch_iterator,
     save_trajectory,
 )
 from .forces import coordinate_gradients, force_fn
+from .timelagged import (
+    TICAResult,
+    make_vamp_loss,
+    tica,
+    vamp2_loss,
+    vamp2_score,
+)
 
 __all__ = [
     "make_train_step",
@@ -48,6 +56,7 @@ __all__ = [
     "loss_registry",
     "TrajectoryDataset",
     "batch_iterator",
+    "lagged_pair_iterator",
     "packed_batch_iterator",
     "save_trajectory",
     "coordinate_gradients",
@@ -55,4 +64,9 @@ __all__ = [
     "save_training_state",
     "load_training_state",
     "latest_checkpoint",
+    "TICAResult",
+    "tica",
+    "vamp2_score",
+    "vamp2_loss",
+    "make_vamp_loss",
 ]

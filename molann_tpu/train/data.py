@@ -22,6 +22,7 @@ import numpy as np
 __all__ = [
     "TrajectoryDataset",
     "batch_iterator",
+    "lagged_pair_iterator",
     "packed_batch_iterator",
     "save_trajectory",
 ]
@@ -89,6 +90,47 @@ def batch_iterator(dataset, batch_size, *, shuffle=True, seed=0,
         if not drop_remainder and rem:
             # tail trimmed to multiple_of so sharding still divides evenly
             yield emit(np.sort(order[n - n % batch_size :][:rem]))
+        epoch += 1
+
+
+def lagged_pair_iterator(dataset, batch_size, lag, *, shuffle=True,
+                         seed=0, epochs=None, multiple_of=1,
+                         weights=None):
+    """Yield time-lagged pairs ``(x_t [b,n,3], x_{t+lag} [b,n,3])`` for
+    VAMP/TICA training (:mod:`molann_tpu.train.timelagged`).
+
+    Start frames are drawn from ``[0, n_frames - lag)``; the trajectory
+    must be a single contiguous time series (concatenate independent
+    trajectories only with a guard frame gap >= lag, or iterate each
+    separately). With per-frame ``weights [n_frames]`` (e.g. metadynamics
+    ``frame_weights``), yields ``(x_t, x_tau, w_t)`` triples weighted at
+    the pair's start frame. ``epochs=None`` iterates forever.
+    """
+    n = len(dataset)
+    lag = int(lag)
+    if lag < 1 or lag >= n:
+        raise ValueError(f"lag must be in [1, n_frames) = [1, {n}), "
+                         f"got {lag}")
+    n_pairs = n - lag
+    batch_size = max(multiple_of, (batch_size // multiple_of) * multiple_of)
+    if weights is not None:
+        weights = np.asarray(weights, dtype=np.float32)
+        if weights.shape != (n,):
+            raise ValueError(
+                f"weights must be [n_frames]={n}, got {weights.shape}"
+            )
+    rng = np.random.default_rng(seed)
+    epoch = 0
+    while epochs is None or epoch < epochs:
+        order = rng.permutation(n_pairs) if shuffle else np.arange(n_pairs)
+        for start in range(0, n_pairs - batch_size + 1, batch_size):
+            idx = np.sort(order[start : start + batch_size])
+            x_t = dataset[idx]
+            x_tau = dataset[idx + lag]
+            if weights is not None:
+                yield x_t, x_tau, weights[idx]
+            else:
+                yield x_t, x_tau
         epoch += 1
 
 

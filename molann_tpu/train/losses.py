@@ -292,9 +292,16 @@ def make_eigenfunction_loss(**kwargs):
     return loss_fn
 
 
+def _vamp_default(model, batch):
+    from .timelagged import make_vamp_loss
+
+    return make_vamp_loss()(model, batch)
+
+
 registry = {
     "mse": mse_loss,
     "fused_mse": fused_mse_loss,
     "eigenfunction": make_eigenfunction_loss(),
     "committor": make_committor_loss(),
+    "vamp": _vamp_default,
 }

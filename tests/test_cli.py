@@ -373,6 +373,51 @@ def test_train_cli_eigenfunction_weighted(workdir, capsys):
     assert "generator eigenvalues" in out
 
 
+def test_train_cli_vamp(workdir, capsys):
+    """'train --loss vamp --lag' fits time-lagged pairs and reports the
+    learned CVs' autocorrelations/timescales. Needs a TIME-CORRELATED
+    trajectory (the shared workdir traj is iid noise), so build one with
+    AR(1) displacement dynamics."""
+    u = alanine_universe()
+    rng = np.random.default_rng(5)
+    n = 700
+    disp = np.zeros((n, 22, 3), np.float32)
+    a = 0.9
+    for t in range(1, n):  # slow AR(1) displacement field
+        disp[t] = a * disp[t - 1] + np.sqrt(1 - a * a) * rng.normal(
+            size=(22, 3)
+        ).astype(np.float32)
+    frames = (u.atoms.positions[None] + 0.03 * disp).astype(np.float32)
+    np.save(workdir / "traj_ar1.npy", frames)
+
+    assert main([
+        "build", str(workdir / "system.pdb"), str(workdir / "features.txt"),
+        "--section", "Output", "--mlp", "8", "1",
+        "--out", str(workdir / "mv0.npz"),
+    ]) == 0
+    rc = main([
+        "train", str(workdir / "mv0.npz"), str(workdir / "traj_ar1.npy"),
+        "--loss", "vamp", "--lag", "2", "--steps", "60",
+        "--batch-size", "256", "--lr", "1e-2", "--log-every", "0",
+        "--out", str(workdir / "mv1.npz"),
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "VAMP-2 score" in out and "implied timescales" in out
+    score = float(out.split("VAMP-2 score = ")[1].split(";")[0])
+    # the slow AR(1) field gives the 1-output model a clearly positive
+    # lag-2 score (perfect linear CV would approach a^4 ~ 0.65)
+    assert score > 0.2
+    # bad lag errors cleanly
+    rc = main([
+        "train", str(workdir / "mv0.npz"), str(workdir / "traj_ar1.npy"),
+        "--loss", "vamp", "--lag", str(n), "--steps", "5",
+        "--out", str(workdir / "mv2.npz"),
+    ])
+    assert rc == 1
+    assert "--lag" in capsys.readouterr().err
+
+
 def test_train_cli_errors(workdir, capsys):
     assert main([
         "build", str(workdir / "system.pdb"), str(workdir / "features.txt"),

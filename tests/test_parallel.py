@@ -149,3 +149,37 @@ def test_data_parallel_eigenfunction_step(mesh, model_and_data):
     w_dp = np.asarray(model_dp.ann_layers.params[0][0])
     w_1d = np.asarray(model_1d.ann_layers.params[0][0])
     np.testing.assert_allclose(w_dp, w_1d, atol=1e-5)
+
+
+def test_data_parallel_vamp_step(mesh, model_and_data):
+    """The VAMP-2 objective's lagged covariances are GLOBAL batch
+    moments; the sharded-batch GSPMD step must equal the single-device
+    step exactly (weighted pairs = reweighted-biased-data mode)."""
+    from molann_tpu.train import make_vamp_loss
+
+    model, x, _ = model_and_data
+    x_t, x_tau = x[:32], x[32:]
+    w = jnp.asarray(
+        np.random.default_rng(9).uniform(0.1, 2.0, size=(32,)).astype(
+            np.float32
+        )
+    )
+    loss_fn = make_vamp_loss()
+    optimizer = masked_optimizer(optax.adam(1e-2), trainable_mask(model))
+    repl = replicated_sharding(mesh)
+
+    model_dp = jax.device_put(model, repl)
+    opt_state_dp = jax.device_put(optimizer.init(model_dp), repl)
+    step_dp = make_train_step(loss_fn, optimizer, mesh)
+    batch = shard_batch((x_t, x_tau, w), mesh)
+    model_dp, opt_state_dp, loss_dp = step_dp(model_dp, opt_state_dp, batch)
+
+    step_1d = make_train_step(loss_fn, optimizer)
+    model_1d, _, loss_1d = step_1d(
+        model, optimizer.init(model), (x_t, x_tau, w)
+    )
+
+    assert abs(float(loss_dp) - float(loss_1d)) < 1e-4
+    w_dp = np.asarray(model_dp.ann_layers.params[0][0])
+    w_1d = np.asarray(model_1d.ann_layers.params[0][0])
+    np.testing.assert_allclose(w_dp, w_1d, atol=1e-5)
