@@ -495,6 +495,97 @@ def _make_optimizer(args):
     return opt
 
 
+def cmd_mep(args):
+    """Minimum free-energy path (simplified string method) on a
+    reconstructed FES: input is either a metadynamics hills file
+    (``sample --bias-out``; the smooth analytic bias is differentiated
+    directly) or a gridded FES .npy (``fes``/``pmf`` output) with its
+    --grid spec (multilinear interpolation)."""
+    import jax.numpy as jnp
+
+    from .sampling import grid_interpolator, linear_path, string_method
+
+    start = np.asarray([float(v) for v in args.start.split(",")],
+                       np.float32)
+    end = np.asarray([float(v) for v in args.end.split(",")], np.float32)
+    if start.shape != end.shape:
+        raise SystemExit("error: --start and --end dimensions differ")
+    d = len(start)
+
+    if str(args.fes).endswith(".npz"):
+        from .sampling import MetadBias
+
+        bias = MetadBias.load(args.fes)
+        if bias.centers.shape[1] != d:
+            raise SystemExit(f"error: hills are {bias.centers.shape[1]}-"
+                             f"dimensional, endpoints are {d}-dimensional")
+        scale = (bias.gamma / (bias.gamma - 1.0)
+                 if bias.gamma is not None else 1.0)
+
+        def energy(z):
+            return -scale * bias.energy(z)
+    else:
+        table = np.load(args.fes)
+        if table.ndim == 2 and table.shape[0] == 2 and d == 1:
+            # 'pmf' output convention: [2, n] = mids + F
+            mids, table = [table[0]], table[1]
+        else:
+            if table.ndim != d:
+                raise SystemExit(f"error: FES grid is {table.ndim}-"
+                                 f"dimensional, endpoints are {d}-"
+                                 "dimensional")
+            if not args.grid:
+                raise SystemExit("error: a gridded FES .npy needs --grid "
+                                 "(the same lo:hi:n spec given to 'fes')")
+            specs = args.grid.split(",")
+            if len(specs) == 1 and d > 1:
+                specs = specs * d
+            if len(specs) != d:
+                raise SystemExit(f"error: --grid needs 1 or {d} lo:hi:n "
+                                 "specs matching the FES file")
+            mids = []
+            for spec, n_have in zip(specs, table.shape):
+                try:
+                    lo, hi, n = spec.split(":")
+                    lo, hi, n = float(lo), float(hi), int(n)
+                except ValueError:
+                    raise SystemExit(f"error: bad --grid spec {spec!r} "
+                                     "(want lo:hi:n)")
+                if n != n_have:
+                    raise SystemExit(f"error: --grid says {n} points but "
+                                     f"the FES axis has {n_have}")
+                mids.append(np.linspace(lo, hi, n))
+        finite = np.isfinite(table)
+        fill = (float(table[finite].max()) + 5.0 if finite.any() and
+                not finite.all() else None)
+        energy = grid_interpolator(mids, table, fill=fill)
+
+    imgs, e = string_method(energy, linear_path(start, end, args.images),
+                            n_iterations=args.iterations, step=args.step,
+                            pin_ends=args.pin_ends)
+    imgs, e = np.asarray(imgs), np.asarray(e)
+    top = int(e.argmax())
+    print(f"string converged over {args.iterations} iterations: "
+          f"endpoints F = {e[0]:.4f} / {e[-1]:.4f}, barrier F = "
+          f"{e.max():.4f} at image {top} "
+          f"({', '.join(f'{v:.4f}' for v in imgs[top])})"
+          + ("" if 0 < top < len(e) - 1 else
+             " [WARNING: barrier at an endpoint — string may not bracket "
+             "a transition]"))
+    if args.out:
+        if str(args.out).endswith(".csv"):
+            with open(args.out, "w") as fh:
+                fh.write(",".join(f"cv{i}" for i in range(d))
+                         + ",free_energy\n")
+                for row, v in zip(imgs, e):
+                    fh.write(",".join(f"{c:.6g}" for c in row)
+                             + f",{v:.6g}\n")
+        else:
+            np.save(args.out, np.concatenate([imgs, e[:, None]], axis=1))
+        print(f"wrote {args.out}: {len(e)} images")
+    return 0
+
+
 def cmd_pmf(args):
     """Free-energy profile from umbrella-sampling windows via MBAR.
 
@@ -959,6 +1050,32 @@ def main(argv=None):
     pg.add_argument("--out", default=None,
                     help=".npy (grid-shaped) or .csv (long-form) output")
     pg.set_defaults(fn=cmd_fes)
+
+    pme = sub.add_parser(
+        "mep",
+        help="minimum free-energy path (string method) on a "
+             "reconstructed FES")
+    pme.add_argument("fes",
+                     help="hills .npz (sample --bias-out) or FES grid "
+                          ".npy (fes/pmf output)")
+    pme.add_argument("--start", required=True,
+                     help="comma-separated CV start point (use "
+                          "--start=... when negative)")
+    pme.add_argument("--end", required=True,
+                     help="comma-separated CV end point")
+    pme.add_argument("--grid", default=None, metavar="LO:HI:N[,...]",
+                     help="grid spec of the FES .npy (same string given "
+                          "to 'fes'; not needed for hills .npz or 'pmf' "
+                          "[2, n] files)")
+    pme.add_argument("--images", type=int, default=48)
+    pme.add_argument("--iterations", type=int, default=4000)
+    pme.add_argument("--step", type=float, default=1e-3)
+    pme.add_argument("--pin-ends", action="store_true",
+                     help="keep endpoints fixed instead of relaxing "
+                          "them into the nearest minima")
+    pme.add_argument("--out", default=None,
+                     help=".npy ([m, d+1]: images + F) or .csv output")
+    pme.set_defaults(fn=cmd_mep)
 
     pp_ = sub.add_parser(
         "pmf",

@@ -21,6 +21,7 @@ from .langevin import baoab_langevin, kinetic_temperature, overdamped_langevin
 from .mbar import mbar, pmf_from_samples, umbrella_sampling
 from .potentials import ToyPeptidePotential
 from .remd import replica_exchange_langevin
+from .string import grid_interpolator, linear_path, string_method
 
 __all__ = [
     "ToyPeptidePotential",
@@ -36,4 +37,7 @@ __all__ = [
     "umbrella_sampling",
     "pmf_from_samples",
     "replica_exchange_langevin",
+    "string_method",
+    "grid_interpolator",
+    "linear_path",
 ]

@@ -373,6 +373,65 @@ def test_train_cli_eigenfunction_weighted(workdir, capsys):
     assert "generator eigenvalues" in out
 
 
+def test_mep_cli_pmf_and_grid(workdir, capsys):
+    """'mep' finds the minimum free-energy path: on a 1D pmf-style
+    [2, n] file the barrier of (s^2-1)^2 is 1 at s=0; on a 2D grid with
+    --grid the saddle of a quartic double-well sheet is found."""
+    s = np.linspace(-1.5, 1.5, 201)
+    f1 = (s**2 - 1.0) ** 2
+    np.save(workdir / "pmf1d.npy", np.stack([s, f1]))
+    rc = main(["mep", str(workdir / "pmf1d.npy"),
+               "--start=-1.2", "--end", "1.1", "--images", "24",
+               "--iterations", "1500", "--step", "2e-2",
+               "--out", str(workdir / "path1.npy")])
+    assert rc == 0
+    out = capsys.readouterr().out
+    barrier = float(out.split("barrier F = ")[1].split(" at ")[0])
+    assert barrier == pytest.approx(1.0, abs=0.05)
+    path = np.load(workdir / "path1.npy")
+    assert path.shape == (24, 2)
+    assert abs(path[0, 0] + 1.0) < 0.05 and abs(path[-1, 0] - 1.0) < 0.05
+
+    # 2D: F = (x^2-1)^2 + 2 y^2 — saddle (0, 0) at F=1
+    xs = np.linspace(-1.5, 1.5, 151)
+    ys = np.linspace(-1.0, 1.0, 101)
+    gx, gy = np.meshgrid(xs, ys, indexing="ij")
+    np.save(workdir / "fes2d.npy", (gx**2 - 1.0) ** 2 + 2.0 * gy**2)
+    rc = main(["mep", str(workdir / "fes2d.npy"),
+               "--grid=-1.5:1.5:151,-1:1:101",
+               "--start=-1.1,0.3", "--end", "1.1,-0.2", "--images", "32",
+               "--iterations", "2000", "--step", "2e-2",
+               "--out", str(workdir / "path2.csv")])
+    assert rc == 0
+    out = capsys.readouterr().out
+    barrier = float(out.split("barrier F = ")[1].split(" at ")[0])
+    assert barrier == pytest.approx(1.0, abs=0.05)
+    rows = (workdir / "path2.csv").read_text().strip().splitlines()
+    assert rows[0] == "cv0,cv1,free_energy" and len(rows) == 33
+    # missing --grid for a raw 2D file errors cleanly
+    with pytest.raises(SystemExit, match="--grid"):
+        main(["mep", str(workdir / "fes2d.npy"),
+              "--start=-1,0", "--end", "1,0"])
+
+    # hills .npz input: F = -V differentiates the smooth bias directly;
+    # deposits concentrated in two wells leave a barrier between them
+    from molann_tpu.sampling import MetadBias
+
+    centers = np.concatenate([
+        np.full((20, 1), -1.0), np.full((20, 1), 1.0)
+    ]).astype(np.float32)
+    MetadBias(centers, height=0.2, sigma=0.4).save(
+        str(workdir / "hills1d.npz"))
+    rc = main(["mep", str(workdir / "hills1d.npz"),
+               "--start=-0.9", "--end", "0.9", "--images", "16",
+               "--iterations", "800", "--step", "5e-2",
+               "--out", str(workdir / "path3.npy")])
+    assert rc == 0
+    out = capsys.readouterr().out
+    top = float(out.split(" at image ")[1].split("(")[1].split(")")[0])
+    assert abs(top) < 0.1  # barrier sits at the midpoint between wells
+
+
 def test_train_cli_vamp(workdir, capsys):
     """'train --loss vamp --lag' fits time-lagged pairs and reports the
     learned CVs' autocorrelations/timescales. Needs a TIME-CORRELATED
