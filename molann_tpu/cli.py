@@ -586,6 +586,79 @@ def cmd_mep(args):
     return 0
 
 
+def cmd_msm(args):
+    """Markov state model over a CV trajectory ('evaluate' output):
+    grid-discretize, count lag transitions, reversible-MLE transition
+    matrix, implied timescales + Chapman-Kolmogorov Markovianity check."""
+    from .sampling import ck_test, estimate_msm, grid_assign
+
+    cvs = np.load(args.cvs)
+    if cvs.ndim == 1:
+        cvs = cvs[:, None]
+    if cvs.ndim != 2:
+        raise SystemExit(f"error: CVs must be [T] or [T, d], got "
+                         f"{cvs.shape}")
+    d = cvs.shape[1]
+    specs = args.grid.split(",")
+    if len(specs) == 1 and d > 1:
+        specs = specs * d
+    if len(specs) != d:
+        raise SystemExit(f"error: CVs are {d}-dimensional; --grid needs "
+                         f"1 or {d} lo:hi:n specs")
+    edges = []
+    for spec in specs:
+        try:
+            lo, hi, n = spec.split(":")
+            edges.append(np.linspace(float(lo), float(hi), int(n) + 1))
+        except ValueError:
+            raise SystemExit(f"error: bad --grid spec {spec!r} "
+                             "(want lo:hi:nbins)")
+    n_states = int(np.prod([len(e) - 1 for e in edges]))
+
+    labels = grid_assign(cvs, edges)
+    if args.walkers > 1:
+        if len(labels) % args.walkers:
+            raise SystemExit(f"error: {len(labels)} samples do not "
+                             f"divide into {args.walkers} walkers")
+        # 'sample'/'evaluate' trajectories interleave walkers per record
+        # ([t0w0, t0w1, ...]); split into one contiguous series each
+        lw = labels.reshape(-1, args.walkers)
+        series = [lw[:, w] for w in range(args.walkers)]
+    else:
+        series = labels
+
+    m = estimate_msm(series, n_states, args.lag,
+                     reversible=not args.nonreversible)
+    pop = np.flatnonzero(m.pi > 0)
+    print(f"{n_states} grid states ({pop.size} populated), lag "
+          f"{args.lag} frames")
+    order = pop[np.argsort(-m.pi[pop])][:5]
+    print("top states by stationary weight: "
+          + ", ".join(f"#{s}: {m.pi[s]:.3f}" for s in order))
+    ts = m.timescales()
+    k = min(args.n_timescales, len(ts))
+    print("implied timescales (frames): "
+          + ", ".join("inf" if not np.isfinite(t) else f"{t:.1f}"
+                      for t in ts[:k]))
+    n_frames = len(series[0]) if isinstance(series, list) else len(series)
+    factors = tuple(f for f in (2, 4) if args.lag * f < n_frames // 10)
+    if factors:
+        errs = ck_test(series, n_states, args.lag, factors=factors,
+                       reversible=not args.nonreversible)
+        print("Chapman-Kolmogorov max|T(lag)^k - T(k lag)|: "
+              + ", ".join(f"k={k_}: {v:.4f}" for k_, v in errs.items())
+              + ("  [OK: Markovian at this lag]"
+                 if max(errs.values()) < 0.1 else
+                 "  [WARNING: memory at this lag — increase --lag or "
+                 "refine the CVs]"))
+    if args.out:
+        np.savez(args.out, transition=m.transition, pi=m.pi,
+                 lag=m.lag, eigenvalues=m.eigenvalues,
+                 **{f"edges_{i}": e for i, e in enumerate(edges)})
+        print(f"wrote {args.out}")
+    return 0
+
+
 def cmd_pmf(args):
     """Free-energy profile from umbrella-sampling windows via MBAR.
 
@@ -1076,6 +1149,31 @@ def main(argv=None):
     pme.add_argument("--out", default=None,
                      help=".npy ([m, d+1]: images + F) or .csv output")
     pme.set_defaults(fn=cmd_mep)
+
+    pms = sub.add_parser(
+        "msm",
+        help="Markov state model over a CV trajectory (timescales + "
+             "Chapman-Kolmogorov check)")
+    pms.add_argument("cvs", help=".npy CV samples [T] or [T, d] "
+                                 "('evaluate' output)")
+    pms.add_argument("--lag", type=int, default=10,
+                     help="lag time in frames")
+    pms.add_argument("--grid", default="-1:1:10", metavar="LO:HI:NBINS",
+                     help="discretization grid, one comma-separated "
+                          "lo:hi:nbins per CV dim (use --grid=... when "
+                          "lo is negative)")
+    pms.add_argument("--walkers", type=int, default=1,
+                     help="de-interleave W walkers recorded per frame "
+                          "('sample --walkers W' output) into W "
+                          "contiguous series")
+    pms.add_argument("--nonreversible", action="store_true",
+                     help="plain row-normalized MLE instead of the "
+                          "detailed-balance-constrained one")
+    pms.add_argument("--n-timescales", type=int, default=3)
+    pms.add_argument("--out", default=None,
+                     help=".npz output (transition, pi, eigenvalues, "
+                          "edges)")
+    pms.set_defaults(fn=cmd_msm)
 
     pp_ = sub.add_parser(
         "pmf",

@@ -19,6 +19,14 @@ from .bias import MetadBias, metadynamics_langevin, steered_langevin
 from .committor import empirical_committor, rotate_torsion
 from .langevin import baoab_langevin, kinetic_temperature, overdamped_langevin
 from .mbar import mbar, pmf_from_samples, umbrella_sampling
+from .msm import (
+    MSM,
+    ck_test,
+    count_matrix,
+    estimate_msm,
+    grid_assign,
+    transition_matrix,
+)
 from .potentials import ToyPeptidePotential
 from .remd import replica_exchange_langevin
 from .string import grid_interpolator, linear_path, string_method
@@ -40,4 +48,10 @@ __all__ = [
     "string_method",
     "grid_interpolator",
     "linear_path",
+    "MSM",
+    "estimate_msm",
+    "grid_assign",
+    "count_matrix",
+    "transition_matrix",
+    "ck_test",
 ]

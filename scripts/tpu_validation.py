@@ -574,6 +574,71 @@ def main():
     check("umbrella + MBAR recovers the double-well PMF on TPU",
           okb.sum() >= 15 and errb < 0.5, f"max|dF|={errb:.2f}")
 
+    # -- BAOAB underdamped integrator on TPU --------------------------------
+    # Gibbs check on a harmonic well: configurational variance = kT/k
+    # exactly (BAOAB is superconvergent there), velocities equipartition
+    from molann_tpu.sampling import baoab_langevin, kinetic_temperature
+
+    bm = np.array([1.0, 4.0], np.float32)
+    btraj, _, bvf = jax.jit(
+        lambda x0, key: baoab_langevin(
+            lambda x: 0.5 * jnp.sum(x * x, axis=(-1, -2)), x0,
+            n_steps=3000, dt=0.05, kT=0.7, gamma=1.0, mass=bm, key=key,
+            thin=30,
+        )
+    )(jnp.zeros((128, 2, 3)), jax.random.PRNGKey(11))
+    bt = np.asarray(btraj)[50:]
+    var_err = float(np.abs(bt.reshape(-1, 2, 3).var(axis=0) - 0.7).max())
+    kt_kin = float(np.mean(np.asarray(kinetic_temperature(bvf, bm))))
+    check("BAOAB samples the harmonic Gibbs measure on TPU",
+          var_err < 0.08 and abs(kt_kin - 0.7) < 0.1,
+          f"max|Var(x)-kT|={var_err:.3f} kT_kin={kt_kin:.3f}")
+
+    # -- time-lagged estimators (TICA moments + VAMP score) on TPU ----------
+    from molann_tpu.train import tica, vamp2_score
+
+    a_ou = np.array([0.9, 0.5])
+    z = np.empty((20000, 2))
+    z[0] = 0
+    g_ou = rng.normal(size=(19999, 2)) * np.sqrt(1 - a_ou**2)
+    for t in range(19999):
+        z[t + 1] = a_ou * z[t] + g_ou[t]
+    x_ou = (z @ np.array([[1.0, 0.3], [0.2, 1.0]]).T).astype(np.float32)
+    r_t = tica(x_ou[:-1], x_ou[1:])
+    v_t = float(vamp2_score(jnp.asarray(x_ou[:-1]), jnp.asarray(x_ou[1:])))
+    terr = float(np.abs(r_t.eigenvalues - a_ou).max())
+    check("TICA/VAMP recover the AR(1) spectrum on TPU",
+          terr < 0.05 and abs(v_t - float(np.sum(a_ou**2))) < 0.08,
+          f"max|lam-a|={terr:.3f} vamp2={v_t:.3f}")
+
+    # -- string method finds the Mueller-Brown saddle on TPU ----------------
+    from molann_tpu.sampling import linear_path, string_method
+
+    mb_A = jnp.asarray([-200.0, -100.0, -170.0, 15.0])
+    mb_a = jnp.asarray([-1.0, -1.0, -6.5, 0.7])
+    mb_b = jnp.asarray([0.0, 0.0, 11.0, 0.6])
+    mb_c = jnp.asarray([-10.0, -10.0, -6.5, 0.7])
+    mb_x0 = jnp.asarray([1.0, 0.0, -0.5, -1.0])
+    mb_y0 = jnp.asarray([0.0, 0.5, 1.5, 1.0])
+
+    def mb(zz):
+        xx, yy = zz[..., 0:1], zz[..., 1:2]
+        return jnp.sum(
+            mb_A * jnp.exp(mb_a * (xx - mb_x0) ** 2
+                           + mb_b * (xx - mb_x0) * (yy - mb_y0)
+                           + mb_c * (yy - mb_y0) ** 2), axis=-1)
+
+    s_imgs, s_e = string_method(
+        mb, linear_path([-0.51, 1.49], [0.57, -0.02], 40),
+        n_iterations=6000, step=5e-5,
+    )
+    s_e = np.asarray(s_e)
+    s_barrier = float(s_e.max())
+    s_top = int(s_e.argmax())
+    check("string method finds the Mueller-Brown saddle on TPU",
+          abs(s_barrier - (-40.665)) < 1.5 and 0 < s_top < len(s_e) - 1,
+          f"barrier={s_barrier:.2f} (want -40.665)")
+
     # -- TorchScript interop through the fused path ------------------------
     # migration contract on hardware: a reference-layout .pt artifact
     # imports and serves through the compiled Mosaic kernel at parity

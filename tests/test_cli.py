@@ -432,6 +432,43 @@ def test_mep_cli_pmf_and_grid(workdir, capsys):
     assert abs(top) < 0.1  # barrier sits at the midpoint between wells
 
 
+def test_msm_cli(workdir, capsys):
+    """'msm' on a fine-binned AR(1) CV series recovers the analytic
+    relaxation time and reports a clean Chapman-Kolmogorov check."""
+    rng = np.random.default_rng(11)
+    a = 0.95
+    z = np.empty(60_000, np.float32)
+    z[0] = 0.0
+    for t in range(1, len(z)):
+        z[t] = a * z[t - 1] + np.float32(np.sqrt(1 - a * a)) * np.float32(
+            rng.normal())
+    np.save(workdir / "cv_series.npy", z)
+    rc = main(["msm", str(workdir / "cv_series.npy"), "--lag", "5",
+               "--grid=-3:3:12", "--out", str(workdir / "msm.npz")])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Markovian at this lag" in out
+    ts0 = float(out.split("implied timescales (frames): ")[1]
+                .split(",")[0])
+    assert ts0 == pytest.approx(-1.0 / np.log(a), rel=0.25)
+    saved = np.load(workdir / "msm.npz")
+    assert saved["transition"].shape == (12, 12)
+    np.testing.assert_allclose(saved["pi"].sum(), 1.0, atol=1e-9)
+
+    # interleaved walkers de-interleave into contiguous series
+    z2 = np.stack([z[:30000], z[30000:]], axis=1).reshape(-1)
+    np.save(workdir / "cv2.npy", z2)
+    rc = main(["msm", str(workdir / "cv2.npy"), "--lag", "5",
+               "--grid=-3:3:12", "--walkers", "2"])
+    assert rc == 0
+    out2 = capsys.readouterr().out
+    ts2 = float(out2.split("implied timescales (frames): ")[1]
+                .split(",")[0])
+    assert ts2 == pytest.approx(ts0, rel=0.15)
+    with pytest.raises(SystemExit, match="walkers"):
+        main(["msm", str(workdir / "cv_series.npy"), "--walkers", "7"])
+
+
 def test_train_cli_vamp(workdir, capsys):
     """'train --loss vamp --lag' fits time-lagged pairs and reports the
     learned CVs' autocorrelations/timescales. Needs a TIME-CORRELATED
