@@ -211,6 +211,9 @@ def vamp2_loss(model, x_t, x_tau, *, weights=None, eps=1e-6,
     With ``return_aux=True`` also returns ``{"vamp2": R_2,
     "autocorrelations": [k]}`` — the symmetrized-TICA eigenvalues of the
     model outputs (diagnostic: implied timescales of the learned CVs).
+    The aux path solves the TICA eigenproblem on the host, so it is
+    eager-only — train on ``return_aux=False`` (jittable everywhere)
+    and call this once afterwards for diagnostics.
     """
     f0 = model(x_t)
     ft = model(x_tau)
