@@ -136,7 +136,11 @@ def steered_langevin(energy_fn, cv_model, x0, *, s0, s1, k_spring,
     n_periods = n_steps // thin
     s0 = jnp.asarray(s0, dtype=jnp.float32)
     s1 = jnp.asarray(s1, dtype=jnp.float32)
-    frac = jnp.linspace(0.0, 1.0, n_periods, dtype=jnp.float32)
+    # window p is restrained at the target for that window's END, so the
+    # pull covers the full s0->s1 interval (and n_periods == 1 degenerates
+    # to one window at s1, not a no-op stuck at s0)
+    frac = (jnp.arange(1, n_periods + 1, dtype=jnp.float32)
+            / jnp.float32(n_periods))
     schedule = s0[None, :] + frac[:, None] * (s1 - s0)[None, :]
 
     def total(x, s):

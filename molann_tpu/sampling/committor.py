@@ -44,7 +44,10 @@ def rotate_torsion(universe, quadruple, angle, *, bond_cutoff=1.8):
             if b != j and b not in side:
                 side.add(b)
                 stack.append(b)
-    if j in side:
+    # ring detection: the BFS can never reach j itself (it refuses to step
+    # onto j), but if it reached any OTHER neighbor of j there is a k->...->j
+    # path around the axis — the j-k bond closes a ring.
+    if any(b in side for b in adj[j] if b != k):
         raise ValueError("torsion axis is part of a ring; rotation is "
                          "not defined")
 

@@ -135,6 +135,14 @@ def pmf_from_samples(values, log_w, grid_edges, *, kT=1.0):
     values = np.asarray(values).reshape(-1)
     w = np.exp(np.asarray(log_w).reshape(-1))
     hist, _ = np.histogram(values, bins=np.asarray(grid_edges), weights=w)
+    if not hist.any():
+        edges = np.asarray(grid_edges)
+        span = (f"sample range [{values.min()}, {values.max()}]"
+                if values.size else "no samples at all")
+        raise ValueError(
+            f"no samples fall inside the grid [{edges[0]}, {edges[-1]}] "
+            f"({span}); widen grid_edges to cover the data"
+        )
     with np.errstate(divide="ignore"):
         f = -float(kT) * np.log(hist)
     return f - f[np.isfinite(f)].min()

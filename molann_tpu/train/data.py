@@ -63,18 +63,35 @@ class TrajectoryDataset:
         return np.asarray(self.frames[item], dtype=np.float32)
 
 
+def _effective_batch(batch_size, n, multiple_of, what="samples"):
+    """Round batch_size down to a multiple of ``multiple_of`` and clamp it
+    to the dataset size, so short trajectories train on whole-dataset
+    batches instead of the epoch loop silently yielding nothing (which
+    with ``epochs=None`` would spin forever)."""
+    batch_size = max(multiple_of, (batch_size // multiple_of) * multiple_of)
+    if batch_size > n:
+        batch_size = (n // multiple_of) * multiple_of
+        if batch_size < 1:
+            raise ValueError(
+                f"dataset has only {n} {what}, fewer than "
+                f"multiple_of={multiple_of}; cannot form any batch"
+            )
+    return batch_size
+
+
 def batch_iterator(dataset, batch_size, *, shuffle=True, seed=0,
                    epochs=None, drop_remainder=True, multiple_of=1,
                    return_indices=False):
     """Yield float32 frame batches ``[batch_size, n_atoms, 3]``.
 
     batch_size is rounded down to a multiple of ``multiple_of`` (pass the
-    device count for even sharding). ``epochs=None`` iterates forever.
-    With ``return_indices``, yields ``(batch, idx)`` so per-frame
-    side-arrays (targets, importance weights) can be gathered in step.
+    device count for even sharding) and clamped to the dataset size.
+    ``epochs=None`` iterates forever. With ``return_indices``, yields
+    ``(batch, idx)`` so per-frame side-arrays (targets, importance
+    weights) can be gathered in step.
     """
     n = len(dataset)
-    batch_size = max(multiple_of, (batch_size // multiple_of) * multiple_of)
+    batch_size = _effective_batch(batch_size, n, multiple_of, "frames")
     rng = np.random.default_rng(seed)
     epoch = 0
 
@@ -112,7 +129,8 @@ def lagged_pair_iterator(dataset, batch_size, lag, *, shuffle=True,
         raise ValueError(f"lag must be in [1, n_frames) = [1, {n}), "
                          f"got {lag}")
     n_pairs = n - lag
-    batch_size = max(multiple_of, (batch_size // multiple_of) * multiple_of)
+    batch_size = _effective_batch(batch_size, n_pairs, multiple_of,
+                                  "lagged pairs")
     if weights is not None:
         weights = np.asarray(weights, dtype=np.float32)
         if weights.shape != (n,):
@@ -175,7 +193,7 @@ def packed_batch_iterator(path, batch_size, *, shuffle=True, seed=0,
         n = loader.n_frames
         fpf = loader.floats_per_frame
 
-    batch_size = max(multiple_of, (batch_size // multiple_of) * multiple_of)
+    batch_size = _effective_batch(batch_size, n, multiple_of, "frames")
     rng = np.random.default_rng(seed)
     epoch = 0
     while epochs is None or epoch < epochs:

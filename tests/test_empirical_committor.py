@@ -84,3 +84,20 @@ def test_empirical_committor_double_well(u):
     assert frac[1] == 1.0 and q[1] == 1.0   # already in B
     assert frac[2] > 0.9                     # barrier starts resolve
     assert 0.35 < q[2] < 0.65                # ~committor-0.5 ensemble
+
+
+def test_rotate_torsion_rejects_ring_axis():
+    """A j-k bond inside a ring has no defined torsion rotation; the BFS
+    ring check must actually fire (it used to be dead code — the walk
+    refuses to step onto j, so `j in side` could never be true)."""
+    import types
+
+    # 4-membered square ring, side 1.5 A (bonded at the 1.8 A cutoff),
+    # diagonal ~2.12 A (not bonded): 0-1-2-3-0
+    pos = np.array(
+        [[0.0, 0.0, 0.0], [1.5, 0.0, 0.0], [1.5, 1.5, 0.0],
+         [0.0, 1.5, 0.0]], dtype=np.float32)
+    fake_u = types.SimpleNamespace(
+        atoms=types.SimpleNamespace(positions=pos))
+    with pytest.raises(ValueError, match="ring"):
+        rotate_torsion(fake_u, (3, 0, 1, 2), 0.3)

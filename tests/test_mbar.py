@@ -175,3 +175,12 @@ def test_umbrella_along_trained_model_cv():
     means = cvs.mean(axis=1)
     assert means[0] < means[1] < means[2]
     assert np.abs(means - centers).max() < 0.1
+
+
+def test_pmf_from_samples_rejects_uncovering_grid(rng):
+    """All-empty histograms must raise a clear error, not a zero-size
+    reduction ValueError from numpy internals."""
+    vals = rng.normal(size=64).astype(np.float32)
+    log_w = np.full(64, -np.log(64.0), np.float32)
+    with pytest.raises(ValueError, match="no samples fall inside"):
+        pmf_from_samples(vals, log_w, np.linspace(50.0, 60.0, 11))

@@ -312,3 +312,18 @@ def test_committor_cv_example_validates():
     assert res["emp_q_a"] < 0.15 and res["emp_q_b"] > 0.85
     # 64 replicas, ~50 resolved: MC sigma ~0.07 around the true ~0.5
     assert 0.3 < res["emp_q_mid"] < 0.75
+
+
+def test_steered_single_window_reaches_target():
+    """n_steps == thin (one schedule window) must pull AT s1, not sit at
+    s0 for the whole run (the linspace(0, 1, 1) == [0] regression)."""
+    energy = lambda x: jnp.zeros(x.shape[0])  # free particle
+    cv = lambda x: x[:, 0, :1]  # CV = x-coordinate of atom 0
+
+    x0 = jnp.zeros((1, 1, 3), jnp.float32)
+    _, xf = steered_langevin(
+        energy, cv, x0, s0=[0.0], s1=[2.0], k_spring=50.0,
+        n_steps=400, dt=1e-2, kT=1e-8, key=jax.random.PRNGKey(0),
+        thin=400,
+    )
+    assert float(cv(xf)[0, 0]) > 1.5

@@ -300,3 +300,31 @@ def test_eigenfunction_example_learns_slow_mode():
     assert abs(res["corr_basin"]) > 0.5     # CV0 tracks the hopping mode
     assert abs(res["corr_cvs"]) < 0.5       # orthonormality held
     assert 0.0 < res["pop_b"] < 0.5         # reweighting is sane
+
+
+def test_batch_iterator_clamps_oversized_batch(tmp_path, rng):
+    """batch_size > n_frames must yield whole-dataset batches, not spin
+    forever yielding nothing (the epochs=None busy-loop regression)."""
+    frames = rng.normal(size=(10, 4, 3)).astype(np.float32)
+    ds = TrajectoryDataset(save_trajectory(tmp_path / "t.npy", frames))
+    batches = list(batch_iterator(ds, 1024, epochs=1, shuffle=False))
+    assert len(batches) == 1 and batches[0].shape == (10, 4, 3)
+    # rounding still honors multiple_of after the clamp
+    batches = list(batch_iterator(ds, 1024, epochs=1, multiple_of=4))
+    assert len(batches) == 1 and batches[0].shape == (8, 4, 3)
+    # an infinite iterator now actually produces batches
+    it = batch_iterator(ds, 1024, epochs=None, seed=3)
+    assert next(it).shape == (10, 4, 3)
+    with pytest.raises(ValueError, match="fewer than"):
+        next(batch_iterator(ds, 1024, epochs=1, multiple_of=16))
+
+
+def test_lagged_pair_iterator_clamps_oversized_batch(tmp_path, rng):
+    from molann_tpu.train import lagged_pair_iterator
+
+    frames = rng.normal(size=(12, 4, 3)).astype(np.float32)
+    ds = TrajectoryDataset(save_trajectory(tmp_path / "t.npy", frames))
+    it = lagged_pair_iterator(ds, 100, lag=2, epochs=None, shuffle=False)
+    x_t, x_tau = next(it)
+    assert x_t.shape == (10, 4, 3) and x_tau.shape == (10, 4, 3)
+    np.testing.assert_array_equal(x_tau, frames[2:])
