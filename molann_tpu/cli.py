@@ -42,6 +42,50 @@ def _load_model(path):
     return load_model(path)
 
 
+def _parse_grid(gridspec, d, *, subject=None):
+    """Parse a ``lo:hi:n[,lo:hi:n...]`` grid option into ``d`` ``(lo, hi,
+    n)`` triples, broadcasting a single spec to all dimensions — the one
+    grammar shared by the fes/mep/msm/pmf subcommands (callers decide
+    whether ``n`` means grid points or bins)."""
+    specs = gridspec.split(",")
+    if len(specs) == 1 and d > 1:
+        specs = specs * d
+    if len(specs) != d:
+        prefix = f"{subject}; " if subject else ""
+        raise SystemExit(f"error: {prefix}--grid needs 1 or {d} "
+                         "lo:hi:n specs")
+    out = []
+    for spec in specs:
+        try:
+            lo, hi, n = spec.split(":")
+            out.append((float(lo), float(hi), int(n)))
+        except ValueError:
+            raise SystemExit(f"error: bad --grid spec {spec!r} "
+                             "(want lo:hi:n)")
+    return out
+
+
+def _open_traj_writer(out, *, xtc_precision=1000.0):
+    """Incremental writer (context manager with ``append([c, n, 3])``) for
+    ``.dcd``/``.trr``/``.xtc`` outputs, or None for ``.npy`` paths — the
+    single home of the per-extension writer dispatch ('convert' and
+    'sample' both write trajectories)."""
+    low = str(out).lower()
+    if low.endswith(".dcd"):
+        from .io.dcd import DCDWriter
+
+        return DCDWriter(out)
+    if low.endswith(".trr"):
+        from .io.xdr import TRRWriter
+
+        return TRRWriter(out)
+    if low.endswith(".xtc"):
+        from .io.xdr import XTCWriter
+
+        return XTCWriter(out, precision=xtc_precision)
+    return None
+
+
 def cmd_info(args):
     model = _load_model(args.model)
     from .models.ann import MolANN
@@ -126,7 +170,7 @@ def _evaluate(args, want_forces):
             evaluate_trajectory(
                 model, args.traj, mesh=mesh, forces=True,
                 batch_size=bs, tile=args.tile,
-                interpret=args.interpret,
+                interpret=args.interpret, backend=args.backend,
                 component=getattr(args, "component", None),
                 cvs_out=y_out, grads_out=g_out.reshape(-1, n_atoms, 3),
                 grads_transform=np.negative,  # force convention, in-flight
@@ -136,7 +180,8 @@ def _evaluate(args, want_forces):
             evaluate_trajectory(
                 model, args.traj, mesh=mesh,
                 batch_size=bs, tile=args.tile,
-                interpret=args.interpret, cvs_out=y_out,
+                interpret=args.interpret, backend=args.backend,
+                cvs_out=y_out,
             )
         y_out.flush()
         print(f"wrote {args.out}: {y_out.shape} ({ndev} devices)")
@@ -260,21 +305,9 @@ def cmd_convert(args):
             block = read(s, c).reshape(c, fpf)
             yield s, (block * scale if scale != 1.0 else block)
 
-    low_out = out.lower()
-    if low_out.endswith((".dcd", ".trr", ".xtc")):
+    writer = _open_traj_writer(out, xtc_precision=args.xtc_precision)
+    if writer is not None:
         # all three writers are incremental: one chunk in flight at a time
-        if low_out.endswith(".dcd"):
-            from .io.dcd import DCDWriter
-
-            writer = DCDWriter(out)
-        elif low_out.endswith(".trr"):
-            from .io.xdr import TRRWriter
-
-            writer = TRRWriter(out)
-        else:
-            from .io.xdr import XTCWriter
-
-            writer = XTCWriter(out, precision=args.xtc_precision)
         with writer:
             for _, c in chunks():
                 writer.append(c.reshape(-1, n_atoms, 3))
@@ -391,19 +424,10 @@ def cmd_sample(args):
         raise SystemExit(f"unknown bias {args.bias}")
 
     frames = np.asarray(traj).reshape(-1, n, 3)
-    low = str(args.out).lower()
-    if low.endswith(".dcd"):
-        from .io.dcd import write_dcd
-
-        write_dcd(args.out, frames)
-    elif low.endswith(".trr"):
-        from .io.xdr import write_trr
-
-        write_trr(args.out, frames)
-    elif low.endswith(".xtc"):
-        from .io.xdr import write_xtc
-
-        write_xtc(args.out, frames)
+    writer = _open_traj_writer(args.out)
+    if writer is not None:
+        with writer:
+            writer.append(frames)
     else:
         np.save(args.out, frames)
     cos_phi = np.cos(np.asarray(pot.phi(jnp.asarray(frames))))
@@ -426,21 +450,11 @@ def cmd_fes(args):
 
     bias = MetadBias.load(args.hills)
     d = bias.centers.shape[1]
-    specs = args.grid.split(",")
-    if len(specs) == 1 and d > 1:
-        specs = specs * d
-    if len(specs) != d:
-        raise SystemExit(f"error: hills are {d}-dimensional; --grid "
-                         f"needs 1 or {d} lo:hi:n specs")
-    axes = []
-    for spec in specs:
-        try:
-            lo, hi, n = spec.split(":")
-            axes.append(np.linspace(float(lo), float(hi), int(n),
-                                    dtype=np.float32))
-        except ValueError:
-            raise SystemExit(f"error: bad --grid spec {spec!r} "
-                             "(want lo:hi:n)")
+    axes = [
+        np.linspace(lo, hi, n, dtype=np.float32)
+        for lo, hi, n in _parse_grid(args.grid, d,
+                                     subject=f"hills are {d}-dimensional")
+    ]
     mesh = np.meshgrid(*axes, indexing="ij")
     grid = np.stack([m.ravel() for m in mesh], axis=-1)
     f = np.array(bias.free_energy_estimate(grid))
@@ -537,20 +551,9 @@ def cmd_mep(args):
             if not args.grid:
                 raise SystemExit("error: a gridded FES .npy needs --grid "
                                  "(the same lo:hi:n spec given to 'fes')")
-            specs = args.grid.split(",")
-            if len(specs) == 1 and d > 1:
-                specs = specs * d
-            if len(specs) != d:
-                raise SystemExit(f"error: --grid needs 1 or {d} lo:hi:n "
-                                 "specs matching the FES file")
             mids = []
-            for spec, n_have in zip(specs, table.shape):
-                try:
-                    lo, hi, n = spec.split(":")
-                    lo, hi, n = float(lo), float(hi), int(n)
-                except ValueError:
-                    raise SystemExit(f"error: bad --grid spec {spec!r} "
-                                     "(want lo:hi:n)")
+            for (lo, hi, n), n_have in zip(_parse_grid(args.grid, d),
+                                           table.shape):
                 if n != n_have:
                     raise SystemExit(f"error: --grid says {n} points but "
                                      f"the FES axis has {n_have}")
@@ -599,20 +602,11 @@ def cmd_msm(args):
         raise SystemExit(f"error: CVs must be [T] or [T, d], got "
                          f"{cvs.shape}")
     d = cvs.shape[1]
-    specs = args.grid.split(",")
-    if len(specs) == 1 and d > 1:
-        specs = specs * d
-    if len(specs) != d:
-        raise SystemExit(f"error: CVs are {d}-dimensional; --grid needs "
-                         f"1 or {d} lo:hi:n specs")
-    edges = []
-    for spec in specs:
-        try:
-            lo, hi, n = spec.split(":")
-            edges.append(np.linspace(float(lo), float(hi), int(n) + 1))
-        except ValueError:
-            raise SystemExit(f"error: bad --grid spec {spec!r} "
-                             "(want lo:hi:nbins)")
+    edges = [
+        np.linspace(lo, hi, n + 1)  # n = bin count for msm
+        for lo, hi, n in _parse_grid(args.grid, d,
+                                     subject=f"CVs are {d}-dimensional")
+    ]
     n_states = int(np.prod([len(e) - 1 for e in edges]))
 
     labels = grid_assign(cvs, edges)
@@ -682,12 +676,8 @@ def cmd_pmf(args):
     u_kn = (0.5 * args.k_spring
             * (pooled[None, :] - centers[:, None]) ** 2) / args.kT
     f_win, log_w = mbar(u_kn, np.full(cvs.shape[0], cvs.shape[1]))
-    try:
-        lo, hi, n = args.grid.split(":")
-        edges = np.linspace(float(lo), float(hi), int(n) + 1)
-    except ValueError:
-        raise SystemExit(f"error: bad --grid spec {args.grid!r} "
-                         "(want lo:hi:n)")
+    (lo, hi, n), = _parse_grid(args.grid, 1)
+    edges = np.linspace(lo, hi, n + 1)  # n = bin count
     f = pmf_from_samples(pooled, log_w, edges, kT=args.kT)
     mids = (edges[1:] + edges[:-1]) / 2
     ok = np.isfinite(f)
@@ -716,9 +706,9 @@ def cmd_train(args):
     Python: MSE regression onto per-frame targets, the variational
     generator-eigenfunction loss, the variational committor loss, the
     VAMP-2 time-lagged loss (pairs from a contiguous trajectory), and
-    the autoencoder reconstruction loss (saved model's MLP = encoder, a
-    fresh decoder is trained jointly and discarded unless
-    --decoder-out). The weighted objectives accept
+    the autoencoder / time-lagged-autoencoder reconstruction losses
+    (saved model's MLP = encoder, a fresh decoder is trained jointly
+    and discarded unless --decoder-out). The weighted objectives accept
     per-frame importance weights (e.g. metadynamics frame weights from
     ``molann_tpu sample``/``fes``) to train on reweighted biased data.
     """
@@ -786,18 +776,23 @@ def cmd_train(args):
                   file=sys.stderr)
             return 1
         loss_fn = make_vamp_loss()
-    else:  # autoencoder: the saved MolANN's MLP is the encoder; a fresh
-        # decoder reconstructs the feature vector and is discarded (or
-        # saved via --decoder-out) after training
+    else:  # autoencoder / tae: the saved MolANN's MLP is the encoder; a
+        # fresh decoder reconstructs the feature vector (tae: the feature
+        # vector a lag LATER) and is discarded (or saved via
+        # --decoder-out) after training
         import jax
 
         from .ann import create_sequential_nn
         from .models.ann import MolANN as _MolANN
-        from .train import autoencoder_loss
+        from .train import autoencoder_loss, timelagged_autoencoder_loss
 
         if not isinstance(model, _MolANN):
-            print("error: --loss autoencoder needs a MolANN model "
+            print(f"error: --loss {args.loss} needs a MolANN model "
                   "(build with --mlp: the MLP is the encoder)",
+                  file=sys.stderr)
+            return 1
+        if args.loss == "tae" and not 1 <= args.lag < n:
+            print(f"error: --lag must be in [1, {n}) for this trajectory",
                   file=sys.stderr)
             return 1
         k = model.ann_layers.output_dimension()
@@ -807,15 +802,27 @@ def cmd_train(args):
             dec_dims, key=jax.random.PRNGKey(args.seed + 1)
         )
 
-        def loss_fn(pair, batch):
-            m, dec = pair
-            if isinstance(batch, (tuple, list)):
-                x, w = batch
-            else:
-                x, w = batch, None
-            return autoencoder_loss(
-                m.ann_layers, dec, m.preprocessing_layer, x, weights=w
-            )
+        if args.loss == "tae":
+
+            def loss_fn(pair, batch):
+                m, dec = pair
+                x_t, x_tau, w = (batch if len(batch) == 3
+                                 else (*batch, None))
+                return timelagged_autoencoder_loss(
+                    m.ann_layers, dec, m.preprocessing_layer, x_t, x_tau,
+                    weights=w,
+                )
+        else:
+
+            def loss_fn(pair, batch):
+                m, dec = pair
+                if isinstance(batch, (tuple, list)):
+                    x, w = batch
+                else:
+                    x, w = batch, None
+                return autoencoder_loss(
+                    m.ann_layers, dec, m.preprocessing_layer, x, weights=w
+                )
 
         model = (model, decoder)
 
@@ -831,7 +838,7 @@ def cmd_train(args):
         multiple = ndev
 
     def batches():
-        if args.loss == "vamp":
+        if args.loss in ("vamp", "tae"):
             from .train import lagged_pair_iterator
 
             for pair in lagged_pair_iterator(
@@ -863,7 +870,7 @@ def cmd_train(args):
               checkpoint_dir=args.checkpoint_dir,
               checkpoint_every=args.checkpoint_every)
     trained = res.model
-    if args.loss == "autoencoder":
+    if args.loss in ("autoencoder", "tae"):
         trained, decoder = trained
         if args.decoder_out:
             save_model(args.decoder_out, decoder)
@@ -899,6 +906,22 @@ def cmd_train(args):
               f"{float(aux['mean_q_a']):.4f} (want 0), mean q(B) = "
               f"{float(aux['mean_q_b']):.4f} (want 1), Dirichlet energy "
               f"= {float(aux['dirichlet']):.4g}")
+    elif args.loss == "tae":
+        # report the learned CVs' lag autocorrelations + implied timescales
+        from .train import tica
+
+        sel = np.unique(
+            np.linspace(0, n - 1 - args.lag, min(n - args.lag, 4096))
+            .astype(int)
+        )
+        r = tica(trained(jnp.asarray(ds[sel])),
+                 trained(jnp.asarray(ds[sel + args.lag])), lag=args.lag)
+        ts = r.timescales()
+        print(f"TAE CV lag-{args.lag} autocorrelations (slowest first): "
+              + ", ".join(f"{a:.4f}" for a in r.eigenvalues)
+              + "; implied timescales (frames): "
+              + ", ".join("inf" if not np.isfinite(t) else f"{t:.1f}"
+                          for t in ts))
     elif args.loss == "vamp":
         # report the learned CVs' lag autocorrelations + implied timescales
         from .train import vamp2_loss
@@ -1199,10 +1222,10 @@ def main(argv=None):
                          "(use 'convert' for dcd/trr/xtc)")
     pt.add_argument("--loss",
                     choices=["mse", "eigenfunction", "autoencoder",
-                             "committor", "vamp"],
+                             "committor", "vamp", "tae"],
                     default="mse")
     pt.add_argument("--lag", type=int, default=10,
-                    help="time lag in frames (vamp): pairs (x_t, "
+                    help="time lag in frames (vamp/tae): pairs (x_t, "
                          "x_{t+lag}) from a CONTIGUOUS trajectory")
     pt.add_argument("--targets", default=None,
                     help=".npy per-frame targets [n, d] (mse)")

@@ -15,7 +15,7 @@ import numpy as np
 __all__ = ["open_frame_reader"]
 
 
-def open_frame_reader(traj):
+def open_frame_reader(traj, *, backend="auto"):
     """-> ``(read, n_frames, n_atoms)`` with
     ``read(start, count) -> [count, n_atoms, 3] float32``.
 
@@ -24,7 +24,13 @@ def open_frame_reader(traj):
     the native loader (mmap + threaded gather, any format); pure-python
     decoders keep everything working without a compiler. ``.npy`` files
     are memory-mapped, so opening is cheap regardless of size.
+    ``backend``: 'auto' (native loader preferred), 'native' (required —
+    raises if it cannot open), or 'numpy' (pure-python decoders only,
+    the escape hatch for a broken native build).
     """
+    if backend not in ("auto", "native", "numpy"):
+        raise ValueError(f"backend must be auto/native/numpy, "
+                         f"got {backend!r}")
     if isinstance(traj, np.ndarray) or hasattr(traj, "shape"):
         arr = np.asarray(traj, dtype=np.float32)
         if arr.ndim == 2:  # packed [l, 3n]
@@ -33,18 +39,20 @@ def open_frame_reader(traj):
             raise ValueError(f"expected [l, n, 3] frames, got {arr.shape}")
         return (lambda s, c: arr[s : s + c]), arr.shape[0], arr.shape[1]
 
-    try:
-        from .native_loader import NativeTrajLoader
+    if backend in ("auto", "native"):
+        try:
+            from .native_loader import NativeTrajLoader
 
-        ldr = NativeTrajLoader(traj)
-        n_atoms = ldr.floats_per_frame // 3
+            ldr = NativeTrajLoader(traj)
+            n_atoms = ldr.floats_per_frame // 3
 
-        def read(s, c):
-            return ldr.read_range(s, c).reshape(c, n_atoms, 3)
+            def read(s, c):
+                return ldr.read_range(s, c).reshape(c, n_atoms, 3)
 
-        return read, ldr.n_frames, n_atoms
-    except Exception:
-        pass
+            return read, ldr.n_frames, n_atoms
+        except Exception:
+            if backend == "native":
+                raise
 
     low = str(traj).lower()
     if low.endswith(".dcd"):

@@ -89,7 +89,7 @@ def evaluate_trajectory(model, traj, *, mesh=None, batch_size=None,
                         forces=False, mode="auto", tile=None,
                         interpret=False, precision="exact",
                         component=None, cvs_out=None, grads_out=None,
-                        grads_transform=None):
+                        grads_transform=None, backend="auto"):
     """Stream a trajectory through the fused serving path over all mesh
     devices; returns ``cvs [n_frames, d]`` (and ``grads [n_frames, n,
     3]`` with ``forces=True``) as numpy arrays.
@@ -108,6 +108,9 @@ def evaluate_trajectory(model, traj, *, mesh=None, batch_size=None,
     gradient block before it is stored (e.g. ``np.negative`` for the
     force convention — applied in-flight, so a memmapped ``grads_out``
     never needs a second whole-file pass).
+    ``backend``: trajectory reader choice forwarded to
+    :func:`molann_tpu.io.reader.open_frame_reader` ('auto'/'native'/
+    'numpy').
     """
     from .io.reader import open_frame_reader
     from .models.ann import model_dims
@@ -115,7 +118,7 @@ def evaluate_trajectory(model, traj, *, mesh=None, batch_size=None,
     if mesh is None:
         mesh = data_mesh()
     n_dev = int(np.prod(list(mesh.shape.values())))
-    read, n_frames, n_atoms = open_frame_reader(traj)
+    read, n_frames, n_atoms = open_frame_reader(traj, backend=backend)
 
     quantum = n_dev * 8
     if batch_size is None:

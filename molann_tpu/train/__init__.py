@@ -16,6 +16,7 @@ from .losses import (
     make_eigenfunction_loss,
     mse_loss,
     registry as loss_registry,
+    timelagged_autoencoder_loss,
 )
 from .checkpoint import (
     latest_checkpoint,
@@ -48,6 +49,7 @@ __all__ = [
     "mse_loss",
     "fused_mse_loss",
     "autoencoder_loss",
+    "timelagged_autoencoder_loss",
     "cv_coordinate_gradients",
     "eigenfunction_loss",
     "make_eigenfunction_loss",

@@ -18,6 +18,7 @@ __all__ = [
     "mse_loss",
     "fused_mse_loss",
     "autoencoder_loss",
+    "timelagged_autoencoder_loss",
     "cv_coordinate_gradients",
     "eigenfunction_loss",
     "make_eigenfunction_loss",
@@ -56,6 +57,39 @@ def autoencoder_loss(encoder, decoder, preprocessing, x, weights=None):
     z = encoder(f)
     rec = decoder(z)
     err = jnp.sum((rec - f) ** 2, axis=1)
+    if weights is not None:
+        return jnp.sum(err * weights) / jnp.sum(weights)
+    return jnp.mean(err)
+
+
+def timelagged_autoencoder_loss(encoder, decoder, preprocessing, x_t,
+                                x_tau, weights=None):
+    """Time-lagged autoencoder (TAE) CV loss in feature space.
+
+    Like :func:`autoencoder_loss`, but the decoder reconstructs the
+    features a lag time LATER: ``f_t = pp(x_t)``, ``z = enc(f_t)``,
+    loss = (weighted) mean ``||dec(z) - pp(x_tau)||²`` over time-lagged
+    pairs. The bottleneck ``z`` is forced to carry the predictive —
+    i.e. slow — content of the dynamics (Wehmeyer & Noé, "Time-lagged
+    autoencoders", J. Chem. Phys. 148, 241703 (2018)); fast modes
+    decorrelate over the lag and cannot help the reconstruction. A mean
+    over per-pair errors, so exact under data parallelism.
+
+    Example:
+        >>> import jax, jax.numpy as jnp
+        >>> from molann_tpu.ann import create_sequential_nn
+        >>> enc = create_sequential_nn([6, 1], key=jax.random.PRNGKey(0))
+        >>> dec = create_sequential_nn([1, 6], key=jax.random.PRNGKey(1))
+        >>> pp = lambda x: x.reshape(x.shape[0], -1)
+        >>> x = jax.random.normal(jax.random.PRNGKey(2), (17, 2, 3))
+        >>> float(timelagged_autoencoder_loss(
+        ...     enc, dec, pp, x[:-1], x[1:])) > 0
+        True
+    """
+    f_t = preprocessing(x_t)
+    f_tau = preprocessing(x_tau)
+    rec = decoder(encoder(f_t))
+    err = jnp.sum((rec - f_tau) ** 2, axis=1)
     if weights is not None:
         return jnp.sum(err * weights) / jnp.sum(weights)
     return jnp.mean(err)

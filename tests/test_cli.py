@@ -780,3 +780,42 @@ def test_train_cli_committor_requires_labels(workdir, capsys):
         "--loss", "committor",
     ]) == 1
     assert "requires --labels" in capsys.readouterr().err
+
+
+def test_train_cli_tae(workdir, capsys):
+    """'train --loss tae --lag' trains the MLP encoder to predict the
+    features a lag later and reports the learned CV's autocorrelation
+    (needs a time-correlated trajectory, like the vamp test)."""
+    u = alanine_universe()
+    rng = np.random.default_rng(11)
+    n = 600
+    disp = np.zeros((n, 22, 3), np.float32)
+    a = 0.9
+    for t in range(1, n):
+        disp[t] = a * disp[t - 1] + np.sqrt(1 - a * a) * rng.normal(
+            size=(22, 3)
+        ).astype(np.float32)
+    frames = (u.atoms.positions[None] + 0.03 * disp).astype(np.float32)
+    np.save(workdir / "traj_tae.npy", frames)
+
+    assert main([
+        "build", str(workdir / "system.pdb"), str(workdir / "features.txt"),
+        "--section", "Output", "--mlp", "8", "1",
+        "--out", str(workdir / "tae0.npz"),
+    ]) == 0
+    rc = main([
+        "train", str(workdir / "tae0.npz"), str(workdir / "traj_tae.npy"),
+        "--loss", "tae", "--lag", "2", "--steps", "60",
+        "--batch-size", "256", "--lr", "1e-2", "--log-every", "0",
+        "--out", str(workdir / "tae1.npz"),
+        "--decoder-out", str(workdir / "taedec.npz"),
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    first, last = out.split("loss ")[1].split(";")[0].split(" -> ")
+    assert float(last) < float(first)
+    assert "TAE CV lag-2 autocorrelations" in out
+    ac = float(out.split("(slowest first): ")[1].split(";")[0])
+    assert ac > 0.4  # found a persistent mode of the AR(1) field
+    assert (workdir / "tae1.npz").exists()
+    assert (workdir / "taedec.npz").exists()

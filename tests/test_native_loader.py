@@ -112,3 +112,25 @@ def test_packed_iterator_accepts_packed_files(tmp_path):
                               backend="native")
     )
     np.testing.assert_array_equal(np.concatenate(batches), packed)
+
+
+def test_open_frame_reader_backend_choice(traj, tmp_path):
+    """The reader dispatch honors an explicit backend: 'numpy' must
+    bypass the native loader (the --loader/--backend escape hatch), and
+    both must read identical frames."""
+    from molann_tpu.io.reader import open_frame_reader
+
+    path, frames = traj
+    r_auto, n, a = open_frame_reader(path)
+    r_np, n2, a2 = open_frame_reader(path, backend="numpy")
+    assert (n, a) == (n2, a2) == (500, 22)
+    np.testing.assert_array_equal(r_auto(7, 5), frames[7:12])
+    np.testing.assert_array_equal(r_np(7, 5), frames[7:12])
+    with pytest.raises(ValueError, match="backend"):
+        open_frame_reader(path, backend="cuda")
+    # 'native' is a requirement, not a preference: unreadable-by-native
+    # inputs raise instead of silently falling back
+    bogus = tmp_path / "bogus.npy"
+    bogus.write_bytes(b"not an npy file")
+    with pytest.raises(Exception):
+        open_frame_reader(str(bogus), backend="native")

@@ -187,3 +187,63 @@ def test_timelagged_example_learns_hopping_mode():
     assert res["corr_basin"] > 0.9
     assert res["vamp_ac"] > res["tica_ac"] - 0.02
     assert res["vamp2"] > 0.9
+
+
+def test_tae_training_finds_slow_direction():
+    """Time-lagged autoencoder: on an unmixed 3-d OU process the rank-1
+    bottleneck must select the slowest coordinate — fast modes
+    decorrelate over the lag and cannot help predict x_{t+1}."""
+    import optax
+
+    from molann_tpu.ann import create_sequential_nn
+    from molann_tpu.train import timelagged_autoencoder_loss
+
+    rng = np.random.default_rng(7)
+    t_len = 30_000
+    z = np.empty((t_len, 3), dtype=np.float64)
+    z[0] = rng.normal(size=3)
+    noise = rng.normal(size=(t_len - 1, 3)) * np.sqrt(1.0 - A**2)
+    for t in range(t_len - 1):
+        z[t + 1] = A * z[t] + noise[t]
+    x = z.astype(np.float32)
+
+    enc = create_sequential_nn([3, 1], key=jax.random.PRNGKey(0))
+    dec = create_sequential_nn([1, 3], key=jax.random.PRNGKey(1))
+    pp = lambda v: v  # features = coordinates
+
+    def loss_fn(pair, batch):
+        e, d = pair
+        return timelagged_autoencoder_loss(e, d, pp, batch[0], batch[1])
+
+    f0, ft = jnp.asarray(x[:-1]), jnp.asarray(x[1:])
+
+    def batches():
+        while True:
+            yield (f0, ft)
+
+    res = fit((enc, dec), loss_fn, batches(), num_steps=150,
+              optimizer=optax.adam(0.05))
+    assert res.losses[-1] < res.losses[0]
+    enc_t, _ = res.model
+    w = np.asarray(enc_t.params[0][0]).reshape(3)
+    cos = abs(w[0]) / np.linalg.norm(w)
+    assert cos > 0.97  # bottleneck = the a=0.9 coordinate
+    # the learned CV's lag autocorrelation matches the slow mode
+    y = np.asarray(enc_t(f0)).reshape(-1)
+    y = y - y.mean()
+    ac = float(np.mean(y[:-1] * y[1:]) / np.mean(y * y))
+    assert ac == pytest.approx(A[0], abs=0.05)
+
+
+def test_tae_loss_weights_and_shapes():
+    from molann_tpu.ann import create_sequential_nn
+    from molann_tpu.train import timelagged_autoencoder_loss
+
+    enc = create_sequential_nn([6, 2], key=jax.random.PRNGKey(0))
+    dec = create_sequential_nn([2, 6], key=jax.random.PRNGKey(1))
+    pp = lambda v: v.reshape(v.shape[0], -1)
+    x = jax.random.normal(jax.random.PRNGKey(2), (33, 2, 3))
+    plain = float(timelagged_autoencoder_loss(enc, dec, pp, x[:-1], x[1:]))
+    wtd = float(timelagged_autoencoder_loss(
+        enc, dec, pp, x[:-1], x[1:], weights=jnp.full((32,), 2.5)))
+    assert plain == pytest.approx(wtd, rel=1e-6)
