@@ -363,6 +363,7 @@ def cmd_sample(args):
         ToyPeptidePotential,
         baoab_langevin,
         metadynamics_langevin,
+        opes_langevin,
         overdamped_langevin,
         steered_langevin,
     )
@@ -408,6 +409,12 @@ def cmd_sample(args):
             stride=args.stride,
             well_tempered_gamma=args.well_tempered_gamma,
         )
+    elif args.bias == "opes":
+        traj, _, bias = opes_langevin(
+            pot.energy, model, x0, n_steps=args.steps, dt=args.dt,
+            kT=args.kT, key=key, sigma=args.sigma, stride=args.stride,
+            barrier=args.bias_barrier, gamma=args.bias_gamma,
+        )
     elif args.bias == "steered":
         if args.s0 is None or args.s1 is None:
             raise SystemExit(
@@ -442,13 +449,14 @@ def cmd_sample(args):
 
 
 def cmd_fes(args):
-    """Reconstruct the free-energy surface from a metadynamics hills
-    file (``sample --bias-out``): F(s) = -V(s) for standard hills,
-    scaled by gamma/(gamma-1) for well-tempered runs, shifted so
-    min F = 0 on the grid."""
-    from .sampling import MetadBias
+    """Reconstruct the free-energy surface from a saved bias file
+    (``sample --bias-out``): metadynamics hills give F(s) = -V(s)
+    (scaled by gamma/(gamma-1) for well-tempered runs), OPES kernel
+    files give -kT log of the reweighted probability estimate; shifted
+    so min F = 0 on the grid."""
+    from .sampling import load_bias
 
-    bias = MetadBias.load(args.hills)
+    bias = load_bias(args.hills)
     d = bias.centers.shape[1]
     axes = [
         np.linspace(lo, hi, n, dtype=np.float32)
@@ -460,8 +468,13 @@ def cmd_fes(args):
     f = np.array(bias.free_energy_estimate(grid))
     f -= f.min()
     shape = tuple(len(a) for a in axes)
-    kind = (f"well-tempered (gamma={bias.gamma:g})"
-            if bias.gamma is not None else "standard")
+    from .sampling import OpesBias
+
+    if isinstance(bias, OpesBias):
+        kind = f"OPES (gamma={bias.gamma:g}, barrier={bias.barrier:g})"
+    else:
+        kind = (f"well-tempered (gamma={bias.gamma:g})"
+                if bias.gamma is not None else "standard")
     print(f"{args.hills}: {int(bias.n_active)} {kind} deposits, "
           f"{d}-d CV; barrier estimate (max-min on grid) = "
           f"{f.max():.4f}")
@@ -527,17 +540,20 @@ def cmd_mep(args):
     d = len(start)
 
     if str(args.fes).endswith(".npz"):
-        from .sampling import MetadBias
+        from .sampling import OpesBias, load_bias
 
-        bias = MetadBias.load(args.fes)
+        bias = load_bias(args.fes)
         if bias.centers.shape[1] != d:
             raise SystemExit(f"error: hills are {bias.centers.shape[1]}-"
                              f"dimensional, endpoints are {d}-dimensional")
-        scale = (bias.gamma / (bias.gamma - 1.0)
-                 if bias.gamma is not None else 1.0)
+        if isinstance(bias, OpesBias):
+            energy = bias.free_energy_estimate  # smooth, differentiable
+        else:
+            scale = (bias.gamma / (bias.gamma - 1.0)
+                     if bias.gamma is not None else 1.0)
 
-        def energy(z):
-            return -scale * bias.energy(z)
+            def energy(z):
+                return -scale * bias.energy(z)
     else:
         table = np.load(args.fes)
         if table.ndim == 2 and table.shape[0] == 2 and d == 1:
@@ -1097,7 +1113,8 @@ def main(argv=None):
              "potential; the closed enhanced-sampling loop)")
     ps.add_argument("model", help="saved CV model (.npz)")
     ps.add_argument("pdb", help="structure defining the toy potential")
-    ps.add_argument("--bias", choices=["none", "metad", "steered"],
+    ps.add_argument("--bias",
+                    choices=["none", "metad", "opes", "steered"],
                     default="metad")
     ps.add_argument("--integrator", choices=["overdamped", "baoab"],
                     default="overdamped",
@@ -1129,6 +1146,11 @@ def main(argv=None):
                     help="bias factor > 1 switches on well-tempered "
                          "metadynamics (hills decay; pick so that "
                          "kT*(gamma-1) ~ the barrier height)")
+    ps.add_argument("--bias-barrier", type=float, default=8.0,
+                    help="OPES: expected barrier height (caps the bias "
+                         "depth; the one physical input)")
+    ps.add_argument("--bias-gamma", type=float, default=None,
+                    help="OPES bias factor (default: barrier/kT)")
     ps.add_argument("--s0", default=None, help="steered start CV (comma)")
     ps.add_argument("--s1", default=None, help="steered end CV (comma)")
     ps.add_argument("--k-spring", type=float, default=10.0)

@@ -6,9 +6,10 @@ README.rst:51 — "adaptive learning of reaction coordinates"); this
 subpackage closes that loop in-framework: a differentiable toy
 internal-coordinate force field (:mod:`potentials`), an overdamped
 Langevin integrator built on ``lax.scan`` (:mod:`langevin`), and CV-space
-biases — steered-MD moving restraints and well-tempered-style
-metadynamics — whose forces come from differentiating a MolANN model's
-collective variables w.r.t. coordinates (:mod:`bias`).
+biases — steered-MD moving restraints, well-tempered-style
+metadynamics (:mod:`bias`), and OPES (:mod:`opes`) — whose forces come
+from differentiating a MolANN model's collective variables w.r.t.
+coordinates.
 
 Everything is jit/vmap-friendly: walkers are a leading batch axis, steps
 are a ``lax.scan``, deposits are ``dynamic_update_slice`` writes — the
@@ -17,6 +18,7 @@ whole biased trajectory runs as ONE compiled TPU program.
 
 from .bias import MetadBias, metadynamics_langevin, steered_langevin
 from .committor import empirical_committor, rotate_torsion
+from .opes import OpesBias, opes_langevin
 from .langevin import baoab_langevin, kinetic_temperature, overdamped_langevin
 from .mbar import mbar, pmf_from_samples, umbrella_sampling
 from .msm import (
@@ -31,6 +33,18 @@ from .potentials import ToyPeptidePotential
 from .remd import replica_exchange_langevin
 from .string import grid_interpolator, linear_path, string_method
 
+
+def load_bias(path):
+    """Load a saved bias file: dispatches between OPES kernels
+    (:meth:`OpesBias.save`) and metadynamics hills
+    (:meth:`MetadBias.save`) by the ``opes`` marker field — the one
+    loader the ``fes``/``mep`` CLI commands use."""
+    import numpy as np
+
+    with np.load(path) as f:
+        is_opes = "opes" in f
+    return OpesBias.load(path) if is_opes else MetadBias.load(path)
+
 __all__ = [
     "ToyPeptidePotential",
     "overdamped_langevin",
@@ -39,6 +53,9 @@ __all__ = [
     "steered_langevin",
     "metadynamics_langevin",
     "MetadBias",
+    "opes_langevin",
+    "OpesBias",
+    "load_bias",
     "empirical_committor",
     "rotate_torsion",
     "mbar",

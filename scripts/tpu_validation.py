@@ -458,6 +458,25 @@ def main():
     check("bias forces via fused kernel == jnp chain rule", errb < 1e-4,
           f"rel={errb:.2e}")
 
+    # OPES on hardware: finite dynamics, bias depth capped at the barrier
+    from molann_tpu.sampling import opes_langevin
+
+    o_traj, _, o_bias = opes_langevin(
+        pot.energy, cv_phi, walkers, n_steps=4000, dt=4e-4, kT=0.35,
+        key=jax.random.PRNGKey(4), sigma=0.1, stride=50, barrier=10.0,
+    )
+    o_t = np.asarray(o_traj)
+    o_ang = np.linspace(-np.pi, np.pi, 90)
+    o_grid = jnp.asarray(
+        np.stack([np.cos(o_ang), np.sin(o_ang)], 1), jnp.float32
+    )
+    o_v = np.asarray(o_bias.energy(o_grid))
+    check("OPES biased dynamics on TPU (finite, depth-capped bias)",
+          bool(np.isfinite(o_t).all())
+          and o_v.min() >= -10.0 - 1e-3
+          and o_v.max() - o_v.min() > 0.5,
+          f"V in [{o_v.min():.2f}, {o_v.max():.2f}] (cap 10)")
+
     # -- eigenfunction CV objective on hardware ----------------------------
     from molann_tpu.train import eigenfunction_loss, make_eigenfunction_loss
 
@@ -610,6 +629,32 @@ def main():
     check("TICA/VAMP recover the AR(1) spectrum on TPU",
           terr < 0.05 and abs(v_t - float(np.sum(a_ou**2))) < 0.08,
           f"max|lam-a|={terr:.3f} vamp2={v_t:.3f}")
+
+    # TAE on hardware: the rank-1 bottleneck selects the slow coordinate
+    from molann_tpu.train import fit, timelagged_autoencoder_loss
+
+    t_enc = create_sequential_nn([2, 1], key=jax.random.PRNGKey(0))
+    t_dec = create_sequential_nn([1, 2], key=jax.random.PRNGKey(1))
+    zt = jnp.asarray(z[:-1], jnp.float32)
+    zt1 = jnp.asarray(z[1:], jnp.float32)
+
+    def tae_loss(pair, batch):
+        e, d = pair
+        return timelagged_autoencoder_loss(
+            e, d, lambda v: v, batch[0], batch[1]
+        )
+
+    def tae_batches():
+        while True:
+            yield (zt, zt1)
+
+    tae_res = fit((t_enc, t_dec), tae_loss, tae_batches(), num_steps=120,
+                  optimizer=optax.adam(0.05))
+    t_w = np.asarray(tae_res.model[0].params[0][0]).reshape(2)
+    t_cos = abs(t_w[0]) / np.linalg.norm(t_w)
+    check("TAE bottleneck selects the slow AR(1) coordinate on TPU",
+          tae_res.losses[-1] < tae_res.losses[0] and t_cos > 0.95,
+          f"cos(enc, slow)={t_cos:.3f}")
 
     # -- string method finds the Mueller-Brown saddle on TPU ----------------
     from molann_tpu.sampling import linear_path, string_method

@@ -819,3 +819,41 @@ def test_train_cli_tae(workdir, capsys):
     assert ac > 0.4  # found a persistent mode of the AR(1) field
     assert (workdir / "tae1.npz").exists()
     assert (workdir / "taedec.npz").exists()
+
+
+def test_sample_cli_opes_and_fes(workdir, capsys):
+    """'sample --bias opes' runs the OPES bias from the CLI, writes
+    kernels, and 'fes'/'mep' consume the kernels file through the
+    dispatching loader (plumbing check — the escape physics is covered
+    in tests/test_sampling.py)."""
+    if not (workdir / "model.npz").exists():  # self-contained under -k
+        assert main([
+            "build", str(workdir / "system.pdb"),
+            str(workdir / "features.txt"),
+            "--section", "Output", "--align", "bynum 1 2 5",
+            "--mlp", "5", "2", "--out", str(workdir / "model.npz"),
+        ]) == 0
+    out = workdir / "opes.npy"
+    bias_out = workdir / "opes_kernels.npz"
+    rc = main(["sample", str(workdir / "model.npz"),
+               str(workdir / "system.pdb"),
+               "--bias", "opes", "--steps", "1000", "--walkers", "2",
+               "--bias-barrier", "8", "--out", str(out),
+               "--bias-out", str(bias_out)])
+    assert rc == 0
+    frames = np.load(out)
+    assert frames.shape[1:] == (22, 3) and np.isfinite(frames).all()
+    dep = np.load(bias_out)
+    assert "opes" in dep and dep["centers"].shape == (2 * (1000 // 50), 2)
+    capsys.readouterr()
+    fes_out = workdir / "opes_fes.npy"
+    rc = main(["fes", str(bias_out), "--grid=-1.5:1.5:31",
+               "--out", str(fes_out)])
+    assert rc == 0
+    assert "OPES (gamma=" in capsys.readouterr().out
+    f = np.load(fes_out)
+    assert f.shape == (31, 31) and np.isfinite(f).all() and f.min() == 0.0
+    rc = main(["mep", str(bias_out), "--start=-1,0", "--end", "1,0",
+               "--images", "12", "--iterations", "200"])
+    assert rc == 0
+    assert "barrier F" in capsys.readouterr().out

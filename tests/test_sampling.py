@@ -327,3 +327,93 @@ def test_steered_single_window_reaches_target():
         thin=400,
     )
     assert float(cv(xf)[0, 0]) > 1.5
+
+
+def test_opes_escapes_and_caps_bias(universe, pot, phi_cossin):
+    """OPES along the model CV escapes the start basin where unbiased
+    dynamics at the same kT stay trapped, and the bias depth stays
+    capped at the barrier parameter (the defining OPES property
+    metadynamics lacks). OPES forces are bounded by design (pre-cap
+    V ~ -kT r^2/2 sigma^2), so escape is slower than a metadynamics
+    hill pile — hence the higher kT / longer budget than the metad
+    test."""
+    from molann_tpu.sampling import opes_langevin
+
+    barrier, kT = 10.0, 0.35
+    traj, _, bias = opes_langevin(
+        pot.energy, phi_cossin, _walkers(universe, 4), n_steps=24000,
+        dt=4e-4, kT=kT, key=jax.random.PRNGKey(4), sigma=0.1, stride=50,
+        barrier=barrier,
+    )
+    cos_phi = np.cos(np.asarray(pot.phi(traj.reshape(-1, 22, 3))))
+    assert cos_phi.max() > 0.5  # crossed into the second basin
+    # (unbiased dynamics at kT=0.35 over the same budget peak at
+    # cos phi ~ -0.85 — the 6.0 barrier is ~17 kT)
+    # bias values over the CV circle live in [-barrier, ~0]
+    ang = np.linspace(-np.pi, np.pi, 120)
+    grid = np.stack([np.cos(ang), np.sin(ang)], axis=1).astype(np.float32)
+    v = np.asarray(bias.energy(jnp.asarray(grid)))
+    assert v.min() >= -barrier - 1e-4
+    assert v.max() <= kT * 1.0  # log(1 + something) stays near 0 scale
+    assert v.max() - v.min() > 0.5  # and it actually discriminates
+
+
+def test_opes_recovers_double_well_fes():
+    """Physics check of the OPES deposit->reweighted-KDE chain on the
+    analytic 1-d double well (same oracle as the WT-metadynamics
+    test)."""
+    from molann_tpu.sampling import opes_langevin
+
+    barrier = 3.0
+
+    def energy(x):  # x [W, 1, 1]
+        s = x[..., 0, 0]
+        return barrier * (s * s - 1.0) ** 2
+
+    cv = lambda x: x[:, 0, :]  # noqa: E731 — identity CV
+    x0 = jnp.full((4, 1, 1), -1.0, jnp.float32)
+    _, _, bias = opes_langevin(
+        energy, cv, x0, n_steps=30000, dt=2e-3, kT=0.35,
+        key=jax.random.PRNGKey(7), sigma=0.12, stride=100,
+        barrier=1.5 * barrier,
+    )
+    grid = np.linspace(-1.6, 1.6, 161, dtype=np.float32)[:, None]
+    f = np.array(bias.free_energy_estimate(grid))
+    f -= f.min()
+    top = f[np.abs(grid[:, 0]).argmin()]
+    assert abs(top - barrier) < 0.35 * barrier
+    left = f[:80][np.abs(grid[:80, 0] + 1.0).argmin()]
+    right = f[80:][np.abs(grid[80:, 0] - 1.0).argmin()]
+    assert left < 0.35 * barrier and right < 0.35 * barrier
+
+
+def test_opes_bias_empty_and_roundtrip(tmp_path, rng):
+    from molann_tpu.sampling import OpesBias, load_bias
+
+    centers = rng.normal(size=(9, 2)).astype(np.float32)
+    weights = rng.uniform(0.2, 1.0, size=9).astype(np.float32)
+    bias = OpesBias(centers, weights, sigma=0.3, gamma=10.0, kT=0.25,
+                    barrier=5.0, n_active=6)
+    cv = rng.normal(size=(5, 2)).astype(np.float32)
+    v = np.asarray(bias.energy(jnp.asarray(cv)))
+    assert np.isfinite(v).all() and (v >= -5.0 - 1e-5).all()
+    # empty estimator: bias is identically zero (not -barrier)
+    empty = OpesBias(centers, weights, sigma=0.3, gamma=10.0, kT=0.25,
+                     barrier=5.0, n_active=0)
+    np.testing.assert_allclose(
+        np.asarray(empty.energy(jnp.asarray(cv))), 0.0)
+    # save/load round-trip through the dispatching loader
+    p = tmp_path / "kernels.npz"
+    bias.save(p)
+    back = load_bias(p)
+    assert isinstance(back, OpesBias)
+    np.testing.assert_allclose(
+        np.asarray(back.energy(jnp.asarray(cv))), v, rtol=1e-6)
+    # frame weights: normalized, finite
+    w = np.asarray(bias.frame_weights(jnp.asarray(cv)))
+    assert w.mean() == pytest.approx(1.0, abs=1e-5) and (w > 0).all()
+    # a metadynamics hills file still loads as MetadBias
+    m = MetadBias(centers, height=0.4, sigma=0.3)
+    p2 = tmp_path / "hills.npz"
+    m.save(p2)
+    assert isinstance(load_bias(p2), MetadBias)
