@@ -492,6 +492,41 @@ def cmd_fes(args):
     return 0
 
 
+def cmd_reweight(args):
+    """Per-frame importance weights from a saved bias + the frames' CV
+    values ('evaluate' output): w_t ∝ exp(+V(s_t)/kT), normalized to
+    mean 1 — the last-bias estimator. Feed the output straight into
+    ``train --weights`` to retrain CV models on unbiased statistics
+    recovered from biased trajectories (the adaptive loop of the
+    reference's research workflow, from the command line)."""
+    import jax.numpy as jnp
+
+    from .sampling import OpesBias, load_bias
+
+    bias = load_bias(args.bias)
+    cvs = np.asarray(np.load(args.cvs), np.float32)
+    if cvs.ndim == 1:
+        cvs = cvs[:, None]
+    d = bias.centers.shape[1]
+    if cvs.ndim != 2 or cvs.shape[1] != d:
+        raise SystemExit(f"error: bias is over a {d}-d CV; {args.cvs} "
+                         f"has shape {np.load(args.cvs, mmap_mode='r').shape}")
+    if isinstance(bias, OpesBias):
+        kT = args.kT if args.kT is not None else bias.kT
+        w = bias.frame_weights(jnp.asarray(cvs), kT)
+    else:
+        if args.kT is None:
+            raise SystemExit("error: hills files carry no temperature; "
+                             "pass --kT (the sampling temperature)")
+        w = bias.frame_weights(jnp.asarray(cvs), args.kT)
+    w = np.asarray(w, np.float32)
+    np.save(args.out, w)
+    ess = float(w.sum() ** 2 / (w**2).sum())
+    print(f"wrote {args.out}: {w.shape[0]} weights, effective sample "
+          f"size {ess:.1f} ({100.0 * ess / w.shape[0]:.1f}%)")
+    return 0
+
+
 def _make_optimizer(args):
     """optax optimizer from the train CLI flags: choice of update rule,
     learning-rate schedule, and optional global-norm gradient clipping."""
@@ -1168,6 +1203,19 @@ def main(argv=None):
     pg.add_argument("--out", default=None,
                     help=".npy (grid-shaped) or .csv (long-form) output")
     pg.set_defaults(fn=cmd_fes)
+
+    prw = sub.add_parser(
+        "reweight",
+        help="per-frame importance weights from a saved bias + CV "
+             "values (for 'train --weights')")
+    prw.add_argument("bias", help="hills/kernels .npz (sample --bias-out)")
+    prw.add_argument("cvs", help=".npy CV values [T] or [T, d] "
+                                 "('evaluate' output)")
+    prw.add_argument("--kT", type=float, default=None,
+                     help="sampling temperature (required for hills "
+                          "files; OPES kernel files carry their own)")
+    prw.add_argument("--out", default="weights.npy")
+    prw.set_defaults(fn=cmd_reweight)
 
     pme = sub.add_parser(
         "mep",

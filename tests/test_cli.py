@@ -857,3 +857,45 @@ def test_sample_cli_opes_and_fes(workdir, capsys):
                "--images", "12", "--iterations", "200"])
     assert rc == 0
     assert "barrier F" in capsys.readouterr().out
+
+
+def test_reweight_cli(tmp_path, capsys):
+    """'reweight' turns a saved bias + CV values into importance
+    weights matching the library's frame_weights (mean 1), requires
+    --kT for hills files, and uses the stored kT for OPES kernels."""
+    import jax.numpy as jnp
+
+    from molann_tpu.sampling import MetadBias, OpesBias
+
+    rng = np.random.default_rng(3)
+    cvs = rng.normal(size=(200, 2)).astype(np.float32)
+    np.save(tmp_path / "cvs.npy", cvs)
+
+    hills = tmp_path / "hills.npz"
+    MetadBias(rng.normal(size=(7, 2)).astype(np.float32), height=0.4,
+              sigma=0.3).save(hills)
+    with pytest.raises(SystemExit, match="--kT"):
+        main(["reweight", str(hills), str(tmp_path / "cvs.npy")])
+    out = tmp_path / "w.npy"
+    rc = main(["reweight", str(hills), str(tmp_path / "cvs.npy"),
+               "--kT", "0.25", "--out", str(out)])
+    assert rc == 0
+    w = np.load(out)
+    assert w.shape == (200,) and w.mean() == pytest.approx(1.0, abs=1e-5)
+    want = np.asarray(MetadBias.load(hills).frame_weights(
+        jnp.asarray(cvs), 0.25))
+    np.testing.assert_allclose(w, want, rtol=1e-6)
+    assert "effective sample size" in capsys.readouterr().out
+
+    kern = tmp_path / "kernels.npz"
+    OpesBias(rng.normal(size=(5, 2)).astype(np.float32),
+             np.ones(5, np.float32), sigma=0.3, gamma=8.0, kT=0.25,
+             barrier=4.0).save(kern)
+    rc = main(["reweight", str(kern), str(tmp_path / "cvs.npy"),
+               "--out", str(out)])  # no --kT: kernels carry their own
+    assert rc == 0
+    assert np.load(out).mean() == pytest.approx(1.0, abs=1e-5)
+    # dimension mismatch errors cleanly
+    np.save(tmp_path / "cv1.npy", cvs[:, 0])
+    with pytest.raises(SystemExit, match="2-d CV"):
+        main(["reweight", str(kern), str(tmp_path / "cv1.npy")])
