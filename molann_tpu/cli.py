@@ -685,6 +685,32 @@ def cmd_msm(args):
     print("implied timescales (frames): "
           + ", ".join("inf" if not np.isfinite(t) else f"{t:.1f}"
                       for t in ts[:k]))
+    extra_out = {}
+    if args.coarse:
+        assign, chi = m.metastable_sets(args.coarse)
+        tc, pic, _ = m.coarse_grain(args.coarse)
+        order_c = np.argsort(-pic)
+        print(f"PCCA+ coarse-graining into {args.coarse} metastable "
+              "sets (by weight): "
+              + "; ".join(
+                  f"set {int(c)}: pi={pic[c]:.3f}, states "
+                  f"{np.flatnonzero((assign == c) & (m.pi > 0)).tolist()}"
+                  for c in order_c))
+        extra_out.update(assignments=assign, memberships=chi,
+                         coarse_transition=tc, coarse_pi=pic)
+    if args.mfpt_to:
+        tgt = [int(s) for s in args.mfpt_to.split(",")]
+        fp = m.mfpt(tgt)
+        src = np.flatnonzero((m.pi > 0) & np.isfinite(fp) & (fp > 0))
+        if src.size:
+            wavg = float((fp[src] * m.pi[src]).sum() / m.pi[src].sum())
+            print(f"MFPT to states {tgt}: pi-weighted mean "
+                  f"{wavg:.1f} frames, max {fp[src].max():.1f} "
+                  f"(from state {int(src[fp[src].argmax()])})")
+        else:
+            print(f"MFPT to states {tgt}: no populated source state "
+                  "reaches the target")
+        extra_out.update(mfpt=fp)
     n_frames = len(series[0]) if isinstance(series, list) else len(series)
     factors = tuple(f for f in (2, 4) if args.lag * f < n_frames // 10)
     if factors:
@@ -698,7 +724,7 @@ def cmd_msm(args):
                  "refine the CVs]"))
     if args.out:
         np.savez(args.out, transition=m.transition, pi=m.pi,
-                 lag=m.lag, eigenvalues=m.eigenvalues,
+                 lag=m.lag, eigenvalues=m.eigenvalues, **extra_out,
                  **{f"edges_{i}": e for i, e in enumerate(edges)})
         print(f"wrote {args.out}")
     return 0
@@ -1263,6 +1289,13 @@ def main(argv=None):
                      help="plain row-normalized MLE instead of the "
                           "detailed-balance-constrained one")
     pms.add_argument("--n-timescales", type=int, default=3)
+    pms.add_argument("--coarse", type=int, default=0,
+                     help="PCCA+ coarse-grain into N metastable sets "
+                          "(prints sets; saves assignments/memberships/"
+                          "coarse matrix with --out)")
+    pms.add_argument("--mfpt-to", default=None, metavar="S1[,S2...]",
+                     help="mean first-passage times to these grid "
+                          "states (saved as 'mfpt' with --out)")
     pms.add_argument("--out", default=None,
                      help=".npz output (transition, pi, eigenvalues, "
                           "edges)")

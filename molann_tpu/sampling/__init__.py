@@ -24,9 +24,12 @@ from .mbar import mbar, pmf_from_samples, umbrella_sampling
 from .msm import (
     MSM,
     ck_test,
+    coarse_grain,
     count_matrix,
     estimate_msm,
     grid_assign,
+    mfpt,
+    pcca_memberships,
     transition_matrix,
 )
 from .potentials import ToyPeptidePotential
@@ -71,4 +74,7 @@ __all__ = [
     "count_matrix",
     "transition_matrix",
     "ck_test",
+    "mfpt",
+    "pcca_memberships",
+    "coarse_grain",
 ]

@@ -29,6 +29,9 @@ __all__ = [
     "MSM",
     "estimate_msm",
     "ck_test",
+    "mfpt",
+    "pcca_memberships",
+    "coarse_grain",
 ]
 
 
@@ -156,6 +159,25 @@ class MSM:
         out[ok] = -self.lag / np.log(lam[ok])
         return out
 
+    def mfpt(self, targets):
+        """Mean first-passage times to a target state set (frames) —
+        see :func:`mfpt`."""
+        return mfpt(self.transition, targets, lag=self.lag)
+
+    def metastable_sets(self, n_sets):
+        """PCCA+ coarse-graining into ``n_sets`` metastable sets:
+        returns ``(assignments [n], memberships [n, n_sets])`` — see
+        :func:`pcca_memberships`."""
+        chi = pcca_memberships(self.transition, n_sets)
+        return chi.argmax(axis=1), chi
+
+    def coarse_grain(self, n_sets):
+        """``(T_coarse [m, m], pi_coarse [m], memberships [n, m])`` —
+        see :func:`coarse_grain`."""
+        chi = pcca_memberships(self.transition, n_sets)
+        tc, pic = coarse_grain(self.transition, self.pi, chi)
+        return tc, pic, chi
+
 
 def estimate_msm(labels, n_states, lag, *, reversible=True, sliding=True):
     """Count + estimate in one call -> :class:`MSM`."""
@@ -166,6 +188,99 @@ def estimate_msm(labels, n_states, lag, *, reversible=True, sliding=True):
     # drop the stationary eigenvalue (the one closest to 1)
     return MSM(transition=t, pi=pi, lag=float(lag),
                eigenvalues=w[1:].real if reversible else w[1:])
+
+
+def mfpt(transition, targets, *, lag=1.0):
+    """Mean first-passage time from every state to a target set.
+
+    Solves the standard linear system ``m_i = lag + sum_j T_ij m_j``
+    over non-target states (``m = 0`` on targets). States that cannot
+    reach the target set at all (e.g. the self-loop placeholders grid
+    MSMs carry for never-visited bins) get ``inf`` instead of poisoning
+    the solve. Returns ``m [n]`` in the same units as ``lag``.
+    """
+    t = np.asarray(transition, np.float64)
+    n = t.shape[0]
+    tgt = np.zeros(n, bool)
+    tgt[np.asarray(targets, np.int64).reshape(-1)] = True
+    if tgt.all():
+        return np.zeros(n)
+    if not tgt.any():
+        raise ValueError("targets must name at least one state")
+    # reverse reachability: which states have ANY path into the targets
+    adj = t > 0
+    reach = tgt.copy()
+    frontier = tgt
+    while frontier.any():
+        frontier = adj[:, frontier].any(axis=1) & ~reach
+        reach |= frontier
+    m = np.full(n, np.inf)
+    m[tgt] = 0.0
+    solve = reach & ~tgt
+    if solve.any():
+        a = np.eye(int(solve.sum())) - t[np.ix_(solve, solve)]
+        m[solve] = np.linalg.solve(a, np.full(int(solve.sum()), lag))
+    return m
+
+
+def pcca_memberships(transition, n_sets):
+    """PCCA+ fuzzy memberships ``chi [n, n_sets]`` of each microstate
+    in ``n_sets`` metastable sets (Deuflhard & Weber, "Robust Perron
+    cluster analysis in conformation dynamics", 2005).
+
+    The dominant ``n_sets`` right eigenvectors of a metastable
+    transition matrix span a simplex whose vertices are the pure sets;
+    the standard inner-simplex construction picks the vertex rows
+    greedily (farthest-point in eigenvector space) and maps every row
+    through the vertex basis, followed by the usual clip-and-renormalize
+    feasibility projection. Rows of ``chi`` sum to 1; crisp assignments
+    are ``chi.argmax(axis=1)``. Meaningful for reversible (real-
+    spectrum) models — complex parts are discarded with a warning-free
+    ``.real`` after sorting by real part.
+    """
+    t = np.asarray(transition, np.float64)
+    n = t.shape[0]
+    m = int(n_sets)
+    if not 2 <= m <= n:
+        raise ValueError(f"n_sets must be in [2, {n}], got {n_sets}")
+    w, v = np.linalg.eig(t)
+    order = np.argsort(-w.real)
+    x = v[:, order[:m]].real  # [n, m], first column ~ constant
+    x = x / np.linalg.norm(x, axis=0, keepdims=True)
+    # inner-simplex vertex search: start from the row farthest from the
+    # origin, then repeatedly take the row farthest from the affine span
+    # of the chosen vertices (classic PCCA+ initialization)
+    verts = [int(np.argmax(np.linalg.norm(x, axis=1)))]
+    proj = x - x[verts[0]]  # differences from the first vertex
+    for _ in range(1, m):
+        verts.append(int(np.argmax(np.linalg.norm(proj, axis=1))))
+        v_new = proj[verts[-1]]
+        nv = np.linalg.norm(v_new)
+        if nv > 0:  # deflate the chosen direction (Gram-Schmidt)
+            v_new = v_new / nv
+            proj = proj - np.outer(proj @ v_new, v_new)
+    a = x[verts]  # [m, m] vertex basis
+    chi = x @ np.linalg.inv(a)
+    # feasibility projection: memberships live on the simplex
+    chi = np.clip(chi, 0.0, None)
+    s = chi.sum(axis=1, keepdims=True)
+    return chi / np.maximum(s, 1e-300)
+
+
+def coarse_grain(transition, pi, memberships):
+    """Membership-weighted coarse-graining of ``(T, pi)`` onto the
+    metastable sets: ``T_c = (chi^T D chi)^{-1} chi^T D T chi`` with
+    ``D = diag(pi)`` (the standard PCCA+ projection — row-stochastic
+    when ``chi`` partitions unity), ``pi_c = chi^T pi``. Returns
+    ``(T_c [m, m], pi_c [m])``.
+    """
+    t = np.asarray(transition, np.float64)
+    pi = np.asarray(pi, np.float64)
+    chi = np.asarray(memberships, np.float64)
+    d = chi.T * pi[None, :]  # chi^T D
+    tc = np.linalg.solve(d @ chi, d @ t @ chi)
+    pic = chi.T @ pi
+    return tc, pic
 
 
 def ck_test(labels, n_states, lag, *, factors=(2, 4), reversible=True):

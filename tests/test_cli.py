@@ -899,3 +899,38 @@ def test_reweight_cli(tmp_path, capsys):
     np.save(tmp_path / "cv1.npy", cvs[:, 0])
     with pytest.raises(SystemExit, match="2-d CV"):
         main(["reweight", str(kern), str(tmp_path / "cv1.npy")])
+
+
+def test_msm_cli_coarse_and_mfpt(workdir, capsys):
+    """'msm --coarse --mfpt-to' prints PCCA+ metastable sets and
+    first-passage times on a two-basin CV series, and saves the extra
+    fields."""
+    rng = np.random.default_rng(13)
+    # two-basin series: slow sign flips, fast intra-basin noise
+    sign = np.empty(40_000, np.float32)
+    sign[0] = -1.0
+    flips = rng.random(len(sign) - 1) < 0.001
+    for t in range(1, len(sign)):
+        sign[t] = -sign[t - 1] if flips[t - 1] else sign[t - 1]
+    z = sign + 0.25 * rng.normal(size=len(sign)).astype(np.float32)
+    np.save(workdir / "cv_twobasin.npy", z)
+    rc = main(["msm", str(workdir / "cv_twobasin.npy"), "--lag", "5",
+               "--grid=-2:2:8", "--coarse", "2", "--mfpt-to", "0,1,2,3",
+               "--out", str(workdir / "msm2.npz")])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "PCCA+ coarse-graining into 2 metastable sets" in out
+    assert "MFPT to states [0, 1, 2, 3]" in out
+    saved = np.load(workdir / "msm2.npz")
+    assign = saved["assignments"]
+    # the left bins (0-3) and right bins (4-7) form the two sets
+    pop = saved["pi"] > 0
+    left = assign[:4][pop[:4]]
+    right = assign[4:][pop[4:]]
+    assert len(set(left)) == 1 and len(set(right)) == 1
+    assert left[0] != right[0]
+    assert saved["coarse_transition"].shape == (2, 2)
+    # MFPT from the right basin to the left ~ 1/flip-rate scale
+    fp = saved["mfpt"]
+    src = pop & np.isfinite(fp) & (fp > 0)
+    assert src.any() and fp[src].max() > 100.0
