@@ -30,6 +30,7 @@ from .data import (
     packed_batch_iterator,
     save_trajectory,
 )
+from .discriminant import HLDAResult, hlda
 from .forces import coordinate_gradients, force_fn
 from .timelagged import (
     TICAResult,
@@ -66,6 +67,8 @@ __all__ = [
     "save_training_state",
     "load_training_state",
     "latest_checkpoint",
+    "HLDAResult",
+    "hlda",
     "TICAResult",
     "tica",
     "vamp2_score",
