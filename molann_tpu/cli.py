@@ -376,6 +376,16 @@ def cmd_sample(args):
         raise SystemExit("error: --free-torsion needs 4 comma-separated "
                          "1-based atom serials")
     pot = ToyPeptidePotential(u, free_torsion=free, barrier=args.barrier)
+    energy = pot.energy
+    if args.path:
+        from .sampling import PathCV
+
+        path = PathCV.from_mep(args.path)
+        if args.tube_k > 0:
+            wall = path.wall(model, k_wall=args.tube_k,
+                             t_max=args.tube_max)
+            energy = lambda x: pot.energy(x) + wall(x)  # noqa: E731
+        model = path.along(model)  # bias acts on the 1-D progress s
     n = len(u.atoms)
     x0 = jnp.asarray(
         np.repeat(u.atoms.positions[None], args.walkers, axis=0)
@@ -393,25 +403,25 @@ def cmd_sample(args):
                 raise SystemExit("error: could not guess a mass for every "
                                  "atom in the PDB (unknown element)")
             traj, _, _ = baoab_langevin(
-                pot.energy, x0, n_steps=args.steps, dt=args.dt,
+                energy, x0, n_steps=args.steps, dt=args.dt,
                 kT=args.kT, gamma=args.gamma, mass=masses, key=key,
                 thin=args.thin,
             )
         else:
             traj, _ = overdamped_langevin(
-                pot.energy, x0, n_steps=args.steps, dt=args.dt, kT=args.kT,
+                energy, x0, n_steps=args.steps, dt=args.dt, kT=args.kT,
                 key=key, thin=args.thin,
             )
     elif args.bias == "metad":
         traj, _, bias = metadynamics_langevin(
-            pot.energy, model, x0, n_steps=args.steps, dt=args.dt,
+            energy, model, x0, n_steps=args.steps, dt=args.dt,
             kT=args.kT, key=key, height=args.height, sigma=args.sigma,
             stride=args.stride,
             well_tempered_gamma=args.well_tempered_gamma,
         )
     elif args.bias == "opes":
         traj, _, bias = opes_langevin(
-            pot.energy, model, x0, n_steps=args.steps, dt=args.dt,
+            energy, model, x0, n_steps=args.steps, dt=args.dt,
             kT=args.kT, key=key, sigma=args.sigma, stride=args.stride,
             barrier=args.bias_barrier, gamma=args.bias_gamma,
         )
@@ -423,7 +433,7 @@ def cmd_sample(args):
         s0 = [float(v) for v in args.s0.split(",")]
         s1 = [float(v) for v in args.s1.split(",")]
         traj, _ = steered_langevin(
-            pot.energy, model, x0, s0=s0, s1=s1,
+            energy, model, x0, s0=s0, s1=s1,
             k_spring=args.k_spring, n_steps=args.steps, dt=args.dt,
             kT=args.kT, key=key, thin=args.thin,
         )
@@ -711,6 +721,22 @@ def cmd_msm(args):
             print(f"MFPT to states {tgt}: no populated source state "
                   "reaches the target")
         extra_out.update(mfpt=fp)
+    if args.tpt:
+        if ":" not in args.tpt:
+            raise SystemExit("error: --tpt wants A1[,A2..]:B1[,B2..] "
+                             "(colon-separated source/target state sets)")
+        a_spec, b_spec = args.tpt.split(":", 1)
+        src = [int(s) for s in a_spec.split(",")]
+        tgt = [int(s) for s in b_spec.split(",")]
+        r = m.tpt(src, tgt)
+        print(f"TPT {src} -> {tgt}: rate {r.rate:.3e} /frame "
+              f"(total reactive flux {r.total_flux:.3e} /lag)")
+        for path, fx in r.pathways(n_paths=3):
+            share = fx / r.total_flux if r.total_flux > 0 else 0.0
+            print("  pathway " + " -> ".join(str(s) for s in path)
+                  + f": {share:.0%} of the flux")
+        extra_out.update(committor=r.q_plus, backward_committor=r.q_minus,
+                         net_flux=r.net_flux, rate=np.float64(r.rate))
     n_frames = len(series[0]) if isinstance(series, list) else len(series)
     factors = tuple(f for f in (2, 4) if args.lag * f < n_frames // 10)
     if factors:
@@ -1215,6 +1241,16 @@ def main(argv=None):
     ps.add_argument("--s0", default=None, help="steered start CV (comma)")
     ps.add_argument("--s1", default=None, help="steered end CV (comma)")
     ps.add_argument("--k-spring", type=float, default=10.0)
+    ps.add_argument("--path", default=None, metavar="MEP",
+                    help="bias the PATH PROGRESS s in [0, 1] along a "
+                         "'mep --out' path (.npy/.csv) instead of the "
+                         "raw CVs (Branduardi path CVs over the model)")
+    ps.add_argument("--tube-k", type=float, default=0.0,
+                    help="with --path: half-harmonic restraint strength "
+                         "keeping walkers inside the transition tube")
+    ps.add_argument("--tube-max", type=float, default=0.05,
+                    help="tube width (CV distance squared) where the "
+                         "--tube-k restraint switches on")
     ps.set_defaults(fn=cmd_sample)
 
     pg = sub.add_parser(
@@ -1296,6 +1332,11 @@ def main(argv=None):
     pms.add_argument("--mfpt-to", default=None, metavar="S1[,S2...]",
                      help="mean first-passage times to these grid "
                           "states (saved as 'mfpt' with --out)")
+    pms.add_argument("--tpt", default=None, metavar="A1[,A2..]:B1[,B2..]",
+                     help="transition path theory for the reaction "
+                          "A -> B between the two grid-state sets: "
+                          "committors, rate, dominant pathways (saved "
+                          "as 'committor'/'net_flux'/'rate' with --out)")
     pms.add_argument("--out", default=None,
                      help=".npz output (transition, pi, eigenvalues, "
                           "edges)")

@@ -32,8 +32,10 @@ from .msm import (
     pcca_memberships,
     transition_matrix,
 )
+from .pathcv import PathCV
 from .potentials import ToyPeptidePotential
 from .remd import replica_exchange_langevin
+from .tpt import TPT, forward_committor, tpt
 from .string import grid_interpolator, linear_path, string_method
 
 
@@ -68,6 +70,7 @@ __all__ = [
     "string_method",
     "grid_interpolator",
     "linear_path",
+    "PathCV",
     "MSM",
     "estimate_msm",
     "grid_assign",
@@ -77,4 +80,7 @@ __all__ = [
     "mfpt",
     "pcca_memberships",
     "coarse_grain",
+    "TPT",
+    "tpt",
+    "forward_committor",
 ]

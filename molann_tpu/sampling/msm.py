@@ -178,6 +178,15 @@ class MSM:
         tc, pic = coarse_grain(self.transition, self.pi, chi)
         return tc, pic, chi
 
+    def tpt(self, source, target):
+        """Transition-path-theory analysis of the ``source -> target``
+        reaction (committors, reactive flux, rate per frame, dominant
+        pathways) — see :func:`.tpt.tpt`."""
+        from .tpt import tpt as _tpt
+
+        return _tpt(self.transition, self.pi, source, target,
+                    lag=self.lag)
+
 
 def estimate_msm(labels, n_states, lag, *, reversible=True, sliding=True):
     """Count + estimate in one call -> :class:`MSM`."""

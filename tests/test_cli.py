@@ -200,6 +200,48 @@ def test_sample_cli_metadynamics_escapes(workdir):
     assert cos_phi.max() > 0.0  # crossed at least to the barrier top
 
 
+def test_sample_cli_path_progress(workdir, capsys):
+    """'sample --path' biases the 1-D Branduardi progress coordinate
+    along a mep-format path instead of the raw model CVs: deposits are
+    one-dimensional and live in [0, 1]."""
+    import jax.numpy as jnp
+
+    from molann_tpu.io import load_model
+    from molann_tpu.topology import Universe
+
+    if not (workdir / "model.npz").exists():  # self-contained under -k
+        assert main([
+            "build", str(workdir / "system.pdb"),
+            str(workdir / "features.txt"),
+            "--section", "Output", "--align", "bynum 1 2 5",
+            "--mlp", "5", "2", "--out", str(workdir / "model.npz"),
+        ]) == 0
+    model = load_model(workdir / "model.npz")
+    x0 = Universe(str(workdir / "system.pdb")).atoms.positions
+    cv0 = np.asarray(model(jnp.asarray(x0[None])))[0]  # start-point CV
+    # mep output format: [m, d+1] images + free-energy column
+    t = np.linspace(0.0, 1.0, 7)[:, None]
+    images = cv0[None, :] * (1.0 - t) + (cv0 + 1.0)[None, :] * t
+    mep = np.concatenate([images, np.zeros((7, 1))], axis=1)
+    np.save(workdir / "path.npy", mep.astype(np.float32))
+
+    out = workdir / "path_sampled.npy"
+    bias_out = workdir / "path_bias.npz"
+    rc = main(["sample", str(workdir / "model.npz"),
+               str(workdir / "system.pdb"),
+               "--bias", "metad", "--path", str(workdir / "path.npy"),
+               "--tube-k", "5.0", "--tube-max", "0.1",
+               "--steps", "1000", "--walkers", "2", "--sigma", "0.1",
+               "--out", str(out), "--bias-out", str(bias_out)])
+    assert rc == 0
+    frames = np.load(out)
+    assert frames.shape[1:] == (22, 3) and np.isfinite(frames).all()
+    dep = np.load(bias_out)
+    c = dep["centers"]
+    assert c.shape == (2 * (1000 // 50), 1)  # 1-D progress deposits
+    assert c.min() >= 0.0 and c.max() <= 1.0
+
+
 def test_sample_cli_unbiased_stays(workdir):
     out = workdir / "unbiased.xtc"
     rc = main(["sample", str(workdir / "model.npz"),
@@ -934,3 +976,22 @@ def test_msm_cli_coarse_and_mfpt(workdir, capsys):
     fp = saved["mfpt"]
     src = pop & np.isfinite(fp) & (fp > 0)
     assert src.any() and fp[src].max() > 100.0
+
+    # --tpt on the same series: the left->right rate is the flip rate
+    rc = main(["msm", str(workdir / "cv_twobasin.npy"), "--lag", "5",
+               "--grid=-2:2:8", "--tpt", "1,2:5,6",
+               "--out", str(workdir / "msm3.npz")])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "TPT [1, 2] -> [5, 6]: rate" in out
+    assert "pathway" in out and "% of the flux" in out
+    saved = np.load(workdir / "msm3.npz")
+    q = saved["committor"]
+    assert q.shape == (8,)
+    # committor rises monotonically over the populated interior bins
+    assert q[1] == 0.0 and q[5] == 1.0 and q[3] <= q[4]
+    assert saved["net_flux"].shape == (8, 8)
+    # flips happen at rate 1e-3/frame; the MSM rate should be that scale
+    assert 1e-4 < float(saved["rate"]) < 1e-2
+    with pytest.raises(SystemExit, match="colon-separated"):
+        main(["msm", str(workdir / "cv_twobasin.npy"), "--tpt", "1,2"])
