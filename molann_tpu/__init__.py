@@ -12,7 +12,7 @@ quaternion Kabsch, fused Pallas feature+MLP kernels, `jax.grad` forces,
 ICI data-parallel training, and StableHLO export.
 """
 
-from . import ann, feature, ops, spec, topology  # noqa: F401
+from . import ann, feature, ops, pbc, spec, topology  # noqa: F401
 from .ops.fused import (  # noqa: F401
     active_atom_indices,
     fused_cv_forces,

@@ -323,6 +323,116 @@ def cmd_convert(args):
     return 0
 
 
+def _load_frames_and_boxes(traj, boxarg):
+    """Frames + per-frame box matrices for 'unwrap' (the one command that
+    needs the boxes the codecs carry). Returns ``([l, n, 3] float32,
+    [l, 3, 3] float32)``."""
+    low = str(traj).lower()
+    boxes = None
+    if low.endswith(".xtc"):
+        from .io.xdr import read_xtc
+
+        frames, _, boxes = read_xtc(traj)
+    elif low.endswith(".trr"):
+        from .io.xdr import read_trr
+
+        frames, _, boxes = read_trr(traj)
+    elif low.endswith(".dcd"):
+        from .io.dcd import read_dcd
+        from .pbc import dcd_cell_to_box
+
+        frames, cell = read_dcd(traj)
+        if cell is not None:
+            boxes = dcd_cell_to_box(cell)
+    elif low.endswith(".npy"):
+        frames = np.load(traj)
+        if frames.ndim != 3 or frames.shape[2] != 3:
+            raise SystemExit(f"error: {traj} must be [l, n, 3] frames "
+                             f"for unwrap, got {frames.shape}")
+        frames = frames.astype(np.float32)
+    else:
+        raise SystemExit(f"error: unsupported trajectory {traj!r} "
+                         "(.xtc/.trr/.dcd/.npy)")
+    if boxarg:
+        try:
+            lx, ly, lz = (float(v) for v in boxarg.split(","))
+        except ValueError:
+            raise SystemExit(f"error: bad --box {boxarg!r} (want lx,ly,lz)")
+        boxes = np.broadcast_to(
+            np.diag([lx, ly, lz]).astype(np.float32),
+            (frames.shape[0], 3, 3))
+    if boxes is None:
+        raise SystemExit("error: the trajectory carries no box vectors; "
+                         "pass --box lx,ly,lz (orthorhombic)")
+    if boxes.shape[0] != frames.shape[0]:
+        raise SystemExit(f"error: {boxes.shape[0]} boxes for "
+                         f"{frames.shape[0]} frames (corrupt trajectory?)")
+    if (np.abs(np.diagonal(boxes, axis1=1, axis2=2)) < 1e-6).any():
+        raise SystemExit("error: trajectory box is zero/degenerate "
+                         "(vacuum run?) — nothing to unwrap, or pass "
+                         "--box to override")
+    return frames, np.ascontiguousarray(boxes, dtype=np.float32)
+
+
+def cmd_unwrap(args):
+    """Repair periodic wrapping before feature extraction: 'whole'
+    reassembles molecules broken across the box boundary (minimum image
+    along a covalent bond tree guessed from the PDB; trjconv -pbc
+    whole), 'nojump' makes trajectories continuous in time (trjconv
+    -pbc nojump), 'whole+nojump' does both. The reference assumes whole
+    molecules and has no PBC handling at all; without this, a wrapped
+    GROMACS trajectory turns every boundary-crossing bond feature into
+    garbage."""
+    import jax
+    import jax.numpy as jnp
+
+    from .pbc import bond_tree_levels, guess_bonds, make_whole, unwrap_time
+    from .topology import Universe
+
+    frames, boxes = _load_frames_and_boxes(args.traj, args.box)
+    modes = args.mode.split("+")
+    for m in modes:
+        if m not in ("whole", "nojump"):
+            raise SystemExit(f"error: unknown --mode part {m!r} "
+                             "(whole, nojump, or whole+nojump)")
+    x = jnp.asarray(frames)
+    bonds = None
+    if "whole" in modes:
+        u = Universe(args.pdb)
+        if len(u.atoms) != frames.shape[1]:
+            raise SystemExit(f"error: PDB has {len(u.atoms)} atoms, "
+                             f"trajectory has {frames.shape[1]}")
+        bonds = guess_bonds(u, tolerance=args.tolerance)
+        if not len(bonds):
+            raise SystemExit("error: no covalent bonds detected in the "
+                             "PDB (unknown elements?); cannot make whole")
+        levels = bond_tree_levels(frames.shape[1], bonds)
+        x = jax.jit(lambda xx, bb: make_whole(xx, bb, levels=levels))(
+            x, boxes)
+    if "nojump" in modes:
+        x = jax.jit(unwrap_time)(x, boxes)
+    out_frames = np.asarray(x)
+
+    writer = _open_traj_writer(args.out)
+    if writer is not None:
+        with writer:
+            writer.append(out_frames)
+    else:
+        np.save(args.out, out_frames)
+    msg = (f"wrote {args.out}: {out_frames.shape[0]} frames x "
+           f"{out_frames.shape[1]} atoms ({args.mode})")
+    if bonds is not None:
+        def max_bond(f):
+            return float(np.linalg.norm(
+                f[:, bonds[:, 0]] - f[:, bonds[:, 1]], axis=-1).max())
+
+        msg += (f"; max bond length {max_bond(frames):.2f} -> "
+                f"{max_bond(out_frames):.2f} over {len(bonds)} guessed "
+                "bonds")
+    print(msg)
+    return 0
+
+
 def cmd_export(args):
     from .io import export_stablehlo
     from .io.export import export_bundle
@@ -1174,6 +1284,29 @@ def main(argv=None):
     pc.add_argument("--xtc-precision", type=float, default=1000.0,
                     help="XTC output precision (resolution 1/precision)")
     pc.set_defaults(fn=cmd_convert)
+
+    pu = sub.add_parser(
+        "unwrap",
+        help="repair periodic wrapping (make molecules whole / remove "
+             "box jumps) before feature extraction",
+    )
+    pu.add_argument("traj", help="wrapped trajectory (.xtc/.trr/.dcd; "
+                                 ".npy with --box)")
+    pu.add_argument("pdb", help="topology PDB (bond guessing; its "
+                                "coordinates must be whole)")
+    pu.add_argument("out", help="output (.npy/.dcd/.trr/.xtc)")
+    pu.add_argument("--mode", default="whole",
+                    choices=["whole", "nojump", "whole+nojump"],
+                    help="whole = reassemble molecules across the "
+                         "boundary (trjconv -pbc whole); nojump = "
+                         "continuous paths in time (-pbc nojump)")
+    pu.add_argument("--box", default=None, metavar="LX,LY,LZ",
+                    help="orthorhombic box override (required for .npy "
+                         "inputs, which carry no box)")
+    pu.add_argument("--tolerance", type=float, default=0.45,
+                    help="bond-guess distance tolerance (Angstrom) on "
+                         "top of the covalent radii")
+    pu.set_defaults(fn=cmd_unwrap)
 
     px = sub.add_parser("export", help="export a StableHLO artifact")
     px.add_argument("model")

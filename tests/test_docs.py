@@ -42,6 +42,7 @@ def test_class_docstring_examples_execute():
 
     import molann_tpu.feature
     import molann_tpu.models.ann
+    import molann_tpu.pbc
     import molann_tpu.sampling.pathcv
     import molann_tpu.sampling.string
     import molann_tpu.train.discriminant
@@ -52,7 +53,7 @@ def test_class_docstring_examples_execute():
     for mod in (molann_tpu.models.ann, molann_tpu.feature,
                 molann_tpu.train.losses, molann_tpu.train.timelagged,
                 molann_tpu.sampling.string, molann_tpu.train.discriminant,
-                molann_tpu.sampling.pathcv):
+                molann_tpu.sampling.pathcv, molann_tpu.pbc):
         res = doctest.testmod(mod, verbose=False)
         assert res.failed == 0, f"doctest failures in {mod.__name__}"
         total_attempted += res.attempted
