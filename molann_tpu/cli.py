@@ -806,6 +806,32 @@ def cmd_msm(args):
           + ", ".join("inf" if not np.isfinite(t) else f"{t:.1f}"
                       for t in ts[:k]))
     extra_out = {}
+    if args.bootstrap:
+        from .sampling import bootstrap_msm
+
+        boot = bootstrap_msm(
+            series, n_states, args.lag, n_samples=args.bootstrap,
+            reversible=not args.nonreversible, n_timescales=k,
+            seed=args.bootstrap_seed,
+        )
+        lo, hi = boot.timescale_ci()
+
+        def fmt(v):
+            return "inf" if not np.isfinite(v) else f"{v:.1f}"
+
+        unit = ("trajectories" if args.walkers > 1
+                else f"{boot.block}-frame circular blocks")
+        print(f"bootstrap ({args.bootstrap} resamples of "
+              f"{boot.n_resampled} {unit}), 95% CIs: "
+              + ", ".join(f"[{fmt(a)}, {fmt(b)}]"
+                          for a, b in zip(lo, hi)))
+        pi_lo, pi_hi = boot.pi_ci()
+        print("top-state populations: "
+              + ", ".join(
+                  f"#{s}: {m.pi[s]:.3f} [{pi_lo[s]:.3f}, {pi_hi[s]:.3f}]"
+                  for s in order))
+        extra_out.update(bootstrap_timescales=boot.timescales,
+                         bootstrap_pi=boot.pi)
     if args.coarse:
         assign, chi = m.metastable_sets(args.coarse)
         tc, pic, _ = m.coarse_grain(args.coarse)
@@ -1458,6 +1484,11 @@ def main(argv=None):
                      help="plain row-normalized MLE instead of the "
                           "detailed-balance-constrained one")
     pms.add_argument("--n-timescales", type=int, default=3)
+    pms.add_argument("--bootstrap", type=int, default=0, metavar="N",
+                     help="N bootstrap resamples (over walker "
+                          "trajectories, or circular blocks of a single "
+                          "one): 95%% CIs on timescales + populations")
+    pms.add_argument("--bootstrap-seed", type=int, default=0)
     pms.add_argument("--coarse", type=int, default=0,
                      help="PCCA+ coarse-grain into N metastable sets "
                           "(prints sets; saves assignments/memberships/"

@@ -23,6 +23,8 @@ from .langevin import baoab_langevin, kinetic_temperature, overdamped_langevin
 from .mbar import mbar, pmf_from_samples, umbrella_sampling
 from .msm import (
     MSM,
+    BootstrapMSM,
+    bootstrap_msm,
     ck_test,
     coarse_grain,
     count_matrix,
@@ -80,6 +82,8 @@ __all__ = [
     "mfpt",
     "pcca_memberships",
     "coarse_grain",
+    "bootstrap_msm",
+    "BootstrapMSM",
     "TPT",
     "tpt",
     "forward_committor",

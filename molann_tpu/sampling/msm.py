@@ -32,6 +32,8 @@ __all__ = [
     "mfpt",
     "pcca_memberships",
     "coarse_grain",
+    "bootstrap_msm",
+    "BootstrapMSM",
 ]
 
 
@@ -290,6 +292,92 @@ def coarse_grain(transition, pi, memberships):
     tc = np.linalg.solve(d @ chi, d @ t @ chi)
     pic = chi.T @ pi
     return tc, pic
+
+
+@dataclass
+class BootstrapMSM:
+    """Bootstrap uncertainty of an MSM estimate.
+
+    timescales ``[n_samples, k]`` and pi ``[n_samples, n]`` across the
+    bootstrap resamples (non-converging timescales come back ``inf`` —
+    use the percentile CIs, not moments). ``n_resampled``: how many
+    units (trajectories, or circular blocks of ``block`` frames for a
+    single trajectory) each resample draws.
+    """
+
+    timescales: np.ndarray
+    pi: np.ndarray
+    block: int
+    n_resampled: int
+
+    def timescale_ci(self, alpha=0.95):
+        """Percentile confidence intervals ``(lo [k], hi [k])`` for the
+        implied timescales."""
+        q = (1.0 - alpha) / 2.0
+        return (np.quantile(self.timescales, q, axis=0),
+                np.quantile(self.timescales, 1.0 - q, axis=0))
+
+    def pi_ci(self, alpha=0.95):
+        """Percentile confidence intervals ``(lo [n], hi [n])`` for the
+        stationary populations."""
+        q = (1.0 - alpha) / 2.0
+        return (np.quantile(self.pi, q, axis=0),
+                np.quantile(self.pi, 1.0 - q, axis=0))
+
+
+def bootstrap_msm(labels, n_states, lag, *, n_samples=100, seed=0,
+                  reversible=True, sliding=True, n_timescales=3,
+                  block=None):
+    """Bootstrap error bars for MSM timescales and populations.
+
+    Multiple trajectories (a list of label series) are resampled with
+    replacement at the trajectory level — the standard independent-unit
+    bootstrap. A single trajectory is cut into circular blocks of
+    ``block`` frames (default ``max(10*lag, T//20)`` — long enough to
+    preserve the lag correlation structure) and the blocks are
+    resampled. Each resample is re-estimated with the same settings as
+    :func:`estimate_msm`; timescales past the resample's spectrum come
+    back ``inf`` and states never visited in a resample get stationary
+    weight 0, so the percentile CIs (:class:`BootstrapMSM`) remain
+    meaningful even when resamples disagree about connectivity.
+    """
+    if n_samples < 2:
+        raise ValueError(f"n_samples must be >= 2, got {n_samples}")
+    rng = np.random.default_rng(seed)
+    if isinstance(labels, (list, tuple)):
+        units = [np.asarray(s, np.int64) for s in labels]
+        block_len = 0
+    else:
+        s = np.asarray(labels, np.int64)
+        t = len(s)
+        block_len = int(block) if block else max(10 * int(lag), t // 20)
+        block_len = max(block_len, lag + 1)
+        if t <= block_len:
+            raise ValueError(
+                f"trajectory ({t} frames) shorter than the bootstrap "
+                f"block ({block_len}); pass more data or block="
+            )
+        # circular blocks: every start position is a valid unit
+        starts = rng.integers(0, t, size=(n_samples, t // block_len))
+        idx = (starts[..., None] + np.arange(block_len)) % t
+        units = None
+    ts_out = np.full((n_samples, int(n_timescales)), np.inf)
+    pi_out = np.zeros((n_samples, int(n_states)))
+    n_resampled = (len(units) if units is not None
+                   else (len(labels) // block_len))
+    for b in range(n_samples):
+        if units is not None:
+            pick = rng.integers(0, len(units), size=len(units))
+            series = [units[i] for i in pick]
+        else:
+            series = [s[row] for row in idx[b]]
+        m = estimate_msm(series, n_states, lag, reversible=reversible,
+                         sliding=sliding)
+        ts = m.timescales()[: int(n_timescales)]
+        ts_out[b, : len(ts)] = ts
+        pi_out[b] = m.pi
+    return BootstrapMSM(timescales=ts_out, pi=pi_out,
+                        block=int(block_len), n_resampled=int(n_resampled))
 
 
 def ck_test(labels, n_states, lag, *, factors=(2, 4), reversible=True):

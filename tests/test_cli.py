@@ -995,3 +995,33 @@ def test_msm_cli_coarse_and_mfpt(workdir, capsys):
     assert 1e-4 < float(saved["rate"]) < 1e-2
     with pytest.raises(SystemExit, match="colon-separated"):
         main(["msm", str(workdir / "cv_twobasin.npy"), "--tpt", "1,2"])
+
+
+def test_msm_cli_bootstrap(workdir, capsys):
+    """'msm --bootstrap N' prints 95% CIs on timescales and populations
+    and saves the resample arrays; the CI brackets the point estimate."""
+    rng = np.random.default_rng(17)
+    a = 0.9
+    z = np.empty(30_000, np.float32)
+    z[0] = 0.0
+    for t in range(1, len(z)):
+        z[t] = a * z[t - 1] + np.float32(np.sqrt(1 - a * a)) * np.float32(
+            rng.normal())
+    np.save(workdir / "cv_boot.npy", z)
+    rc = main(["msm", str(workdir / "cv_boot.npy"), "--lag", "2",
+               "--grid=-3:3:10", "--bootstrap", "25",
+               "--out", str(workdir / "msm_boot.npz")])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "bootstrap (25 resamples of" in out
+    assert "95% CIs:" in out
+    assert "top-state populations:" in out
+    ts0 = float(out.split("implied timescales (frames): ")[1]
+                .split(",")[0])
+    ci = out.split("95% CIs: [")[1]
+    lo = float(ci.split(",")[0])
+    hi = float(ci.split(",")[1].split("]")[0])
+    assert lo < ts0 < hi
+    saved = np.load(workdir / "msm_boot.npz")
+    assert saved["bootstrap_timescales"].shape == (25, 3)
+    assert saved["bootstrap_pi"].shape == (25, 10)

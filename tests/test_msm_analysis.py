@@ -132,3 +132,79 @@ def test_msm_methods_end_to_end(rng):
     tc, pic, _ = m.coarse_grain(2)
     np.testing.assert_allclose(tc.sum(axis=1), 1.0, atol=1e-8)
     assert pic == pytest.approx([0.5, 0.5], abs=0.1)
+
+
+# ------------------------------------------------------------ bootstrap
+
+
+def _two_state_series(p, n, rng):
+    """Symmetric two-state chain with flip probability p (timescale
+    -1/log(1-2p) frames at lag 1)."""
+    flips = rng.random(n) < p
+    return np.cumsum(flips) % 2
+
+
+def test_bootstrap_msm_trajectory_resampling_covers_truth():
+    from molann_tpu.sampling import bootstrap_msm
+
+    p = 0.05
+    true_ts = -1.0 / np.log(1.0 - 2.0 * p)
+    rng = np.random.default_rng(0)
+    series = [_two_state_series(p, 4000, rng) for _ in range(20)]
+    boot = bootstrap_msm(series, 2, 1, n_samples=60, n_timescales=1,
+                         seed=1)
+    assert boot.timescales.shape == (60, 1)
+    assert boot.pi.shape == (60, 2)
+    lo, hi = boot.timescale_ci()
+    assert lo[0] < true_ts < hi[0]
+    assert np.isfinite(boot.timescales).all()
+    # the symmetric chain's populations are ~1/2 with a tight CI
+    pi_lo, pi_hi = boot.pi_ci()
+    assert 0.45 < pi_lo[0] < pi_hi[0] < 0.55
+    assert pi_hi[0] - pi_lo[0] < 0.05
+    assert boot.n_resampled == 20 and boot.block == 0
+
+
+def test_bootstrap_msm_single_trajectory_blocks():
+    from molann_tpu.sampling import bootstrap_msm
+
+    p = 0.05
+    true_ts = -1.0 / np.log(1.0 - 2.0 * p)
+    rng = np.random.default_rng(3)
+    s = _two_state_series(p, 80_000, rng)
+    boot = bootstrap_msm(s, 2, 1, n_samples=50, n_timescales=2, seed=2)
+    assert boot.block >= 10  # 10*lag floor
+    lo, hi = boot.timescale_ci()
+    # the CI quantifies resampling variance around THIS realization's
+    # estimate: it must bracket the full-series point estimate exactly,
+    # and the truth within the estimator's own sampling error (~2%)
+    point = estimate_msm(s, 2, 1).timescales()[0]
+    assert lo[0] < point < hi[0]
+    assert lo[0] * 0.98 < true_ts < hi[0] * 1.02
+    # intervals must be informative, not degenerate or huge
+    assert 0 < (hi[0] - lo[0]) < true_ts
+    # a 2-state chain has only 1 relaxation timescale: the 2nd is inf
+    assert np.isinf(boot.timescales[:, 1]).all()
+
+
+def test_bootstrap_msm_validation():
+    from molann_tpu.sampling import bootstrap_msm
+
+    with pytest.raises(ValueError, match="n_samples"):
+        bootstrap_msm(np.zeros(100, np.int64), 2, 1, n_samples=1)
+    with pytest.raises(ValueError, match="shorter than"):
+        bootstrap_msm(np.zeros(8, np.int64), 2, 1, n_samples=5)
+
+
+def test_bootstrap_msm_rare_state_resamples():
+    """Resamples that miss a rare state keep pi=0 there instead of
+    blowing up."""
+    from molann_tpu.sampling import bootstrap_msm
+
+    rng = np.random.default_rng(4)
+    s = rng.integers(0, 2, size=5000)
+    s[100:103] = 2  # one rare visit to state 2
+    boot = bootstrap_msm(s, 3, 1, n_samples=25, seed=5, block=200)
+    assert np.isfinite(boot.pi).all()
+    assert (boot.pi[:, 2] == 0.0).any()  # some resamples miss it
+    np.testing.assert_allclose(boot.pi.sum(axis=1), 1.0, atol=1e-9)
