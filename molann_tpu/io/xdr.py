@@ -12,8 +12,10 @@ Formats (both big-endian XDR):
   vir, pres, top, sym, x, v, f byte sizes; natoms, step, nre), time and
   lambda reals, then the payload blocks. Reals are float32 or float64 —
   inferred from ``box_size/9`` (or ``x_size/(3*natoms)``), per the
-  GROMACS convention. We read coordinates (``x``) and skip velocities/
-  forces; the writer emits float32 coordinate-only frames.
+  GROMACS convention. We read coordinates (``x``) always and the
+  velocity/force sections on request (``read_trr(velocities=True,
+  forces=True)`` — restarts and force-matching data); the writer emits
+  float32 frames with optional box/v/f sections.
 
 - **XTC** (GROMACS compressed): per-frame ``magic 1995``, natoms, step,
   time, 3x3 box, then the public ``xdr3dfcoord`` compression: coordinates
@@ -80,9 +82,12 @@ class TRRWriter:
         self._dt = dt
         self._n_atoms = None
 
-    def append(self, frames, box=None):
+    def append(self, frames, box=None, velocities=None, forces=None):
         """Append ``[k, n_atoms, 3]`` frames (atom count must match the
-        first chunk). ``box``: optional ``[3, 3]`` or ``[k, 3, 3]``."""
+        first chunk). ``box``: optional ``[3, 3]`` or ``[k, 3, 3]``.
+        ``velocities``/``forces``: optional ``[k, n_atoms, 3]`` blocks
+        written after the coordinates (the TRR v/f sections GROMACS
+        restarts and force-matching consume)."""
         arr = _check_chunk(frames)
         k, n_atoms = arr.shape[0], arr.shape[1]
         if self._n_atoms is None:
@@ -92,7 +97,22 @@ class TRRWriter:
                 f"atom count changed mid-file ({self._n_atoms} -> {n_atoms})"
             )
         box = _check_box(box, k)
+
+        def check_vf(a, label):
+            if a is None:
+                return None
+            a = np.ascontiguousarray(a, dtype=np.float32)
+            if a.shape != arr.shape:
+                raise ValueError(
+                    f"{label} must match frames {arr.shape}, got {a.shape}"
+                )
+            return a
+
+        vel = check_vf(velocities, "velocities")
+        frc = check_vf(forces, "forces")
         x_size = 3 * n_atoms * 4
+        v_size = x_size if vel is not None else 0
+        f_size = x_size if frc is not None else 0
         box_size = 9 * 4 if box is not None else 0
         fh = self._fh
         for f in range(k):
@@ -107,13 +127,17 @@ class TRRWriter:
             fh.write(struct.pack(
                 ">13i",
                 0, 0, box_size, 0, 0, 0, 0,  # ir, e, box, vir, pres, top, sym
-                x_size, 0, 0,                # x, v, f
+                x_size, v_size, f_size,      # x, v, f
                 n_atoms, step, 0,            # natoms, step, nre
             ))
             fh.write(struct.pack(">ff", step * self._dt, 0.0))  # t, λ
             if box is not None:
                 fh.write(box[f].astype(">f4").tobytes())
             fh.write(arr[f].astype(">f4").tobytes())
+            if vel is not None:
+                fh.write(vel[f].astype(">f4").tobytes())
+            if frc is not None:
+                fh.write(frc[f].astype(">f4").tobytes())
             self._step += 1
 
     def close(self):
@@ -128,22 +152,29 @@ class TRRWriter:
         self.close()
 
 
-def write_trr(path, frames, *, box=None, start_step=0, dt=1.0):
-    """Write ``[n_frames, n_atoms, 3]`` float32 frames as a coordinate-only
-    TRR. ``box``: optional ``[3, 3]`` (applied to every frame) or
-    ``[n_frames, 3, 3]`` float32 box matrices."""
+def write_trr(path, frames, *, box=None, velocities=None, forces=None,
+              start_step=0, dt=1.0):
+    """Write ``[n_frames, n_atoms, 3]`` float32 frames as a TRR.
+    ``box``: optional ``[3, 3]`` (applied to every frame) or
+    ``[n_frames, 3, 3]`` float32 box matrices; ``velocities``/``forces``:
+    optional ``[n_frames, n_atoms, 3]`` v/f sections."""
     with TRRWriter(path, start_step=start_step, dt=dt) as w:
-        w.append(frames, box=box)
+        w.append(frames, box=box, velocities=velocities, forces=forces)
     return path
 
 
-def read_trr(path):
+def read_trr(path, *, velocities=False, forces=False):
     """Read a TRR: returns ``(frames [n_frames, n_atoms, 3] float32,
     times [n_frames] float64, box or None)``. Handles float32 and float64
-    files; velocities/forces are skipped."""
+    files. With ``velocities=True`` / ``forces=True`` the corresponding
+    TRR sections are appended to the return tuple (as ``[n_frames,
+    n_atoms, 3]`` float32, or None when the file carries none); a file
+    where only SOME frames carry the requested section is rejected —
+    per-frame v/f strides are a GROMACS output option this reader does
+    not reassemble."""
     with open(path, "rb") as fh:
         data = fh.read()
-    frames, times, boxes = [], [], []
+    frames, times, boxes, vels, frcs = [], [], [], [], []
     off = 0
     while off + 4 <= len(data):
         (magic,) = struct.unpack_from(">i", data, off)
@@ -162,10 +193,18 @@ def read_trr(path):
         off += 52
         if x_size <= 0 or natoms <= 0:
             raise ValueError("TRR frame carries no coordinates")
+        if min(box_size, vir, pres, v_size, f_size) < 0:
+            raise ValueError("corrupt TRR frame (negative section size)")
         # float width per the GROMACS convention
         width = (box_size // 9) if box_size else (x_size // (3 * natoms))
         if width not in (4, 8):
             raise ValueError(f"corrupt TRR sizes (real width {width})")
+        # every payload size must be consistent with natoms/width (the
+        # same header/payload check the native parser enforces)
+        if x_size != 3 * natoms * width or any(
+            s not in (0, 3 * natoms * width) for s in (v_size, f_size)
+        ) or (box_size not in (0, 9 * width)):
+            raise ValueError("corrupt TRR frame (section size mismatch)")
         rfmt = ">f8" if width == 8 else ">f4"
         (t,) = struct.unpack_from(">d" if width == 8 else ">f", data, off)
         off += 2 * width  # t, lambda
@@ -176,12 +215,33 @@ def read_trr(path):
         xs = np.frombuffer(data, dtype=rfmt, count=3 * natoms, offset=off)
         frames.append(xs.astype(np.float32).reshape(natoms, 3))
         times.append(t)
-        off += x_size + v_size + f_size
-    return (
+        off += x_size
+        if velocities and v_size:
+            vels.append(np.frombuffer(
+                data, dtype=rfmt, count=3 * natoms, offset=off
+            ).astype(np.float32).reshape(natoms, 3))
+        off += v_size
+        if forces and f_size:
+            frcs.append(np.frombuffer(
+                data, dtype=rfmt, count=3 * natoms, offset=off
+            ).astype(np.float32).reshape(natoms, 3))
+        off += f_size
+    out = (
         np.asarray(frames, dtype=np.float32),
         np.asarray(times, dtype=np.float64),
         np.asarray(boxes, dtype=np.float32) if boxes else None,
     )
+    for want, got, label in ((velocities, vels, "velocities"),
+                             (forces, frcs, "forces")):
+        if not want:
+            continue
+        if got and len(got) != len(frames):
+            raise ValueError(
+                f"only {len(got)} of {len(frames)} TRR frames carry "
+                f"{label} (per-frame v/f strides are not supported)"
+            )
+        out = out + (np.asarray(got, np.float32) if got else None,)
+    return out
 
 
 # ---------------------------------------------------------------------------

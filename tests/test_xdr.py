@@ -461,3 +461,99 @@ def test_streaming_writers_reject_atom_count_change(tmp_path, frames):
         w.append(frames[:2])
         with pytest.raises(ValueError, match="atom count"):
             w.append(frames[:1, : frames.shape[1] - 1])
+
+
+# ---------------------------------------------------------------------------
+# TRR velocity/force sections
+# ---------------------------------------------------------------------------
+
+
+def test_trr_velocity_force_roundtrip(tmp_path, frames, rng):
+    v = rng.normal(0, 0.3, frames.shape).astype(np.float32)
+    f = rng.normal(0, 50.0, frames.shape).astype(np.float32)
+    path = tmp_path / "vf.trr"
+    write_trr(path, frames, velocities=v, forces=f,
+              box=np.eye(3, dtype=np.float32) * 4.0)
+    # default read: coordinates only, v/f transparently skipped
+    back, times, box = read_trr(path)
+    np.testing.assert_array_equal(back, frames)
+    # requested read: exact sections back
+    back, times, box, rv, rf = read_trr(path, velocities=True, forces=True)
+    np.testing.assert_array_equal(rv, v)
+    np.testing.assert_array_equal(rf, f)
+    # velocities-only file: forces come back None
+    path2 = tmp_path / "v.trr"
+    write_trr(path2, frames, velocities=v)
+    back, _, _, rv, rf = read_trr(path2, velocities=True, forces=True)
+    np.testing.assert_array_equal(rv, v)
+    assert rf is None
+    # single-flag variants return 4-tuples
+    back, _, _, rv = read_trr(path, velocities=True)
+    np.testing.assert_array_equal(rv, v)
+
+
+def test_trr_velocity_shape_validated(tmp_path, frames):
+    with pytest.raises(ValueError, match="velocities must match"):
+        write_trr(tmp_path / "bad.trr", frames,
+                  velocities=np.zeros((2, 3, 3), np.float32))
+
+
+def test_trr_mixed_vf_stride_rejected(tmp_path, frames, rng):
+    """GROMACS can write v/f on a different stride than x; this reader
+    refuses to silently drop/misalign such sections."""
+    from molann_tpu.io.xdr import TRRWriter
+
+    v = rng.normal(0, 0.3, frames.shape).astype(np.float32)
+    path = tmp_path / "mixed.trr"
+    with TRRWriter(path) as w:
+        w.append(frames[:5], velocities=v[:5])
+        w.append(frames[5:])  # later frames: coordinates only
+    back, _, _ = read_trr(path)  # plain read is fine
+    assert back.shape == frames.shape
+    with pytest.raises(ValueError, match="5 of 11 TRR frames"):
+        read_trr(path, velocities=True)
+
+
+def test_trr_negative_section_size_rejected(tmp_path, frames):
+    """A crafted negative v_size must error cleanly, not walk the frame
+    offset backwards (mirror of the native parser's hardening)."""
+    path = tmp_path / "neg.trr"
+    write_trr(path, frames[:1])
+    data = bytearray(path.read_bytes())
+    # 13-int header starts after magic(4) + string(8 + 12 padded to 12)
+    hdr = 4 + 8 + 12
+    struct.pack_into(">i", data, hdr + 8 * 4, -24)  # v_size slot
+    (tmp_path / "neg2.trr").write_bytes(bytes(data))
+    with pytest.raises(ValueError, match="negative section size"):
+        read_trr(tmp_path / "neg2.trr")
+
+
+def test_trr_vf_section_size_mismatch_rejected(tmp_path, frames):
+    """v_size inconsistent with 3*natoms*width errors instead of
+    misaligning every following frame."""
+    path = tmp_path / "bad.trr"
+    write_trr(path, frames[:1])
+    data = bytearray(path.read_bytes())
+    hdr = 4 + 8 + 12
+    struct.pack_into(">i", data, hdr + 8 * 4, 24)  # bogus small v_size
+    (tmp_path / "bad2.trr").write_bytes(bytes(data))
+    with pytest.raises(ValueError, match="section size mismatch"):
+        read_trr(tmp_path / "bad2.trr")
+
+
+def test_native_loader_skips_vf_sections(tmp_path, frames, rng):
+    """The C++ loader serves coordinates from files that carry v/f."""
+    pytest.importorskip("molann_tpu.io.native_loader")
+    from molann_tpu.io.native_loader import NativeTrajLoader
+
+    v = rng.normal(0, 0.3, frames.shape).astype(np.float32)
+    f = rng.normal(0, 50.0, frames.shape).astype(np.float32)
+    path = tmp_path / "vf_native.trr"
+    write_trr(path, frames, velocities=v, forces=f)
+    try:
+        ldr = NativeTrajLoader(str(path))
+    except OSError:
+        pytest.skip("native loader not built")
+    got = ldr.read_range(0, frames.shape[0])
+    np.testing.assert_array_equal(
+        got.reshape(frames.shape), frames)
