@@ -32,7 +32,12 @@ import jax.numpy as jnp
 import numpy as np
 
 BASELINE_FRAMES_PER_SEC = 10_000_000.0
-N_FRAMES = 1 << 24  # 16.7M frames (4.4 GB in + 4.4 GB gradients out)
+# 25.2M frames (6.6 GB in + 6.6 GB gradients out): the largest batch that
+# fits HBM with headroom, amortizing the fixed per-dispatch host overhead
+# of this environment's tunnel over more device work. Falls back to 16.7M
+# if a smaller-memory chip rejects it.
+N_FRAMES = 3 * (1 << 23)
+N_FRAMES_FALLBACK = 1 << 24
 PIPELINE_DEPTH = 4
 
 
@@ -42,38 +47,48 @@ def main():
 
     model, u = alanine_model()
 
-    # Transposed [3n, l] trajectory — the fast storage layout on TPU (a
-    # resident [l, n, 3] array would lane-pad 3 -> 128, ~42x HBM waste).
-    # Generated on device: the remote-TPU tunnel makes host->device copies
-    # of multi-GB arrays impractically slow and they are not the thing
-    # being measured.
-    base = jnp.asarray(u.atoms.positions.reshape(66, 1))
-    x = jax.jit(
-        lambda b: b + 0.05 * jax.random.normal(
-            jax.random.PRNGKey(0), (66, N_FRAMES), jnp.float32)
-    )(base)
-    float(x[0, 0])  # materialize before timing
-
     @jax.jit
     def fwd_bwd(m, xx):
         # single-kernel CV values + full coordinate gradients
         # (the biased-MD force-evaluation workload)
         return fused_cv_forces(m, xx, tile=2048, transposed_input=True)
 
-    def run_once():
-        out, g = fwd_bwd(model, x)
-        # Sync on a 1-element readback that data-depends on the whole grad
-        # (block_until_ready is unreliable over the axon tunnel).
-        return float(g[0, 0])
+    # Transposed [3n, l] trajectory — the fast storage layout on TPU (a
+    # resident [l, n, 3] array would lane-pad 3 -> 128, ~42x HBM waste).
+    # Generated on device: the remote-TPU tunnel makes host->device copies
+    # of multi-GB arrays impractically slow and they are not the thing
+    # being measured.
+    base = jnp.asarray(u.atoms.positions.reshape(66, 1))
 
-    run_once()  # warmup/compile
+    def setup(n_frames):
+        x = jax.jit(
+            lambda b: b + 0.05 * jax.random.normal(
+                jax.random.PRNGKey(0), (66, n_frames), jnp.float32)
+        )(base)
+        float(x[0, 0])  # materialize before timing
+
+        def run_once():
+            out, g = fwd_bwd(model, x)
+            # Sync on a 1-element readback that data-depends on the whole
+            # grad (block_until_ready is unreliable over the axon tunnel).
+            return float(g[0, 0])
+
+        run_once()  # warmup/compile (and the OOM probe)
+        return x, run_once
+
+    n_frames = N_FRAMES
+    try:
+        x, run_once = setup(n_frames)
+    except Exception:
+        n_frames = N_FRAMES_FALLBACK
+        x, run_once = setup(n_frames)
 
     times = []
     for _ in range(6):
         t0 = time.perf_counter()
         run_once()
         times.append(time.perf_counter() - t0)
-    wall = N_FRAMES / min(times)
+    wall = n_frames / min(times)
 
     # device throughput: keep the queue full, sync once
     def run_pipelined():
@@ -89,7 +104,7 @@ def main():
         t0 = time.perf_counter()
         run_pipelined()
         times.append(time.perf_counter() - t0)
-    device = PIPELINE_DEPTH * N_FRAMES / min(times)
+    device = PIPELINE_DEPTH * n_frames / min(times)
 
     print(
         json.dumps(
@@ -101,7 +116,7 @@ def main():
                 "vs_baseline": round(wall / BASELINE_FRAMES_PER_SEC, 4),
                 "wall_frames_per_sec": round(wall, 1),
                 "device_frames_per_sec": round(device, 1),
-                "n_frames": N_FRAMES,
+                "n_frames": n_frames,
                 "pipeline_depth": PIPELINE_DEPTH,
             }
         )
