@@ -713,6 +713,30 @@ def main():
     except ImportError:
         print("[skip] torchscript interop (torch unavailable)")
 
+    # -- periodic boundaries ----------------------------------------------
+    from molann_tpu.pbc import guess_bonds, make_whole, unwrap_time, wrap
+
+    box = jnp.asarray(np.diag([8.0, 8.0, 8.0]).astype(np.float32))
+    bonds = guess_bonds(u)
+    walk = np.cumsum(rng.normal(scale=0.8, size=(64, 1, 3)), 0)
+    ptraj = np.asarray(
+        u.atoms.positions[None] + walk
+        + rng.normal(scale=0.03, size=(64, 22, 3)), np.float32)
+    wrapped = wrap(jnp.asarray(ptraj), box)
+    repaired = np.asarray(unwrap_time(
+        make_whole(wrapped, box, bonds=bonds), box))
+
+    def blmax(a):
+        return float(np.linalg.norm(
+            a[:, bonds[:, 0]] - a[:, bonds[:, 1]], axis=-1).max())
+
+    drift = repaired - ptraj
+    perr = float(np.abs(drift - drift[:1]).max())
+    check("PBC whole+nojump on TPU recovers the wrapped rigid walk",
+          blmax(np.asarray(wrapped)) > 4.0 and perr < 1e-4,
+          f"broken maxbond={blmax(np.asarray(wrapped)):.1f} "
+          f"path err={perr:.1e}")
+
     # -- throughput --------------------------------------------------------
     n = 1 << 23
     # generated on device: host->device copies of GB-scale arrays over the
