@@ -36,7 +36,13 @@ import pandas as pd
 
 __all__ = ["Feature", "FeatureFileReader", "FEATURE_TYPE_IDS"]
 
-FEATURE_TYPE_IDS = {"angle": 0, "bond": 1, "dihedral": 2, "position": 3}
+FEATURE_TYPE_IDS = {
+    "angle": 0, "bond": 1, "dihedral": 2, "position": 3,
+    # Extension beyond the reference (which stops at position=3): smooth
+    # switching-function contact counts, the workhorse CV of the
+    # enhanced-sampling literature (PLUMED COORDINATION).
+    "coordination": 4,
+}
 _REQUIRED_ATOM_COUNTS = {"angle": 3, "bond": 2, "dihedral": 4}
 
 
@@ -64,11 +70,54 @@ class Feature:
     [2, 5]
     >>> f
     Feature(name='b1', type='bond', atoms(1-based)=[2, 5])
+
+    Coordination numbers (an extension beyond the reference's four types)
+    sum the rational switching function ``(1-(r/r0)^nn)/(1-(r/r0)^mm)``
+    over group-A x group-B pairs (or all pairs within A):
+
+    >>> c = Feature("c1", "coordination", u.select_atoms("bynum 2 5"),
+    ...             group_b=u.select_atoms("bynum 15 17"), r0=3.0)
+    >>> c.get_type_id(), c.get_coordination_params()
+    (4, (2, 3.0, 6, 12))
     """
 
-    def __init__(self, name, feature_type, atom_group):
+    def __init__(self, name, feature_type, atom_group, *, group_b=None,
+                 r0=None, nn=6, mm=None):
         if feature_type not in FEATURE_TYPE_IDS:
             raise NotImplementedError(f"feature {feature_type} not implemented!")
+
+        if feature_type != "coordination":
+            if group_b is not None or r0 is not None:
+                raise ValueError(
+                    "group_b/r0/nn/mm are coordination-feature parameters"
+                )
+        else:
+            # coordination: sum over pairs (group A x group B, or all
+            # pairs within A) of the rational switching function
+            # (1-(r/r0)^nn)/(1-(r/r0)^mm); mm defaults to 2*nn (PLUMED).
+            if r0 is None or not float(r0) > 0:
+                raise ValueError(
+                    f"coordination needs a cutoff r0 > 0, got {r0!r}"
+                )
+            mm = 2 * int(nn) if mm is None else int(mm)
+            nn = int(nn)
+            if nn < 1 or mm <= nn:
+                raise ValueError(
+                    f"switching exponents need mm > nn >= 1, got "
+                    f"nn={nn}, mm={mm}"
+                )
+            self._group_a_size = len(atom_group)
+            if group_b is not None:
+                if len(group_b) < 1:
+                    raise ValueError("coordination group_b is empty")
+                atom_group = atom_group + group_b
+            elif len(atom_group) < 2:
+                raise ValueError(
+                    "self-coordination needs at least 2 atoms"
+                )
+            self.r0 = float(r0)
+            self.nn = nn
+            self.mm = mm
 
         if len(set(atom_group)) < len(atom_group):
             raise IndexError("atom group contains repeated elements!")
@@ -99,8 +148,19 @@ class Feature:
         return np.asarray(self.atom_group.ix) + 1
 
     def get_type_id(self):
-        """Return :attr:`type_id` (angle=0, bond=1, dihedral=2, position=3)."""
+        """Return :attr:`type_id` (angle=0, bond=1, dihedral=2, position=3,
+        coordination=4)."""
         return self.type_id
+
+    def get_coordination_params(self):
+        """``(group_a_size, r0, nn, mm)`` of a coordination feature: the
+        first ``group_a_size`` atoms of the group are A, the rest B
+        (empty B = all pairs within A). Raises for other types."""
+        if self.type_name != "coordination":
+            raise ValueError(
+                f"{self.type_name!r} features carry no coordination params"
+            )
+        return self._group_a_size, self.r0, self.nn, self.mm
 
     def get_feature_info(self):
         """Return a one-row :class:`pandas.DataFrame` describing the feature
@@ -117,7 +177,11 @@ class Feature:
     # Value-based equality/hash so that models embedding Features as static
     # pytree metadata get stable jit-cache keys across reconstructions.
     def _key(self):
-        return (self.name, self.type_name, tuple(int(i) for i in self.atom_group.ix))
+        extra = ()
+        if self.type_name == "coordination":
+            extra = (self._group_a_size, self.r0, self.nn, self.mm)
+        return (self.name, self.type_name,
+                tuple(int(i) for i in self.atom_group.ix), extra)
 
     def __eq__(self, other):
         return isinstance(other, Feature) and other._key() == self._key()
@@ -126,10 +190,44 @@ class Feature:
         return hash(self._key())
 
     def __repr__(self):
+        extra = ""
+        if self.type_name == "coordination":
+            extra = (f", groups={self._group_a_size}+"
+                     f"{len(self.atom_group) - self._group_a_size}, "
+                     f"r0={self.r0:g}, nn={self.nn}, mm={self.mm}")
         return (
             f"Feature(name={self.name!r}, type={self.type_name!r}, "
-            f"atoms(1-based)={self.get_atom_indices().tolist()})"
+            f"atoms(1-based)={self.get_atom_indices().tolist()}{extra})"
         )
+
+
+def _parse_coordination_params(type_token):
+    """``coordination[r0=3.0 n=6 m=12]`` -> Feature kwargs (r0 required;
+    n/m optional). The bare token ``coordination`` is rejected — there is
+    no meaningful default cutoff."""
+    if type_token == "coordination":
+        raise ValueError(
+            "coordination features in a file need parameters: "
+            "coordination[r0=<cutoff> n=<int> m=<int>]"
+        )
+    if not (type_token.startswith("coordination[")
+            and type_token.endswith("]")):
+        raise NotImplementedError(f"feature {type_token} not implemented!")
+    kw = {}
+    names = {"r0": "r0", "n": "nn", "m": "mm"}
+    body = type_token[len("coordination["):-1]
+    for tok in body.split():
+        if "=" not in tok:
+            raise ValueError(f"bad coordination parameter {tok!r} "
+                             "(want key=value)")
+        key, val = tok.split("=", 1)
+        if key not in names:
+            raise ValueError(f"unknown coordination parameter {key!r} "
+                             "(r0, n, m)")
+        kw[names[key]] = float(val) if key == "r0" else int(val)
+    if "r0" not in kw:
+        raise ValueError("coordination parameters must include r0=")
+    return kw
 
 
 class FeatureFileReader:
@@ -195,12 +293,34 @@ class FeatureFileReader:
                     # Mirrors the reference exactly: a stray header line in a
                     # section has <2 comma fields and raises ValueError here.
                     feature_name, feature_type, *selector_list = line.split(",")
+                    ftype = feature_type.strip()
+                    if ftype.startswith("coordination"):
+                        # extension grammar (no reference counterpart):
+                        #   name, coordination[r0=3.0 n=6 m=12], selA[, selB...]
+                        # first selector = group A; the rest combine into
+                        # group B (none = all pairs within A)
+                        params = _parse_coordination_params(ftype)
+                        if not selector_list:
+                            raise ValueError(
+                                f"coordination feature {feature_name.strip()!r}"
+                                " needs at least one selector"
+                            )
+                        ag_a = self.u.select_atoms(selector_list[0])
+                        ag_b = None
+                        for selector in selector_list[1:]:
+                            sel = self.u.select_atoms(selector)
+                            ag_b = sel if ag_b is None else ag_b + sel
+                        self.feature_list.append(
+                            Feature(feature_name.strip(), "coordination",
+                                    ag_a, group_b=ag_b, **params)
+                        )
+                        continue
                     ag = None
                     for selector in selector_list:
                         sel = self.u.select_atoms(selector)
                         ag = sel if ag is None else ag + sel
                     self.feature_list.append(
-                        Feature(feature_name.strip(), feature_type.strip(), ag)
+                        Feature(feature_name.strip(), ftype, ag)
                     )
 
         return self.feature_list

@@ -83,6 +83,10 @@ def _feature_to_dict(f: Feature, saver):
         "type": f.type_name,
         "ix": [int(i) for i in ag.ix],
     }
+    if f.type_name == "coordination":
+        n_a, r0, nn, mm = f.get_coordination_params()
+        d["coord"] = {"n_a": int(n_a), "r0": float(r0),
+                      "nn": int(nn), "mm": int(mm)}
     pos = getattr(ag, "positions", None)
     if pos is not None:
         d["positions"] = saver.array(np.asarray(pos, dtype=np.float32))
@@ -91,6 +95,16 @@ def _feature_to_dict(f: Feature, saver):
 
 def _feature_from_dict(d, arrays):
     pos = arrays[d["positions"]] if "positions" in d else None
+    if d["type"] == "coordination":
+        c = d["coord"]
+        n_a, ix = int(c["n_a"]), d["ix"]
+        ag_a = FrozenAtomGroup(
+            ix[:n_a], pos[:n_a] if pos is not None else None)
+        ag_b = (FrozenAtomGroup(
+            ix[n_a:], pos[n_a:] if pos is not None else None)
+            if len(ix) > n_a else None)
+        return Feature(d["name"], "coordination", ag_a, group_b=ag_b,
+                       r0=c["r0"], nn=c["nn"], mm=c["mm"])
     ag = FrozenAtomGroup(d["ix"], pos)
     return Feature(d["name"], d["type"], ag)
 
@@ -159,6 +173,9 @@ def _spec_to_dict(spec: CompiledFeatures):
         "position_idx": list(spec.position_idx),
         "perm": list(spec.perm) if spec.perm is not None else None,
         "feature_dims": list(spec.feature_dims),
+        "coord_pairs": [list(t) for t in spec.coord_pairs],
+        "coord_slices": [list(t) for t in spec.coord_slices],
+        "coord_params": [list(t) for t in spec.coord_params],
     }
 
 
@@ -173,6 +190,13 @@ def _spec_from_dict(d):
         position_idx=tuple(d["position_idx"]),
         perm=tuple(d["perm"]) if d["perm"] is not None else None,
         feature_dims=tuple(d["feature_dims"]),
+        # absent in pre-coordination checkpoints: default to none
+        coord_pairs=tuple(tuple(t) for t in d.get("coord_pairs", ())),
+        coord_slices=tuple(tuple(t) for t in d.get("coord_slices", ())),
+        coord_params=tuple(
+            (float(r0), int(nn), int(mm))
+            for r0, nn, mm in d.get("coord_params", ())
+        ),
     )
 
 

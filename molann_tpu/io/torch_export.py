@@ -209,6 +209,14 @@ def _export_sequential(seq):
 
 def _export_feature_layer(flayer, input_ix=None):
     cls = _torch_classes()
+    bad = [f.get_name() for f in flayer.feature_list
+           if f.get_type_id() == 4]
+    if bad:
+        raise ValueError(
+            f"coordination features {bad} have no counterpart in the "
+            "reference library's TorchScript layout; models using them "
+            "cannot be exported to .pt (use the StableHLO artifacts)"
+        )
     n_inp = flayer.input_atom_num
     if input_ix is None:
         # the layer keeps only local indices; recover the global numbering
@@ -271,6 +279,12 @@ def _export_any(model):
     if isinstance(model, FeatureLayer):
         return _export_feature_layer(model)
     if isinstance(model, FeatureMap):
+        if model.type_id == 4:
+            raise ValueError(
+                "coordination features have no counterpart in the "
+                "reference library's TorchScript layout; use the "
+                "StableHLO artifacts"
+            )
         input_ix = list(range(model.input_atom_num))
         for local_j, one_based in zip(
             model._local_atom_indices, model.feature.get_atom_indices()

@@ -35,6 +35,7 @@ from ..ops.features import (
     angle_features,
     apply_compiled_features,
     bond_features,
+    coordination_features,
     dihedral_features,
     position_features,
 )
@@ -322,12 +323,22 @@ class FeatureMap(PytreeNode):
         )
 
     def dim(self):
-        """Feature output dimension (reference molann/ann.py:265-286)."""
-        if self.type_id in (0, 1):
+        """Feature output dimension (reference molann/ann.py:265-286;
+        coordination is a 1-column extension)."""
+        if self.type_id in (0, 1, 4):
             return 1
         if self.type_id == 2:
             return 1 if self.use_angle_value else 2
         return 3 * len(self._local_atom_indices)
+
+    def _coordination_args(self):
+        n_a, r0, nn, mm = self.feature.get_coordination_params()
+        idx = self._local_atom_indices
+        a, b = idx[:n_a], idx[n_a:]
+        pairs = ([(i, j) for i in a for j in b] if b else
+                 [(a[i], a[j]) for i in range(len(a))
+                  for j in range(i + 1, len(a))])
+        return tuple(pairs), ((0, len(pairs)),), ((r0, nn, mm),)
 
     def __call__(self, x):
         _check_input(x, self.input_atom_num)
@@ -339,6 +350,8 @@ class FeatureMap(PytreeNode):
         if self.type_id == 2:
             d = dihedral_features(x, (idx,), self.use_angle_value)
             return d[:, :1] if self.use_angle_value else d.reshape(-1, 2)
+        if self.type_id == 4:
+            return coordination_features(x, *self._coordination_args())
         return position_features(x, idx)
 
     forward = __call__

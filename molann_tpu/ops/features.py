@@ -32,6 +32,8 @@ __all__ = [
     "angle_features",
     "dihedral_features",
     "position_features",
+    "switching_function",
+    "coordination_features",
     "apply_compiled_features",
 ]
 
@@ -84,6 +86,38 @@ def position_features(x, position_idx):
     return x[:, idx, :].reshape(x.shape[0], 3 * len(idx))
 
 
+def switching_function(r, r0, nn, mm):
+    """PLUMED rational switching ``(1-(r/r0)^nn)/(1-(r/r0)^mm)``.
+
+    For the default ``mm == 2*nn`` the algebraically identical
+    ``1/(1+(r/r0)^nn)`` is used — smooth everywhere including ``r == r0``
+    (where the general quotient is 0/0). The general form guards a
+    ``|den| < 1e-6`` window with the analytic limit ``nn/mm`` (value
+    exact at ``r0``, derivative flattened inside the window)."""
+    t = r / r0
+    if mm == 2 * nn:
+        return 1.0 / (1.0 + t**nn)
+    num = 1.0 - t**nn
+    den = 1.0 - t**mm
+    near = jnp.abs(den) < 1e-6
+    return jnp.where(near, float(nn) / float(mm),
+                     num / jnp.where(near, 1.0, den))
+
+
+def coordination_features(x, coord_pairs, coord_slices, coord_params):
+    """[l, n, 3] × static pair table → [l, nc] switching-function
+    contact counts (one column per coordination feature). Extension
+    beyond the reference feature set; see
+    :meth:`molann_tpu.feature.Feature.get_coordination_params`."""
+    outs = []
+    pairs = np.asarray(coord_pairs, dtype=np.int32).reshape(-1, 2)
+    for (start, npairs), (r0, nn, mm) in zip(coord_slices, coord_params):
+        g = _gather(x, pairs[start:start + npairs])
+        r = jnp.linalg.norm(g[:, :, 1, :] - g[:, :, 0, :], axis=-1)
+        outs.append(jnp.sum(switching_function(r, r0, nn, mm), axis=1))
+    return jnp.stack(outs, axis=1)
+
+
 def apply_compiled_features(spec: CompiledFeatures, x):
     """Evaluate all features of a compiled spec: ``[l, n, 3] → [l, d]``.
 
@@ -101,6 +135,9 @@ def apply_compiled_features(spec: CompiledFeatures, x):
         if not spec.use_angle_value:
             d = d.reshape(l, 2 * spec.n_dihedrals)
         parts.append(d)
+    if spec.n_coordinations:
+        parts.append(coordination_features(
+            x, spec.coord_pairs, spec.coord_slices, spec.coord_params))
     if spec.n_position_atoms:
         parts.append(position_features(x, spec.position_idx))
     if not parts:

@@ -73,7 +73,12 @@ UNROLLED_MAX_COLS = 96
 def select_mode(spec, n_atoms: int) -> str:
     """Pick the fused formulation for a system size: ``"unrolled"`` bakes
     everything in as immediates (fastest for small systems), ``"blocked"``
-    keeps the kernel op count O(1) (compiles fast at any scale)."""
+    keeps the kernel op count O(1) (compiles fast at any scale).
+    Coordination features only exist in the unrolled formulation (their
+    pair sums are not edge-matrix linear algebra), so their presence
+    forces it."""
+    if getattr(spec, "coord_slices", ()):
+        return "unrolled"
     if spec.out_dim <= UNROLLED_MAX_COLS and n_atoms <= UNROLLED_MAX_ATOMS:
         return "unrolled"
     return "blocked"
@@ -96,9 +101,28 @@ def active_atom_indices(model):
     already full-width)."""
     import jax.numpy as jnp
 
+    spec, align_idx, _, _, _ = _extract_model(model, jnp.float32)
+    if spec.coord_slices:
+        # blocked_layout rejects coordination specs; same active-set rule,
+        # computed here (informational — compact_grads itself is
+        # blocked-only and unavailable for these models)
+        import numpy as np
+
+        used = set()
+        for rows in (spec.angle_idx, spec.bond_idx, spec.dihedral_idx,
+                     spec.coord_pairs):
+            for row in rows:
+                used.update(int(a) for a in row)
+        used.update(int(a) for a in spec.position_idx)
+        if align_idx is not None:
+            used.update(int(a) for a in align_idx)
+        active = np.asarray(sorted(used), dtype=np.int64)
+        if active.size and 4 * active.size <= spec.n_input_atoms:
+            return active
+        return None
+
     from .fused_blocked import blocked_layout
 
-    spec, align_idx, _, _, _ = _extract_model(model, jnp.float32)
     lay = blocked_layout(spec, align_idx)
     return None if lay.active_idx is None else lay.active_idx.copy()
 
@@ -361,6 +385,38 @@ def _dihedral_rows(atoms, idx, use_angle_value):
     return [cos_phi / radius, sin_phi / radius]
 
 
+def _coordination_row(atoms, pairs, r0, nn, mm):
+    """One coordination feature on folded frames: sum of rational
+    switching functions over its (static, baked-in) pair list. Same
+    stable formulation as :func:`molann_tpu.ops.features.switching_function`
+    (exact closed form for mm == 2*nn; where-guarded 0/0 window
+    otherwise)."""
+    inv_r0 = 1.0 / float(r0)
+    acc = None
+    for i, j in pairs:
+        t = _norm3(_sub3(atoms[j], atoms[i])) * inv_r0
+        if mm == 2 * nn:
+            s = 1.0 / (1.0 + t**nn)
+        else:
+            num = 1.0 - t**nn
+            den = 1.0 - t**mm
+            near = jnp.abs(den) < 1e-6
+            s = jnp.where(near, float(nn) / float(mm),
+                          num / jnp.where(near, 1.0, den))
+        acc = s if acc is None else acc + s
+    return acc
+
+
+def _coord_specs(spec: CompiledFeatures):
+    """Per-coordination-feature (pairs, r0, nn, mm) views of the flat
+    spec tables."""
+    return [
+        (spec.coord_pairs[start:start + npairs], r0, nn, mm)
+        for (start, npairs), (r0, nn, mm)
+        in zip(spec.coord_slices, spec.coord_params)
+    ]
+
+
 def _feature_blocks(spec: CompiledFeatures, align_idx):
     """Independent feature blocks in intermediate (type-grouped) row order.
 
@@ -386,6 +442,13 @@ def _feature_blocks(spec: CompiledFeatures, align_idx):
             lambda atoms, ref, idx=idx: _dihedral_rows(
                 atoms, idx, spec.use_angle_value
             ),
+        ))
+    for pairs, r0, nn, mm in _coord_specs(spec):
+        blocks.append((
+            1,
+            lambda atoms, ref, pairs=pairs, r0=r0, nn=nn, mm=mm: [
+                _coordination_row(atoms, pairs, r0, nn, mm)
+            ],
         ))
     if spec.position_idx:
         def f_pos(atoms, ref_rows):
@@ -422,6 +485,8 @@ def _features_tiles(atoms, spec: CompiledFeatures, pos_atoms=None):
         rows.append(_bond_row(atoms, idx))
     for idx in spec.dihedral_idx:
         rows.extend(_dihedral_rows(atoms, idx, spec.use_angle_value))
+    for pairs, r0, nn, mm in _coord_specs(spec):
+        rows.append(_coordination_row(atoms, pairs, r0, nn, mm))
     for a in spec.position_idx:
         rows.extend(pos_atoms[a])
 

@@ -153,6 +153,13 @@ class BlockedLayout:
     """
 
     def __init__(self, spec: CompiledFeatures, align_idx):
+        if getattr(spec, "coord_slices", ()):
+            raise ValueError(
+                "coordination features are not supported by the blocked "
+                "formulation (their pair sums are not edge-matrix linear "
+                "algebra); use mode='unrolled' — mode='auto' selects it "
+                "automatically"
+            )
         na = spec.n_angles
         nb = spec.n_bonds
         nd = spec.n_dihedrals

@@ -45,8 +45,8 @@ class CompiledFeatures:
     """Static (hashable) compiled form of a feature list.
 
     All index fields are local indices into the input atom group. The
-    intermediate, type-grouped layout is
-    ``[angles | bonds | dihedrals(1 or 2 cols each) | positions(3 per atom)]``
+    intermediate, type-grouped layout is ``[angles | bonds |
+    dihedrals(1 or 2 cols each) | coordinations | positions(3 per atom)]``
     and ``perm`` maps it back to feature-list column order (``None`` when the
     orders coincide).
     """
@@ -60,6 +60,9 @@ class CompiledFeatures:
     position_idx: tuple = ()   # flat (a, a, ...) over all position features
     perm: tuple | None = None  # output permutation or None (identity)
     feature_dims: tuple = ()   # per-feature output dims, feature-list order
+    coord_pairs: tuple = ()    # ((i, j), ...) flat over coordination feats
+    coord_slices: tuple = ()   # per coordination feature (start, n_pairs)
+    coord_params: tuple = ()   # per coordination feature (r0, nn, mm)
 
     @property
     def n_angles(self):
@@ -77,10 +80,15 @@ class CompiledFeatures:
     def n_position_atoms(self):
         return len(self.position_idx)
 
+    @property
+    def n_coordinations(self):
+        return len(self.coord_slices)
+
 
 def _feature_dim(type_id: int, n_atoms: int, use_angle_value: bool) -> int:
-    """Output dim of one feature (reference molann/ann.py:265-286)."""
-    if type_id in (0, 1):  # angle, bond
+    """Output dim of one feature (reference molann/ann.py:265-286;
+    coordination is an extension, one scalar count per feature)."""
+    if type_id in (0, 1, 4):  # angle, bond, coordination
         return 1
     if type_id == 2:  # dihedral
         return 1 if use_angle_value else 2
@@ -97,6 +105,7 @@ def compile_features(feature_list, input_atom_indices, use_angle_value=False):
     input_list = [int(i) for i in input_atom_indices]
 
     angle_idx, bond_idx, dihedral_idx, position_idx = [], [], [], []
+    coord_pairs, coord_slices, coord_params = [], [], []
     feature_dims = []
     # Per-feature (type_id, start) into the per-type intermediate blocks.
     placements = []
@@ -118,6 +127,16 @@ def compile_features(feature_list, input_atom_indices, use_angle_value=False):
             width = 1 if use_angle_value else 2
             placements.append((2, len(dihedral_idx) * width, dim))
             dihedral_idx.append(tuple(local))
+        elif type_id == 4:
+            n_a, r0, nn, mm = f.get_coordination_params()
+            a, b = local[:n_a], local[n_a:]
+            pairs = ([(i, j) for i in a for j in b] if b else
+                     [(a[i], a[j]) for i in range(len(a))
+                      for j in range(i + 1, len(a))])
+            placements.append((4, len(coord_slices) * 1, dim))
+            coord_slices.append((len(coord_pairs), len(pairs)))
+            coord_pairs.extend(pairs)
+            coord_params.append((float(r0), int(nn), int(mm)))
         else:
             placements.append((3, len(position_idx) * 3, dim))
             position_idx.extend(local)
@@ -125,14 +144,16 @@ def compile_features(feature_list, input_atom_indices, use_angle_value=False):
     na = len(angle_idx)
     nb = len(bond_idx)
     nd = len(dihedral_idx)
+    nc = len(coord_slices)
     d_width = 1 if use_angle_value else 2
     block_offsets = {
         0: 0,
         1: na,
         2: na + nb,
-        3: na + nb + nd * d_width,
+        4: na + nb + nd * d_width,
+        3: na + nb + nd * d_width + nc,
     }
-    out_dim = na + nb + nd * d_width + 3 * len(position_idx)
+    out_dim = na + nb + nd * d_width + nc + 3 * len(position_idx)
 
     perm = []
     for (type_id, start, dim) in placements:
@@ -152,4 +173,7 @@ def compile_features(feature_list, input_atom_indices, use_angle_value=False):
         position_idx=tuple(position_idx),
         perm=perm_t,
         feature_dims=tuple(feature_dims),
+        coord_pairs=tuple(coord_pairs),
+        coord_slices=tuple(coord_slices),
+        coord_params=tuple(coord_params),
     )
