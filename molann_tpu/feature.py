@@ -82,14 +82,15 @@ class Feature:
     """
 
     def __init__(self, name, feature_type, atom_group, *, group_b=None,
-                 r0=None, nn=6, mm=None):
+                 r0=None, nn=6, mm=None, pbc_box=None):
         if feature_type not in FEATURE_TYPE_IDS:
             raise NotImplementedError(f"feature {feature_type} not implemented!")
 
         if feature_type != "coordination":
-            if group_b is not None or r0 is not None:
+            if group_b is not None or r0 is not None or pbc_box is not None:
                 raise ValueError(
-                    "group_b/r0/nn/mm are coordination-feature parameters"
+                    "group_b/r0/nn/mm/pbc_box are coordination-feature "
+                    "parameters"
                 )
         else:
             # coordination: sum over pairs (group A x group B, or all
@@ -118,6 +119,7 @@ class Feature:
             self.r0 = float(r0)
             self.nn = nn
             self.mm = mm
+            self.pbc_box = _check_pbc_box(pbc_box)
 
         if len(set(atom_group)) < len(atom_group):
             raise IndexError("atom group contains repeated elements!")
@@ -179,7 +181,8 @@ class Feature:
     def _key(self):
         extra = ()
         if self.type_name == "coordination":
-            extra = (self._group_a_size, self.r0, self.nn, self.mm)
+            extra = (self._group_a_size, self.r0, self.nn, self.mm,
+                     self.pbc_box)
         return (self.name, self.type_name,
                 tuple(int(i) for i in self.atom_group.ix), extra)
 
@@ -195,10 +198,37 @@ class Feature:
             extra = (f", groups={self._group_a_size}+"
                      f"{len(self.atom_group) - self._group_a_size}, "
                      f"r0={self.r0:g}, nn={self.nn}, mm={self.mm}")
+            if self.pbc_box is not None:
+                extra += (", box=("
+                          + ", ".join(f"{self.pbc_box[i][i]:g}"
+                                      for i in range(3)) + ")")
         return (
             f"Feature(name={self.name!r}, type={self.type_name!r}, "
             f"atoms(1-based)={self.get_atom_indices().tolist()}{extra})"
         )
+
+
+def _check_pbc_box(pbc_box):
+    """Validate a coordination feature's static box: None, 3 orthorhombic
+    lengths, or a [3, 3] lower-triangular lattice matrix (GROMACS row
+    convention). Returns a hashable tuple-of-tuples (or None)."""
+    if pbc_box is None:
+        return None
+    b = np.asarray(pbc_box, dtype=np.float64)
+    if b.shape == (3,):
+        b = np.diag(b)
+    if b.shape != (3, 3):
+        raise ValueError(
+            f"pbc_box must be 3 lengths or a [3, 3] matrix, got "
+            f"{np.shape(pbc_box)}"
+        )
+    if (np.diag(b) <= 0).any():
+        raise ValueError("pbc_box diagonal must be positive")
+    if np.abs(np.triu(b, 1)).max() > 0:
+        raise ValueError(
+            "pbc_box must be lower-triangular (GROMACS row convention)"
+        )
+    return tuple(tuple(float(v) for v in row) for row in b)
 
 
 def _parse_coordination_params(type_token):
@@ -214,7 +244,7 @@ def _parse_coordination_params(type_token):
             and type_token.endswith("]")):
         raise NotImplementedError(f"feature {type_token} not implemented!")
     kw = {}
-    names = {"r0": "r0", "n": "nn", "m": "mm"}
+    names = {"r0": "r0", "n": "nn", "m": "mm", "box": "pbc_box"}
     body = type_token[len("coordination["):-1]
     for tok in body.split():
         if "=" not in tok:
@@ -223,8 +253,19 @@ def _parse_coordination_params(type_token):
         key, val = tok.split("=", 1)
         if key not in names:
             raise ValueError(f"unknown coordination parameter {key!r} "
-                             "(r0, n, m)")
-        kw[names[key]] = float(val) if key == "r0" else int(val)
+                             "(r0, n, m, box)")
+        if key == "box":
+            # orthorhombic lengths, colon-separated (commas split the
+            # feature line): box=8:8:8
+            try:
+                kw["pbc_box"] = [float(v) for v in val.split(":")]
+            except ValueError:
+                raise ValueError(f"bad box lengths {val!r} "
+                                 "(want box=lx:ly:lz)")
+        elif key == "r0":
+            kw["r0"] = float(val)
+        else:
+            kw[names[key]] = int(val)
     if "r0" not in kw:
         raise ValueError("coordination parameters must include r0=")
     return kw

@@ -87,6 +87,8 @@ def _feature_to_dict(f: Feature, saver):
         n_a, r0, nn, mm = f.get_coordination_params()
         d["coord"] = {"n_a": int(n_a), "r0": float(r0),
                       "nn": int(nn), "mm": int(mm)}
+        if f.pbc_box is not None:
+            d["coord"]["box"] = [list(row) for row in f.pbc_box]
     pos = getattr(ag, "positions", None)
     if pos is not None:
         d["positions"] = saver.array(np.asarray(pos, dtype=np.float32))
@@ -104,7 +106,8 @@ def _feature_from_dict(d, arrays):
             ix[n_a:], pos[n_a:] if pos is not None else None)
             if len(ix) > n_a else None)
         return Feature(d["name"], "coordination", ag_a, group_b=ag_b,
-                       r0=c["r0"], nn=c["nn"], mm=c["mm"])
+                       r0=c["r0"], nn=c["nn"], mm=c["mm"],
+                       pbc_box=c.get("box"))
     ag = FrozenAtomGroup(d["ix"], pos)
     return Feature(d["name"], d["type"], ag)
 
@@ -176,6 +179,10 @@ def _spec_to_dict(spec: CompiledFeatures):
         "coord_pairs": [list(t) for t in spec.coord_pairs],
         "coord_slices": [list(t) for t in spec.coord_slices],
         "coord_params": [list(t) for t in spec.coord_params],
+        "coord_boxes": [
+            None if b is None else [list(row) for row in b]
+            for b in spec.coord_boxes
+        ],
     }
 
 
@@ -196,6 +203,14 @@ def _spec_from_dict(d):
         coord_params=tuple(
             (float(r0), int(nn), int(mm))
             for r0, nn, mm in d.get("coord_params", ())
+        ),
+        coord_boxes=tuple(
+            None if b is None
+            else tuple(tuple(float(v) for v in row) for row in b)
+            for b in d.get(
+                "coord_boxes",
+                (None,) * len(d.get("coord_slices", ())),
+            )
         ),
     )
 

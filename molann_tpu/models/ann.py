@@ -338,7 +338,9 @@ class FeatureMap(PytreeNode):
         pairs = ([(i, j) for i in a for j in b] if b else
                  [(a[i], a[j]) for i in range(len(a))
                   for j in range(i + 1, len(a))])
-        return tuple(pairs), ((0, len(pairs)),), ((r0, nn, mm),)
+        box = getattr(self.feature, "pbc_box", None)
+        return (tuple(pairs), ((0, len(pairs)),), ((r0, nn, mm),),
+                (box,))
 
     def __call__(self, x):
         _check_input(x, self.input_atom_num)

@@ -65,21 +65,23 @@ _SUB = 8  # max sublane fold of the frame axis
 
 # Envelope of the unrolled (fully-immediate) kernels: past this the Mosaic
 # op count (and compile time) grows too large and the blocked formulation
-# (ops/fused_blocked.py, O(1) op count) takes over.
+# (ops/fused_blocked.py, O(1) op count) takes over. Coordination pairs are
+# unrolled one switching function at a time (~10 ops each), so large pair
+# lists blow the op count just like large feature sets do.
 UNROLLED_MAX_ATOMS = 64
 UNROLLED_MAX_COLS = 96
+UNROLLED_MAX_COORD_PAIRS = 96
 
 
 def select_mode(spec, n_atoms: int) -> str:
     """Pick the fused formulation for a system size: ``"unrolled"`` bakes
     everything in as immediates (fastest for small systems), ``"blocked"``
-    keeps the kernel op count O(1) (compiles fast at any scale).
-    Coordination features only exist in the unrolled formulation (their
-    pair sums are not edge-matrix linear algebra), so their presence
-    forces it."""
-    if getattr(spec, "coord_slices", ()):
-        return "unrolled"
-    if spec.out_dim <= UNROLLED_MAX_COLS and n_atoms <= UNROLLED_MAX_ATOMS:
+    keeps the kernel op count O(1) in atoms/features (coordination pair
+    differences ride the edge matmul; their switching sums are per-feature
+    tile reductions) — compiles fast at any scale."""
+    n_pairs = sum(np_ for _, np_ in getattr(spec, "coord_slices", ()))
+    if (spec.out_dim <= UNROLLED_MAX_COLS and n_atoms <= UNROLLED_MAX_ATOMS
+            and n_pairs <= UNROLLED_MAX_COORD_PAIRS):
         return "unrolled"
     return "blocked"
 
@@ -102,25 +104,6 @@ def active_atom_indices(model):
     import jax.numpy as jnp
 
     spec, align_idx, _, _, _ = _extract_model(model, jnp.float32)
-    if spec.coord_slices:
-        # blocked_layout rejects coordination specs; same active-set rule,
-        # computed here (informational — compact_grads itself is
-        # blocked-only and unavailable for these models)
-        import numpy as np
-
-        used = set()
-        for rows in (spec.angle_idx, spec.bond_idx, spec.dihedral_idx,
-                     spec.coord_pairs):
-            for row in rows:
-                used.update(int(a) for a in row)
-        used.update(int(a) for a in spec.position_idx)
-        if align_idx is not None:
-            used.update(int(a) for a in align_idx)
-        active = np.asarray(sorted(used), dtype=np.int64)
-        if active.size and 4 * active.size <= spec.n_input_atoms:
-            return active
-        return None
-
     from .fused_blocked import blocked_layout
 
     lay = blocked_layout(spec, align_idx)
@@ -385,35 +368,52 @@ def _dihedral_rows(atoms, idx, use_angle_value):
     return [cos_phi / radius, sin_phi / radius]
 
 
-def _coordination_row(atoms, pairs, r0, nn, mm):
+def _min_image3(d, box):
+    """Minimum image of a displacement vector (tuple of [S, C] tiles)
+    under a STATIC lower-triangular box (tuple-of-tuples, entries baked
+    in as immediates; zero entries cost nothing)."""
+    d = list(d)
+    for i in (2, 1, 0):
+        shift = jnp.round(d[i] * (1.0 / box[i][i]))
+        for j in range(3):
+            if box[i][j] != 0.0:
+                d[j] = d[j] - shift * box[i][j]
+    return tuple(d)
+
+
+def _coordination_row(atoms, pairs, r0, nn, mm, box=None):
     """One coordination feature on folded frames: sum of rational
-    switching functions over its (static, baked-in) pair list. Same
-    stable formulation as :func:`molann_tpu.ops.features.switching_function`
-    (exact closed form for mm == 2*nn; where-guarded 0/0 window
-    otherwise)."""
+    switching functions over its (static, baked-in) pair list, with
+    optional static-box minimum-image distances. Same stable formulation
+    as :func:`molann_tpu.ops.features.switching_function` (exact closed
+    form for mm == 2*nn; quotient of geometric sums otherwise — the
+    naive (1-t^nn)/(1-t^mm) is ill-conditioned near r == r0)."""
+    from .features import geometric_sum
+
     inv_r0 = 1.0 / float(r0)
     acc = None
     for i, j in pairs:
-        t = _norm3(_sub3(atoms[j], atoms[i])) * inv_r0
+        d = _sub3(atoms[j], atoms[i])
+        if box is not None:
+            d = _min_image3(d, box)
+        t = _norm3(d) * inv_r0
         if mm == 2 * nn:
             s = 1.0 / (1.0 + t**nn)
         else:
-            num = 1.0 - t**nn
-            den = 1.0 - t**mm
-            near = jnp.abs(den) < 1e-6
-            s = jnp.where(near, float(nn) / float(mm),
-                          num / jnp.where(near, 1.0, den))
+            s = geometric_sum(t, nn) / geometric_sum(t, mm)
         acc = s if acc is None else acc + s
     return acc
 
 
 def _coord_specs(spec: CompiledFeatures):
-    """Per-coordination-feature (pairs, r0, nn, mm) views of the flat
-    spec tables."""
+    """Per-coordination-feature (pairs, r0, nn, mm, box) views of the
+    flat spec tables."""
+    boxes = getattr(spec, "coord_boxes", None) or (None,) * len(
+        spec.coord_slices)
     return [
-        (spec.coord_pairs[start:start + npairs], r0, nn, mm)
-        for (start, npairs), (r0, nn, mm)
-        in zip(spec.coord_slices, spec.coord_params)
+        (spec.coord_pairs[start:start + npairs], r0, nn, mm, box)
+        for (start, npairs), (r0, nn, mm), box
+        in zip(spec.coord_slices, spec.coord_params, boxes)
     ]
 
 
@@ -443,11 +443,11 @@ def _feature_blocks(spec: CompiledFeatures, align_idx):
                 atoms, idx, spec.use_angle_value
             ),
         ))
-    for pairs, r0, nn, mm in _coord_specs(spec):
+    for pairs, r0, nn, mm, box in _coord_specs(spec):
         blocks.append((
             1,
-            lambda atoms, ref, pairs=pairs, r0=r0, nn=nn, mm=mm: [
-                _coordination_row(atoms, pairs, r0, nn, mm)
+            lambda atoms, ref, pairs=pairs, r0=r0, nn=nn, mm=mm, box=box: [
+                _coordination_row(atoms, pairs, r0, nn, mm, box)
             ],
         ))
     if spec.position_idx:
@@ -485,8 +485,8 @@ def _features_tiles(atoms, spec: CompiledFeatures, pos_atoms=None):
         rows.append(_bond_row(atoms, idx))
     for idx in spec.dihedral_idx:
         rows.extend(_dihedral_rows(atoms, idx, spec.use_angle_value))
-    for pairs, r0, nn, mm in _coord_specs(spec):
-        rows.append(_coordination_row(atoms, pairs, r0, nn, mm))
+    for pairs, r0, nn, mm, box in _coord_specs(spec):
+        rows.append(_coordination_row(atoms, pairs, r0, nn, mm, box))
     for a in spec.position_idx:
         rows.extend(pos_atoms[a])
 

@@ -12,7 +12,8 @@ Design (TPU-first, no reference counterpart — the reference evaluates
 features in a per-feature Python loop, molann/ann.py:473):
 
 - **Gathers become one MXU matmul.** All per-feature atom gathers and
-  coordinate differences (bond/angle/dihedral edge vectors) fold into a
+  coordinate differences (bond/angle/dihedral edge vectors, coordination
+  pair differences) fold into a
   single constant *edge matrix* ``D [m, n]`` built on the host from the
   compiled spec: ``E_i = D @ x_i`` per component, where ``x`` is
   component-major ``[3, n, TILE]``. D is exactly 0/+-1, hence bf16-exact,
@@ -142,33 +143,37 @@ class BlockedLayout:
       D: ``[m, n]`` float32 numpy edge matrix (per-component).
       Segment offsets into the m rows of ``E_i = D @ x_i``:
         ``o_r21/o_r23`` (na rows each), ``o_b`` (nb), ``o_d12/o_d23/o_d34``
-        (nd each), ``o_al`` (n_align, centered align coords), ``o_pos``
-        (np, centered position coords).
+        (nd each), ``o_c[k]`` (one aligned block of pair differences per
+        coordination feature), ``o_al`` (n_align, centered align coords),
+        ``o_pos`` (np, centered position coords).
       perm_b: ``[d]`` int64 — final feature column c reads PADDED blocked
         row ``perm_b[c]``. Blocked row order is type-grouped
         component-major with every block 8-row aligned: ``[angles | bonds |
-        dih_cos.. | dih_sin.. (or phi..) | pos_x.. | pos_y.. | pos_z..]``;
-        ``d_pad`` total rows. The perm + padding fold into the first MLP
+        dih_cos.. | dih_sin.. (or phi..) | coord.. | pos_x.. | pos_y.. |
+        pos_z..]``; ``d_pad`` total rows. The perm + padding fold into the first MLP
         weight matrix (zero columns for pad rows) — free at run time.
     """
 
     def __init__(self, spec: CompiledFeatures, align_idx):
-        if getattr(spec, "coord_slices", ()):
-            raise ValueError(
-                "coordination features are not supported by the blocked "
-                "formulation (their pair sums are not edge-matrix linear "
-                "algebra); use mode='unrolled' — mode='auto' selects it "
-                "automatically"
-            )
         na = spec.n_angles
         nb = spec.n_bonds
         nd = spec.n_dihedrals
+        nc = spec.n_coordinations
         npos = spec.n_position_atoms
         n = spec.n_input_atoms
         uav = spec.use_angle_value
         w = 1 if uav else 2
 
         self.na, self.nb, self.nd, self.npos = na, nb, nd, npos
+        self.nc = nc
+        # Per-coordination-feature static params ride the layout (baked
+        # into the kernel as immediates, like the unrolled path).
+        self.coord_params = tuple(spec.coord_params)
+        self.coord_boxes = tuple(
+            getattr(spec, "coord_boxes", None)
+            or (None,) * len(spec.coord_slices)
+        )
+        self.coord_npairs = tuple(npairs for _, npairs in spec.coord_slices)
         self.n_atoms = n
         self.use_angle_value = uav
         # Alignment only matters for position features (bond/angle/dihedral
@@ -199,6 +204,8 @@ class BlockedLayout:
             used.update(int(a) for a in row)
         for row in spec.dihedral_idx:
             used.update(int(a) for a in row)
+        for i, j in spec.coord_pairs:
+            used.update((int(i), int(j)))
         used.update(int(a) for a in spec.position_idx)
         if self.has_align:
             used.update(int(a) for a in align_idx)
@@ -235,6 +242,12 @@ class BlockedLayout:
         o = up8(o + nd)
         self.o_d34 = o
         o = up8(o + nd)
+        # one 8-aligned edge block PER coordination feature (its pair
+        # differences), so each feature's rows slice free of relayouts
+        self.o_c = []
+        for npairs in self.coord_npairs:
+            self.o_c.append(o)
+            o = up8(o + npairs)
         self.o_al = o
         o = up8(o + self.n_align)
         self.o_pos = o
@@ -257,6 +270,12 @@ class BlockedLayout:
             D[self.o_d23 + k, c(a1)] -= 1.0
             D[self.o_d34 + k, c(a3)] += 1.0
             D[self.o_d34 + k, c(a2)] -= 1.0
+        for kf, (start, npairs) in enumerate(spec.coord_slices):
+            for p, (i, j) in enumerate(
+                spec.coord_pairs[start : start + npairs]
+            ):
+                D[self.o_c[kf] + p, c(j)] += 1.0  # d = x[j] - x[i]
+                D[self.o_c[kf] + p, c(i)] -= 1.0
         if self.has_align:
             # raw gathers only — the centroid subtraction happens in-kernel
             # so D stays exactly 0/+-1 (bf16-exact, enabling the 3-pass
@@ -281,6 +300,8 @@ class BlockedLayout:
         if not uav:
             self.f_dsin = f
             f = up8(f + nd)
+        self.f_c = f  # one row per coordination feature
+        f = up8(f + nc) if nc else f
         self.f_pos = f  # 3 component blocks, each aligned
         pos_blk = up8(npos)
         f += 3 * pos_blk if npos else 0
@@ -300,6 +321,8 @@ class BlockedLayout:
                 s2b[base_s + 2 * k] = self.f_d + k
                 s2b[base_s + 2 * k + 1] = self.f_dsin + k
         base_s = na + nb + w * nd
+        s2b[base_s : base_s + nc] = self.f_c + np.arange(nc)
+        base_s = na + nb + w * nd + nc
         for a in range(npos):
             for i in range(3):
                 s2b[base_s + 3 * a + i] = self.f_pos + i * pos_blk + a
@@ -377,6 +400,8 @@ def _seg_plan(lay: BlockedLayout):
             ("d23", lay.o_d23, lay.nd),
             ("d34", lay.o_d34, lay.nd),
         ]
+    for k in range(lay.nc):
+        plan += [(f"c{k}", lay.o_c[k], lay.coord_npairs[k])]
     if lay.has_align:
         plan += [("al", lay.o_al, lay.n_align)]
     if lay.npos:
@@ -482,6 +507,38 @@ def _feats_from_segs(segs, tensors, lay: BlockedLayout, activation, T,
             rinv = jax.lax.rsqrt(cos_phi * cos_phi + sin_phi * sin_phi)
             put(cos_phi * rinv, lay.f_d)
             put(sin_phi * rinv, lay.f_dsin)
+    if lay.nc:
+        # one row per coordination feature: switching-function sum over
+        # its pair-difference edge rows (same stable formulation as
+        # ops.features.switching_function; params are immediates)
+        rows = []
+        for k in range(lay.nc):
+            d = [S[f"c{k}"][i] for i in range(3)]
+            box = lay.coord_boxes[k]
+            if box is not None:
+                # static lower-triangular minimum image (zero entries
+                # cost nothing; round() is gradient-transparent)
+                for i in (2, 1, 0):
+                    shift = jnp.round(d[i] * (1.0 / box[i][i]))
+                    for j in range(3):
+                        if box[i][j] != 0.0:
+                            d[j] = d[j] - shift * box[i][j]
+            r0, nn, mm = lay.coord_params[k]
+            t = jnp.sqrt(d[0] * d[0] + d[1] * d[1] + d[2] * d[2]) * (
+                1.0 / float(r0)
+            )
+            if mm == 2 * nn:
+                s = 1.0 / (1.0 + t**nn)
+            else:
+                # quotient of geometric sums — see
+                # ops.features.switching_function for the conditioning
+                # rationale (naive 1-t^mm cancels catastrophically at r0)
+                from .features import geometric_sum
+
+                s = geometric_sum(t, nn) / geometric_sum(t, mm)
+            rows.append(jnp.sum(s, axis=0, keepdims=True))
+        put(jnp.concatenate(rows, 0) if len(rows) > 1 else rows[0],
+            lay.f_c)
     if lay.npos:
         V = list(S["pos"])
         if lay.has_align:

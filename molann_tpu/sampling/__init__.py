@@ -35,7 +35,7 @@ from .msm import (
     transition_matrix,
 )
 from .pathcv import PathCV
-from .potentials import ToyPeptidePotential
+from .potentials import LennardJonesPotential, ToyPeptidePotential
 from .remd import replica_exchange_langevin
 from .tpt import TPT, forward_committor, tpt
 from .string import grid_interpolator, linear_path, string_method
@@ -54,6 +54,7 @@ def load_bias(path):
 
 __all__ = [
     "ToyPeptidePotential",
+    "LennardJonesPotential",
     "overdamped_langevin",
     "baoab_langevin",
     "kinetic_temperature",

@@ -29,7 +29,7 @@ import numpy as np
 
 from ..ops.features import bond_features, dihedral_features
 
-__all__ = ["ToyPeptidePotential"]
+__all__ = ["ToyPeptidePotential", "LennardJonesPotential"]
 
 
 def _bond_graph(pos: np.ndarray, cutoff: float):
@@ -46,6 +46,69 @@ def _bond_graph(pos: np.ndarray, cutoff: float):
                 adj[j].append(i)
                 pairs.append((i, j))
     return adj, pairs, d
+
+
+class LennardJonesPotential:
+    """Periodic all-pairs Lennard-Jones fluid, ``energy(x: [l, n, 3]) ->
+    [l]`` — the condensed-phase stand-in MD engine (pairs with
+    :func:`molann_tpu.systems.lj_fluid`).
+
+    ``4 eps ((sigma/r)^12 - (sigma/r)^6)`` over all atom pairs with
+    minimum-image distances under a static orthorhombic box, truncated
+    and energy-shifted at ``cutoff`` (default: half the shortest box
+    side). All-pairs (no neighbor list) is exact and vectorizes cleanly
+    on TPU up to a few hundred atoms — the library's demo scale; the
+    coordination CVs evaluated on these trajectories use the same
+    minimum-image convention (``Feature(..., pbc_box=box)``).
+
+    :param n_atoms: number of atoms (pair table built at construction)
+    :param box: ``[3]`` orthorhombic box lengths
+    :param sigma: LJ length scale; a cubic lattice of spacing ``a`` sits
+        near the minimum when ``sigma ≈ a / 2**(1/6)``
+    """
+
+    def __init__(self, n_atoms, box, *, epsilon=1.0, sigma=1.0,
+                 cutoff=None):
+        n = int(n_atoms)
+        self.pair_idx = np.asarray(
+            [(i, j) for i in range(n) for j in range(i + 1, n)],
+            dtype=np.int32,
+        ).reshape(-1, 2)
+        box = np.asarray(box, dtype=np.float64)
+        if box.shape != (3,) or (box <= 0).any():
+            raise ValueError(
+                f"box must be 3 positive orthorhombic lengths, got {box!r}"
+            )
+        self.box = tuple(float(b) for b in box)
+        self.epsilon = float(epsilon)
+        self.sigma = float(sigma)
+        rc = float(cutoff) if cutoff is not None else 0.5 * float(box.min())
+        if not 0.0 < rc <= 0.5 * float(box.min()):
+            raise ValueError(
+                f"cutoff {rc} must be in (0, half the shortest box side] "
+                f"(minimum image sees one periodic copy per pair)"
+            )
+        self.cutoff = rc
+        s6 = (self.sigma / rc) ** 6
+        self._shift = 4.0 * self.epsilon * (s6 * s6 - s6)
+
+    def energy(self, x):
+        """Total energy, ``[l, n, 3] -> [l]``."""
+        x = jnp.asarray(x, jnp.float32)
+        d = x[:, self.pair_idx[:, 1], :] - x[:, self.pair_idx[:, 0], :]
+        L = jnp.asarray(self.box, x.dtype)
+        d = d - jnp.round(d / L) * L
+        r2 = jnp.sum(d * d, axis=-1)
+        inside = r2 < self.cutoff * self.cutoff
+        # guard the excluded branch: grad(where) still differentiates the
+        # untaken expression, and beyond-cutoff r2 feeding a tiny inv6 is
+        # fine, but keep r2 strictly positive for the r -> 0 pole
+        safe_r2 = jnp.maximum(r2, 1e-12)
+        inv6 = (self.sigma * self.sigma / safe_r2) ** 3
+        e = 4.0 * self.epsilon * (inv6 * inv6 - inv6) - self._shift
+        return jnp.sum(jnp.where(inside, e, 0.0), axis=-1)
+
+    __call__ = energy
 
 
 class ToyPeptidePotential:

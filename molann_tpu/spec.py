@@ -63,6 +63,9 @@ class CompiledFeatures:
     coord_pairs: tuple = ()    # ((i, j), ...) flat over coordination feats
     coord_slices: tuple = ()   # per coordination feature (start, n_pairs)
     coord_params: tuple = ()   # per coordination feature (r0, nn, mm)
+    coord_boxes: tuple = ()    # per coordination feature: None or a static
+    #                            lower-triangular 3x3 (tuple-of-tuples) for
+    #                            minimum-image pair distances
 
     @property
     def n_angles(self):
@@ -105,7 +108,7 @@ def compile_features(feature_list, input_atom_indices, use_angle_value=False):
     input_list = [int(i) for i in input_atom_indices]
 
     angle_idx, bond_idx, dihedral_idx, position_idx = [], [], [], []
-    coord_pairs, coord_slices, coord_params = [], [], []
+    coord_pairs, coord_slices, coord_params, coord_boxes = [], [], [], []
     feature_dims = []
     # Per-feature (type_id, start) into the per-type intermediate blocks.
     placements = []
@@ -137,6 +140,7 @@ def compile_features(feature_list, input_atom_indices, use_angle_value=False):
             coord_slices.append((len(coord_pairs), len(pairs)))
             coord_pairs.extend(pairs)
             coord_params.append((float(r0), int(nn), int(mm)))
+            coord_boxes.append(getattr(f, "pbc_box", None))
         else:
             placements.append((3, len(position_idx) * 3, dim))
             position_idx.extend(local)
@@ -176,4 +180,5 @@ def compile_features(feature_list, input_atom_indices, use_angle_value=False):
         coord_pairs=tuple(coord_pairs),
         coord_slices=tuple(coord_slices),
         coord_params=tuple(coord_params),
+        coord_boxes=tuple(coord_boxes),
     )

@@ -30,6 +30,8 @@ __all__ = [
     "synthetic_peptide",
     "peptide_backbone_features",
     "peptide_model",
+    "lj_fluid",
+    "lj_fluid_model",
 ]
 
 # (name, resname, resid, x, y, z)
@@ -180,6 +182,63 @@ def peptide_model(n_residues: int = 10, hidden_dims=(32, 2), method="qcp",
         key=key if key is not None else jax.random.PRNGKey(0),
     )
     return MolANN(pp, nn), u
+
+
+def lj_fluid(n_per_side: int = 5, spacing: float = 1.7, jitter: float = 0.05,
+             seed: int = 0):
+    """A periodic Lennard-Jones-like fluid: ``n_per_side**3`` atoms on a
+    jittered cubic lattice in a cubic box of side ``n_per_side * spacing``.
+
+    The condensed-phase stand-in for coordination-number CVs at scale
+    (all-pairs contact counts over hundreds of atoms → thousands of
+    switching-function pairs, the workload the blocked fused formulation
+    exists for). Returns ``(universe, box)`` where ``box`` is the
+    ``[3]`` float array of orthorhombic box lengths — pass it as a
+    coordination feature's ``pbc_box`` so contacts across the periodic
+    boundary count via minimum image.
+    """
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    n = int(n_per_side)
+    grid = np.stack(
+        np.meshgrid(*(np.arange(n),) * 3, indexing="ij"), axis=-1
+    ).reshape(-1, 3).astype(np.float64)
+    coords = (grid + 0.5) * spacing + jitter * spacing * rng.normal(
+        size=grid.shape
+    )
+    n_atoms = n**3
+    u = Universe.from_arrays(
+        coords,
+        names=["AR"] * n_atoms,
+        resnames=["AR"] * n_atoms,
+        resids=list(range(1, n_atoms + 1)),
+    )
+    return u, np.full((3,), n * spacing, dtype=np.float64)
+
+
+def lj_fluid_model(n_per_side: int = 5, spacing: float = 1.7,
+                   hidden_dims=(8, 1), seed: int = 0, key=None):
+    """Condensed-phase flagship: two all-pairs coordination shells (first
+    and second neighbor distance, minimum image under the periodic box)
+    over an :func:`lj_fluid` → MLP. At the default size this is 125 atoms
+    and 2 × 7750 switching-function pairs — far past the unrolled-kernel
+    envelope, so ``mode="auto"`` dispatches the blocked edge-matrix
+    formulation. Returns ``(model, universe, box)``."""
+    u, box = lj_fluid(n_per_side, spacing, seed=seed)
+    feats = [
+        Feature("shell1", "coordination", u.atoms, r0=1.35 * spacing,
+                pbc_box=box),
+        Feature("shell2", "coordination", u.atoms, r0=2.2 * spacing,
+                nn=4, mm=8, pbc_box=box),
+    ]
+    flayer = FeatureLayer(feats, u.atoms)
+    pp = PreprocessingANN(None, flayer)
+    nn = create_sequential_nn(
+        [pp.output_dimension(), *hidden_dims],
+        key=key if key is not None else jax.random.PRNGKey(0),
+    )
+    return MolANN(pp, nn), u, box
 
 
 def alanine_model(hidden_dims=(5, 3), method="qcp", use_angle_value=False,

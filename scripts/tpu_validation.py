@@ -717,7 +717,8 @@ def main():
     cfeats = [
         Feature("b1", "bond", u.select_atoms("bynum 2 5")),
         Feature("c1", "coordination", u.select_atoms("bynum 2 5 9"),
-                group_b=u.select_atoms("bynum 15 17 19"), r0=3.0),
+                group_b=u.select_atoms("bynum 15 17 19"), r0=3.0,
+                pbc_box=[24.0, 24.0, 24.0]),  # compiled min-image path
         Feature("c2", "coordination", u.select_atoms("bynum 2 5 9"),
                 r0=4.0, nn=4, mm=10),
     ]
@@ -745,6 +746,45 @@ def main():
     # gradient; ~2e-4 relative is the observed compiled-vs-XLA spread
     check("coordination features: compiled fused grads == jax.grad",
           gerr < 5e-4, f"rel={gerr:.2e}")
+    # blocked formulation (pair differences ride the edge matmul)
+    yb, gb = jax.jit(lambda m, v: fused_cv_forces(
+        m, v, tile=256, mode="blocked"))(cmodel, xc)
+    berr = float(np.abs(np.asarray(yb) - yj).max())
+    bgerr = float(np.abs(
+        np.asarray(gb).reshape(gj_n.shape) - gj_n).max()) / scale
+    check("coordination features: compiled BLOCKED fwd+grads == XLA",
+          berr < 5e-5 and bgerr < 5e-4,
+          f"max|err|={berr:.2e} grad rel={bgerr:.2e}")
+
+    # -- condensed phase: LJ-fluid coordination shells at scale ------------
+    from molann_tpu.ops.fused import model_select_mode
+    from molann_tpu.systems import lj_fluid_model
+
+    fm, fu, _fbox = lj_fluid_model(5)  # 125 atoms, 2 x 7750 pairs
+    fspec = fm.preprocessing_layer.feature_layer._spec
+    n_pairs = sum(n for _, n in fspec.coord_slices)
+    assert model_select_mode(fm) == "blocked"
+    xf = jnp.asarray(
+        fu.atoms.positions[None]
+        + 0.3 * rng.normal(size=(2048, len(fu.atoms), 3)), jnp.float32)
+    t0 = time.time()
+    fwd_bwd = jax.jit(lambda m, v: fused_cv_forces(m, v, tile=256))
+    yf, gf = fwd_bwd(fm, xf)
+    yf_n = np.asarray(yf)
+    compile_s = time.time() - t0
+    yj = np.asarray(jax.jit(lambda m, v: m(v))(fm, xf))
+    gj = np.asarray(jax.jit(jax.grad(lambda v: jnp.sum(fm(v))))(xf))
+    cverr = float(np.abs(yf_n - yj).max()) / max(float(np.abs(yj).max()),
+                                                 1e-9)
+    cgerr = float(np.abs(np.asarray(gf).reshape(gj.shape) - gj).max()) / max(
+        float(np.abs(gj).max()), 1e-9)
+    t0 = time.time()
+    _ = float(np.asarray(fwd_bwd(fm, xf)[1])[0, 0, 0])
+    rate = xf.shape[0] / (time.time() - t0)
+    check(f"condensed phase: {n_pairs}-pair blocked coordination fwd+bwd",
+          cverr < 1e-4 and cgerr < 5e-4,
+          f"rel v={cverr:.2e} g={cgerr:.2e} compile={compile_s:.0f}s "
+          f"{rate / 1e3:.0f}K frames/s (single small dispatch)")
 
     # -- periodic boundaries ----------------------------------------------
     from molann_tpu.pbc import guess_bonds, make_whole, unwrap_time, wrap

@@ -1,7 +1,7 @@
 """Coordination-number features (extension beyond the reference feature
 set): switching-function math vs numpy oracles, validation, layer/perm
-integration, fused-kernel parity, serialization, file grammar, and the
-blocked-formulation guard rails."""
+integration, fused-kernel parity (unrolled AND blocked formulations),
+serialization, file grammar, and periodic-box minimum-image distances."""
 
 import numpy as np
 import pytest
@@ -246,24 +246,124 @@ def test_fused_train_grads_match_jnp(u, coord_model, rng):
                                    atol=1e-4)
 
 
-def test_mode_selection_and_blocked_guard(u, coord_model):
+def test_mode_selection(u, coord_model):
     from molann_tpu.ops.fused import (
         active_atom_indices,
-        fused_cv_forces,
         model_select_mode,
+        select_mode,
     )
-    from molann_tpu.ops.fused_blocked import blocked_layout
 
+    # small system, small pair count: unrolled wins
     assert model_select_mode(coord_model) == "unrolled"
-    spec = coord_model.preprocessing_layer.feature_layer._spec
-    with pytest.raises(ValueError, match="not supported by the blocked"):
-        blocked_layout(spec, None)
-    with pytest.raises(ValueError, match="blocked"):
-        fused_cv_forces(coord_model,
-                        jnp.zeros((4, 22, 3), jnp.float32),
-                        mode="blocked", interpret=True)
     # active set: the 7 touched atoms of 22 (> n/4 -> full-width None)
     assert active_atom_indices(coord_model) is None
+    # a large pair list blows the unrolled op count -> blocked
+    from molann_tpu.spec import compile_features
+    from molann_tpu.systems import synthetic_peptide
+
+    up = synthetic_peptide(10)  # 50 atoms
+    ca = up.select_atoms("name CA")  # 10 atoms within-A: 45 pairs
+    big = Feature("cbig", "coordination", up.select_atoms("name CA or name N"),
+                  r0=6.0)  # 20 atoms -> 190 pairs
+    spec = compile_features([big], up.atoms.ix, False)
+    assert select_mode(spec, len(up.atoms)) == "blocked"
+    small = Feature("csmall", "coordination", ca, r0=6.0)
+    spec_s = compile_features([small], up.atoms.ix, False)
+    assert select_mode(spec_s, len(up.atoms)) == "unrolled"
+
+
+def test_blocked_matches_jnp(u, coord_model, rng):
+    """Coordination features through the blocked edge-matrix kernels:
+    forward, coordinate gradients, and parameter gradients all match the
+    XLA path (pair differences are edge rows; switching sums are
+    per-feature tile reductions)."""
+    from molann_tpu.ops.fused import (
+        fused_cv_forces,
+        fused_model_forward,
+        fused_train_grads,
+    )
+
+    m = coord_model
+    x = jnp.asarray((u.atoms.positions[None]
+                     + 0.2 * rng.normal(size=(8, 22, 3))).astype(np.float32))
+    yk = fused_model_forward(m, x, tile=32, interpret=True, mode="blocked")
+    np.testing.assert_allclose(np.asarray(yk), np.asarray(m(x)), atol=5e-6)
+    yv, g = fused_cv_forces(m, x, tile=32, interpret=True, mode="blocked")
+    gj = jax.grad(lambda xx: jnp.sum(m(xx)))(x)
+    np.testing.assert_allclose(np.asarray(yv), np.asarray(m(x)), atol=5e-6)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(gj), atol=5e-6)
+
+    # single-kernel training grads
+    y_t = jnp.asarray(rng.normal(size=(8, 2)).astype(np.float32))
+    loss_b, grads_b = fused_train_grads(
+        m, x, y_t, tile=32, interpret=True, mode="blocked",
+        precision="exact")
+
+    def loss_fn(mm):
+        return jnp.mean((mm(x) - y_t) ** 2)
+
+    loss_j, grads_j = jax.value_and_grad(loss_fn)(m)
+    assert float(loss_b) == pytest.approx(float(loss_j), rel=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(grads_b),
+                    jax.tree_util.tree_leaves(grads_j)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_blocked_feature_layer_only_with_box(u, groups, rng):
+    """Blocked kernels on a FeatureLayer-only model whose coordination
+    features carry a static pbc_box (minimum-image pair distances) plus a
+    perm-exercising mixed feature list."""
+    from molann_tpu.ops.fused import fused_cv_forces, fused_model_forward
+
+    ag_a, ag_b = groups
+    feats = [
+        Feature("c1", "coordination", ag_a, group_b=ag_b, r0=3.0,
+                pbc_box=[7.0, 8.0, 9.0]),
+        Feature("b1", "bond", u.select_atoms("bynum 2 5")),
+        Feature("c2", "coordination", ag_a, r0=4.0, nn=4, mm=10),
+    ]
+    fl = FeatureLayer(feats, u.atoms)
+    pp = PreprocessingANN(None, fl)
+    x = jnp.asarray((u.atoms.positions[None]
+                     + 2.0 * rng.normal(size=(8, 22, 3))).astype(np.float32))
+    y_b = fused_model_forward(pp, x, tile=32, interpret=True, mode="blocked")
+    np.testing.assert_allclose(np.asarray(y_b), np.asarray(pp(x)), atol=5e-6)
+    yv, g = fused_cv_forces(pp, x, tile=32, interpret=True, mode="blocked",
+                            component=0)
+    gj = jax.grad(lambda xx: jnp.sum(pp(xx)[:, 0]))(x)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(gj), atol=5e-6)
+
+
+def test_blocked_large_pair_count_parity(rng):
+    """The case the blocked formulation exists for: a pair list far past
+    the unrolled envelope still matches the XLA path."""
+    from molann_tpu.models.ann import FeatureLayer as FL
+    from molann_tpu.ops.fused import (
+        fused_cv_forces,
+        fused_model_forward,
+        model_select_mode,
+    )
+    from molann_tpu.systems import synthetic_peptide
+
+    up = synthetic_peptide(8)  # 40 atoms
+    heavy = up.select_atoms("name CA or name N or name C")  # 24 atoms
+    feats = [
+        Feature("cbig", "coordination", heavy, r0=5.0),  # 276 pairs
+        Feature("b", "bond", up.select_atoms("name CA and resid 1")
+                + up.select_atoms("name CA and resid 8")),
+    ]
+    pp = PreprocessingANN(None, FL(feats, up.atoms))
+    assert model_select_mode(pp) == "blocked"
+    x = jnp.asarray((up.atoms.positions[None]
+                     + 0.3 * rng.normal(size=(4, 40, 3))).astype(np.float32))
+    y_b = fused_model_forward(pp, x, tile=32, interpret=True, mode="auto")
+    np.testing.assert_allclose(np.asarray(y_b), np.asarray(pp(x)),
+                               rtol=2e-5, atol=2e-5)
+    yv, g = fused_cv_forces(pp, x, tile=32, interpret=True, mode="auto")
+    gj = jax.grad(lambda xx: jnp.sum(pp(xx)))(x)
+    scale = np.abs(np.asarray(gj)).max()
+    np.testing.assert_allclose(np.asarray(g), np.asarray(gj),
+                               atol=5e-5 * max(scale, 1.0))
 
 
 # ------------------------------------------------- persistence / interop
@@ -323,3 +423,119 @@ def test_feature_file_grammar(u, tmp_path):
         bad.write_text(f"[Output]\n{line}\n[End]\n")
         with pytest.raises(ValueError, match=err):
             FeatureFileReader(str(bad), "Output", u).read()
+
+
+# ------------------------------------------------------- periodic boxes
+
+
+def pbc_oracle(xf, a, b, r0, nn, mm, box_diag):
+    s = 0.0
+    for i in a:
+        for j in b:
+            d = xf[j] - xf[i]
+            d -= np.round(d / box_diag) * box_diag
+            t = np.linalg.norm(d) / r0
+            s += (1 - t**nn) / (1 - t**mm)
+    return s
+
+
+def test_pbc_box_validation(u, groups):
+    ag_a, ag_b = groups
+    with pytest.raises(ValueError, match="3 lengths or a"):
+        Feature("c", "coordination", ag_a, group_b=ag_b, r0=3.0,
+                pbc_box=[8.0, 8.0])
+    with pytest.raises(ValueError, match="diagonal must be positive"):
+        Feature("c", "coordination", ag_a, group_b=ag_b, r0=3.0,
+                pbc_box=[8.0, -8.0, 8.0])
+    with pytest.raises(ValueError, match="lower-triangular"):
+        Feature("c", "coordination", ag_a, group_b=ag_b, r0=3.0,
+                pbc_box=[[8, 1, 0], [0, 8, 0], [0, 0, 8]])
+    with pytest.raises(ValueError, match="coordination-feature"):
+        Feature("b", "bond", u.select_atoms("bynum 2 5"),
+                pbc_box=[8, 8, 8])
+    c = Feature("c", "coordination", ag_a, group_b=ag_b, r0=3.0,
+                pbc_box=[8.0, 9.0, 10.0])
+    assert c.pbc_box[1][1] == 9.0
+    assert "box=(8, 9, 10)" in repr(c)
+
+
+def test_pbc_minimum_image_values(u, groups, rng):
+    ag_a, ag_b = groups
+    box = np.array([8.0, 8.0, 8.0])
+    fl = FeatureLayer(
+        [Feature("c", "coordination", ag_a, group_b=ag_b, r0=3.0,
+                 pbc_box=box)], u.atoms)
+    # shift group B by one lattice vector: with PBC the count must be
+    # unchanged; without, the contacts vanish
+    x0 = u.atoms.positions.astype(np.float32)
+    shifted = x0.copy()
+    shifted[[14, 16, 18]] += np.float32([8.0, 0.0, 0.0])
+    xb = jnp.asarray(np.stack([x0, shifted]))
+    y = np.asarray(fl(xb))
+    assert y[0, 0] == pytest.approx(y[1, 0], rel=1e-5)
+    nopbc = FeatureLayer(
+        [Feature("c", "coordination", ag_a, group_b=ag_b, r0=3.0)],
+        u.atoms)
+    y2 = np.asarray(nopbc(xb))
+    assert y2[1, 0] < 0.5 * y2[0, 0]
+    # random frames against the numpy minimum-image oracle
+    xr = (x0[None] + 3.0 * rng.normal(size=(5, 22, 3))).astype(np.float32)
+    yr = np.asarray(fl(jnp.asarray(xr)))
+    for f in range(5):
+        assert yr[f, 0] == pytest.approx(
+            pbc_oracle(np.float64(xr[f]), [1, 4, 8], [14, 16, 18],
+                       3.0, 6, 12, box), rel=1e-4)
+
+
+def test_pbc_fused_kernel_parity(u, groups, rng):
+    from molann_tpu.ops.fused import fused_cv_forces, fused_model_forward
+
+    ag_a, ag_b = groups
+    feats = [
+        Feature("c", "coordination", ag_a, group_b=ag_b, r0=3.0,
+                pbc_box=[8.0, 8.0, 8.0]),
+        Feature("b1", "bond", u.select_atoms("bynum 2 5")),
+    ]
+    pp = PreprocessingANN(None, FeatureLayer(feats, u.atoms))
+    m = MolANN(pp, create_sequential_nn([2, 4, 1],
+                                        key=jax.random.PRNGKey(1)))
+    x = jnp.asarray((u.atoms.positions[None]
+                     + 2.0 * rng.normal(size=(8, 22, 3))).astype(np.float32))
+    yk = fused_model_forward(m, x, tile=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(yk), np.asarray(m(x)), atol=2e-6)
+    yv, g = fused_cv_forces(m, x, tile=8, interpret=True)
+    gj = jax.grad(lambda xx: jnp.sum(m(xx)))(x)
+    np.testing.assert_allclose(np.asarray(g).reshape(x.shape),
+                               np.asarray(gj), atol=2e-6)
+
+
+def test_pbc_file_grammar_and_roundtrip(u, tmp_path, rng):
+    from molann_tpu.io import load_model, save_model
+
+    path = tmp_path / "features.txt"
+    path.write_text(
+        "[Output]\n"
+        "c1, coordination[r0=3.0 box=8:9:10], bynum 2 5 9, bynum 15 17\n"
+        "[End]\n"
+    )
+    feats = FeatureFileReader(str(path), "Output", u).read()
+    assert feats[0].pbc_box == ((8.0, 0.0, 0.0), (0.0, 9.0, 0.0),
+                                (0.0, 0.0, 10.0))
+    bad = tmp_path / "bad.txt"
+    bad.write_text("[Output]\nc, coordination[r0=3 box=8x8x8], bynum 2 5\n"
+                   "[End]\n")
+    with pytest.raises(ValueError, match="box=lx:ly:lz"):
+        FeatureFileReader(str(bad), "Output", u).read()
+
+    m = MolANN(
+        PreprocessingANN(None, FeatureLayer(feats, u.atoms)),
+        create_sequential_nn([1, 3, 1], key=jax.random.PRNGKey(2)))
+    x = jnp.asarray((u.atoms.positions[None]
+                     + 2.0 * rng.normal(size=(3, 22, 3))).astype(np.float32))
+    out = tmp_path / "m.npz"
+    save_model(out, m)
+    back = load_model(out)
+    np.testing.assert_allclose(np.asarray(back(x)), np.asarray(m(x)),
+                               atol=1e-6)
+    spec = back.preprocessing_layer.feature_layer._spec
+    assert spec.coord_boxes[0][2][2] == 10.0
