@@ -65,15 +65,25 @@ def _parse_grid(gridspec, d, *, subject=None):
     return out
 
 
-def _open_traj_writer(out, *, xtc_precision=1000.0):
+def _open_traj_writer(out, *, xtc_precision=1000.0, with_box=False):
     """Incremental writer (context manager with ``append([c, n, 3])``) for
     ``.dcd``/``.trr``/``.xtc`` outputs, or None for ``.npy`` paths — the
-    single home of the per-extension writer dispatch ('convert' and
-    'sample' both write trajectories)."""
+    single home of the per-extension writer dispatch ('convert',
+    'sample' and 'unwrap' all write trajectories). With ``with_box``
+    the returned writer's ``append`` takes ``(frames, box=[k, 3, 3])``
+    regardless of format (DCD cell conversion handled here)."""
     low = str(out).lower()
     if low.endswith(".dcd"):
         from .io.dcd import DCDWriter
 
+        if with_box:
+            from .pbc import box_to_dcd_cell
+
+            class _DCDBoxWriter(DCDWriter):
+                def append(self, frames, box=None):
+                    super().append(frames, cell=box_to_dcd_cell(box))
+
+            return _DCDBoxWriter(out, has_cell=True)
         return DCDWriter(out)
     if low.endswith(".trr"):
         from .io.xdr import TRRWriter
@@ -413,10 +423,12 @@ def cmd_unwrap(args):
         x = jax.jit(unwrap_time)(x, boxes)
     out_frames = np.asarray(x)
 
-    writer = _open_traj_writer(args.out)
+    # keep the cell with the repaired coordinates — downstream
+    # box-consuming steps (a second unwrap pass, GROMACS tools) need it
+    writer = _open_traj_writer(args.out, with_box=True)
     if writer is not None:
         with writer:
-            writer.append(out_frames)
+            writer.append(out_frames, box=np.asarray(boxes))
     else:
         np.save(args.out, out_frames)
     msg = (f"wrote {args.out}: {out_frames.shape[0]} frames x "
@@ -833,8 +845,9 @@ def cmd_msm(args):
         extra_out.update(bootstrap_timescales=boot.timescales,
                          bootstrap_pi=boot.pi)
     if args.coarse:
-        assign, chi = m.metastable_sets(args.coarse)
-        tc, pic, _ = m.coarse_grain(args.coarse)
+        # one PCCA+ eigendecomposition serves both outputs
+        tc, pic, chi = m.coarse_grain(args.coarse)
+        assign = chi.argmax(axis=1)
         order_c = np.argsort(-pic)
         print(f"PCCA+ coarse-graining into {args.coarse} metastable "
               "sets (by weight): "
@@ -846,7 +859,10 @@ def cmd_msm(args):
                          coarse_transition=tc, coarse_pi=pic)
     if args.mfpt_to:
         tgt = [int(s) for s in args.mfpt_to.split(",")]
-        fp = m.mfpt(tgt)
+        try:
+            fp = m.mfpt(tgt)
+        except ValueError as e:
+            raise SystemExit(f"error: --mfpt-to: {e}")
         src = np.flatnonzero((m.pi > 0) & np.isfinite(fp) & (fp > 0))
         if src.size:
             wavg = float((fp[src] * m.pi[src]).sum() / m.pi[src].sum())

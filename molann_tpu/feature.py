@@ -82,12 +82,13 @@ class Feature:
     """
 
     def __init__(self, name, feature_type, atom_group, *, group_b=None,
-                 r0=None, nn=6, mm=None, pbc_box=None):
+                 r0=None, nn=None, mm=None, pbc_box=None):
         if feature_type not in FEATURE_TYPE_IDS:
             raise NotImplementedError(f"feature {feature_type} not implemented!")
 
         if feature_type != "coordination":
-            if group_b is not None or r0 is not None or pbc_box is not None:
+            if (group_b is not None or r0 is not None or nn is not None
+                    or mm is not None or pbc_box is not None):
                 raise ValueError(
                     "group_b/r0/nn/mm/pbc_box are coordination-feature "
                     "parameters"
@@ -95,17 +96,23 @@ class Feature:
         else:
             # coordination: sum over pairs (group A x group B, or all
             # pairs within A) of the rational switching function
-            # (1-(r/r0)^nn)/(1-(r/r0)^mm); mm defaults to 2*nn (PLUMED).
+            # (1-(r/r0)^nn)/(1-(r/r0)^mm); mm defaults to 2*nn (PLUMED),
+            # nn to 6.
             if r0 is None or not float(r0) > 0:
                 raise ValueError(
                     f"coordination needs a cutoff r0 > 0, got {r0!r}"
                 )
-            mm = 2 * int(nn) if mm is None else int(mm)
-            nn = int(nn)
+            nn = 6 if nn is None else int(nn)
+            mm = 2 * nn if mm is None else int(mm)
             if nn < 1 or mm <= nn:
                 raise ValueError(
                     f"switching exponents need mm > nn >= 1, got "
                     f"nn={nn}, mm={mm}"
+                )
+            if len(atom_group) < 1:
+                raise ValueError(
+                    "coordination group A is empty (selection matched "
+                    "no atoms?)"
                 )
             self._group_a_size = len(atom_group)
             if group_b is not None:

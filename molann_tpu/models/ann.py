@@ -39,7 +39,12 @@ from ..ops.features import (
     dihedral_features,
     position_features,
 )
-from ..spec import CompiledFeatures, compile_features, resolve_local_indices
+from ..spec import (
+    CompiledFeatures,
+    compile_features,
+    coordination_pair_list,
+    resolve_local_indices,
+)
 from ..utils.pytree import PytreeNode, register_model
 
 __all__ = [
@@ -335,9 +340,7 @@ class FeatureMap(PytreeNode):
         n_a, r0, nn, mm = self.feature.get_coordination_params()
         idx = self._local_atom_indices
         a, b = idx[:n_a], idx[n_a:]
-        pairs = ([(i, j) for i in a for j in b] if b else
-                 [(a[i], a[j]) for i in range(len(a))
-                  for j in range(i + 1, len(a))])
+        pairs = coordination_pair_list(a, b)
         box = getattr(self.feature, "pbc_box", None)
         return (tuple(pairs), ((0, len(pairs)),), ((r0, nn, mm),),
                 (box,))

@@ -55,6 +55,7 @@ __all__ = [
     "bond_tree_levels",
     "make_whole",
     "dcd_cell_to_box",
+    "box_to_dcd_cell",
 ]
 
 # Covalent radii (Angstrom), Cordero et al., Dalton Trans. 2008 — the
@@ -341,4 +342,32 @@ def dcd_cell_to_box(cell):
     out[:, 2, 1] = c * cy
     out[:, 2, 2] = c * np.sqrt(np.maximum(1.0 - cb**2 - cy**2, 0.0))
     out = out.astype(np.float32)
+    return out[0] if single else out
+
+
+def box_to_dcd_cell(box):
+    """GROMACS-style lower-triangular box matrices -> CHARMM DCD
+    unit-cell records (inverse of :func:`dcd_cell_to_box`).
+
+    box: ``[l, 3, 3]`` (or ``[3, 3]``) lower-triangular matrices.
+    Returns ``[l, 6]`` (or ``[6]``) float64 records in the on-disk
+    order ``(A, gamma', B, beta', alpha', C)`` with the angle slots
+    holding cosines (the CHARMM >= c24 convention
+    :func:`dcd_cell_to_box` auto-detects).
+    """
+    box = np.asarray(box, np.float64)
+    single = box.ndim == 2
+    boxes = box[None] if single else box
+    if boxes.ndim != 3 or boxes.shape[1:] != (3, 3):
+        raise ValueError(f"box must be [l, 3, 3], got {box.shape}")
+    a = np.linalg.norm(boxes[:, 0], axis=1)
+    b = np.linalg.norm(boxes[:, 1], axis=1)
+    c = np.linalg.norm(boxes[:, 2], axis=1)
+    safe = lambda x: np.where(x == 0, 1.0, x)  # noqa: E731 — degenerate
+    # rows (zero box) produce cos=0, matching the zero record GROMACS
+    # writes for "no cell"
+    cg = np.einsum("li,li->l", boxes[:, 0], boxes[:, 1]) / safe(a * b)
+    cb = np.einsum("li,li->l", boxes[:, 0], boxes[:, 2]) / safe(a * c)
+    ca = np.einsum("li,li->l", boxes[:, 1], boxes[:, 2]) / safe(b * c)
+    out = np.stack([a, cg, b, cb, ca, c], axis=1)
     return out[0] if single else out

@@ -212,12 +212,18 @@ def mfpt(transition, targets, *, lag=1.0):
     """
     t = np.asarray(transition, np.float64)
     n = t.shape[0]
+    idx = np.asarray(targets, np.int64).reshape(-1)
+    if idx.size == 0:
+        raise ValueError("targets must name at least one state")
+    if ((idx < 0) | (idx >= n)).any():
+        raise ValueError(
+            f"target states must be in [0, {n - 1}], got "
+            f"{sorted(int(i) for i in idx[(idx < 0) | (idx >= n)])}"
+        )
     tgt = np.zeros(n, bool)
-    tgt[np.asarray(targets, np.int64).reshape(-1)] = True
+    tgt[idx] = True
     if tgt.all():
         return np.zeros(n)
-    if not tgt.any():
-        raise ValueError("targets must name at least one state")
     # reverse reachability: which states have ANY path into the targets
     adj = t > 0
     reach = tgt.copy()

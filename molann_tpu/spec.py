@@ -24,7 +24,20 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-__all__ = ["CompiledFeatures", "resolve_local_indices", "compile_features"]
+__all__ = ["CompiledFeatures", "resolve_local_indices", "compile_features",
+           "coordination_pair_list"]
+
+
+def coordination_pair_list(a, b):
+    """The pair table of one coordination feature over local atom
+    indices: ``A x B`` pairs when ``b`` is non-empty, otherwise all
+    unordered pairs within ``A``. The single source of pair semantics —
+    the per-FeatureMap jnp path and the compiled-spec/fused path must
+    agree exactly (the parity tests rely on it)."""
+    if b:
+        return [(i, j) for i in a for j in b]
+    return [(a[i], a[j]) for i in range(len(a))
+            for j in range(i + 1, len(a))]
 
 
 def resolve_local_indices(atom_indices_0based, input_atom_indices):
@@ -133,9 +146,7 @@ def compile_features(feature_list, input_atom_indices, use_angle_value=False):
         elif type_id == 4:
             n_a, r0, nn, mm = f.get_coordination_params()
             a, b = local[:n_a], local[n_a:]
-            pairs = ([(i, j) for i in a for j in b] if b else
-                     [(a[i], a[j]) for i in range(len(a))
-                      for j in range(i + 1, len(a))])
+            pairs = coordination_pair_list(a, b)
             placements.append((4, len(coord_slices) * 1, dim))
             coord_slices.append((len(coord_pairs), len(pairs)))
             coord_pairs.extend(pairs)

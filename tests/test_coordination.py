@@ -64,9 +64,19 @@ def test_validation(u, groups):
     with pytest.raises(IndexError, match="repeated"):
         Feature("c", "coordination", ag_a,
                 group_b=u.select_atoms("bynum 5 15"), r0=3.0)
-    # coordination kwargs on reference types are rejected
+    # an empty group A (typo'd selector) must fail loudly, not build a
+    # zero-pair feature that is constant-0 on one path and crashes another
+    with pytest.raises(ValueError, match="group A is empty"):
+        Feature("c", "coordination", u.select_atoms("bynum 99999"),
+                group_b=ag_b, r0=3.0)
+    # coordination kwargs on reference types are rejected — ALL of them,
+    # matching the error message's promise
     with pytest.raises(ValueError, match="coordination-feature parameters"):
         Feature("b", "bond", u.select_atoms("bynum 2 5"), r0=3.0)
+    with pytest.raises(ValueError, match="coordination-feature parameters"):
+        Feature("b", "bond", u.select_atoms("bynum 2 5"), nn=6)
+    with pytest.raises(ValueError, match="coordination-feature parameters"):
+        Feature("b", "bond", u.select_atoms("bynum 2 5"), mm=8)
     # reference validation unchanged
     with pytest.raises(NotImplementedError):
         Feature("x", "contact", ag_a)

@@ -47,6 +47,18 @@ def test_mfpt_birth_death_chain():
     assert m[0] > m[2] > 0
 
 
+def test_mfpt_rejects_bad_targets():
+    """Out-of-range targets must error (a negative CLI index would
+    silently numpy-wrap to the LAST state), and empty target sets too."""
+    t = np.full((3, 3), 1.0 / 3.0)
+    with pytest.raises(ValueError, match=r"in \[0, 2\].*-1"):
+        mfpt(t, [-1])
+    with pytest.raises(ValueError, match=r"in \[0, 2\].*5"):
+        mfpt(t, [0, 5])
+    with pytest.raises(ValueError, match="at least one"):
+        mfpt(t, [])
+
+
 def test_mfpt_unreachable_states_get_inf():
     """A self-loop placeholder state (never visited) must come back inf,
     not crash the solve or poison other states."""

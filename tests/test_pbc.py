@@ -14,6 +14,7 @@ import jax.numpy as jnp
 
 from molann_tpu.pbc import (
     bond_tree_levels,
+    box_to_dcd_cell,
     dcd_cell_to_box,
     guess_bonds,
     make_whole,
@@ -242,6 +243,18 @@ def test_dcd_cell_to_box_degrees_and_cosines():
     np.testing.assert_allclose(rec, box, atol=1e-4)
 
 
+def test_box_to_dcd_cell_roundtrip():
+    tri = np.array([[10, 0, 0], [3, 9, 0], [-2, 1, 8]], np.float64)
+    np.testing.assert_allclose(dcd_cell_to_box(box_to_dcd_cell(tri)),
+                               tri, atol=1e-4)
+    # batched, mixed orthorhombic/triclinic
+    boxes = np.stack([np.diag([8.0, 9.0, 10.0]), tri])
+    np.testing.assert_allclose(dcd_cell_to_box(box_to_dcd_cell(boxes)),
+                               boxes, atol=1e-4)
+    with pytest.raises(ValueError, match=r"\[l, 3, 3\]"):
+        box_to_dcd_cell(np.zeros((3,)))
+
+
 # ------------------------------------------------------------- the CLI
 
 
@@ -268,6 +281,44 @@ def test_cli_unwrap_xtc_roundtrip(alanine, tmp_path):
                                bond_lengths(traj, bonds), atol=1e-3)
     # nojump: continuous in time (no ~box-length jumps)
     assert np.abs(np.diff(fixed, axis=0)).max() < 4.0
+
+
+def test_cli_unwrap_keeps_box(alanine, tmp_path):
+    """Repaired trajectories must carry their cell: an unwrap output in
+    any box-bearing format feeds a SECOND box-consuming pass (or GROMACS
+    tools) without --box."""
+    from molann_tpu.cli import main
+    from molann_tpu.io.dcd import read_dcd
+    from molann_tpu.io.xdr import read_xtc, write_xtc
+    from molann_tpu.systems import alanine_pdb_text
+
+    u, bonds, x0 = alanine
+    pdb = tmp_path / "ala.pdb"
+    pdb.write_text(alanine_pdb_text())
+    traj = rigid_walk_trajectory(x0, n=8, seed=7)
+    trajw = np.asarray(wrap(jnp.asarray(traj), jnp.asarray(BOX)))
+    xtc = tmp_path / "wrapped.xtc"
+    write_xtc(str(xtc), trajw, box=BOX, precision=100000.0)
+
+    whole_xtc = tmp_path / "whole.xtc"
+    assert main(["unwrap", str(xtc), str(pdb), str(whole_xtc),
+                 "--mode", "whole"]) == 0
+    frames, _, boxes = read_xtc(str(whole_xtc))
+    np.testing.assert_allclose(boxes, np.broadcast_to(BOX, boxes.shape),
+                               atol=1e-5)
+    # second pass consumes the written box — no --box needed
+    out = tmp_path / "nojump.npy"
+    assert main(["unwrap", str(whole_xtc), str(pdb), str(out),
+                 "--mode", "nojump"]) == 0
+    assert np.abs(np.diff(np.load(out), axis=0)).max() < 4.0
+
+    whole_dcd = tmp_path / "whole.dcd"
+    assert main(["unwrap", str(xtc), str(pdb), str(whole_dcd),
+                 "--mode", "whole"]) == 0
+    _, cell = read_dcd(str(whole_dcd))
+    assert cell is not None
+    np.testing.assert_allclose(dcd_cell_to_box(cell),
+                               np.broadcast_to(BOX, (8, 3, 3)), atol=1e-5)
 
 
 def test_cli_unwrap_npy_needs_box(alanine, tmp_path):
