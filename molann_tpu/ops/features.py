@@ -119,16 +119,30 @@ def switching_function(r, r0, nn, mm):
     return geometric_sum(t, nn) / geometric_sum(t, mm)
 
 
-def _static_minimum_image(dx, box):
-    """Minimum-image displacements under a STATIC lower-triangular box
-    (tuple-of-tuples): the same row reduction as
-    :func:`molann_tpu.pbc.minimum_image`, with the box baked in as
-    trace-time constants."""
+def min_image_components(d, box):
+    """Minimum image of displacements given as a 3-sequence of same-shape
+    arrays (component-major, the layout both fused kernel formulations
+    use) under a STATIC lower-triangular box (tuple-of-tuples baked in as
+    trace-time constants; zero entries cost nothing). Same row reduction
+    as :func:`molann_tpu.pbc.minimum_image` — the ONE implementation all
+    compute paths share. ``round()`` is gradient-transparent."""
+    d = list(d)
     for i in (2, 1, 0):
-        shift = jnp.round(dx[..., i] / box[i][i])
-        row = jnp.asarray(box[i], dx.dtype)
-        dx = dx - shift[..., None] * row
-    return dx
+        shift = jnp.round(d[i] * (1.0 / box[i][i]))
+        for j in range(3):
+            if box[i][j] != 0.0:
+                d[j] = d[j] - shift * box[i][j]
+    return tuple(d)
+
+
+def _static_minimum_image(dx, box):
+    """Minimum-image displacements of a stacked ``[..., 3]`` array under
+    a STATIC lower-triangular box — thin layout adapter over
+    :func:`min_image_components`."""
+    return jnp.stack(
+        min_image_components(tuple(dx[..., i] for i in range(3)), box),
+        axis=-1,
+    )
 
 
 def coordination_features(x, coord_pairs, coord_slices, coord_params,

@@ -368,39 +368,21 @@ def _dihedral_rows(atoms, idx, use_angle_value):
     return [cos_phi / radius, sin_phi / radius]
 
 
-def _min_image3(d, box):
-    """Minimum image of a displacement vector (tuple of [S, C] tiles)
-    under a STATIC lower-triangular box (tuple-of-tuples, entries baked
-    in as immediates; zero entries cost nothing)."""
-    d = list(d)
-    for i in (2, 1, 0):
-        shift = jnp.round(d[i] * (1.0 / box[i][i]))
-        for j in range(3):
-            if box[i][j] != 0.0:
-                d[j] = d[j] - shift * box[i][j]
-    return tuple(d)
-
-
 def _coordination_row(atoms, pairs, r0, nn, mm, box=None):
     """One coordination feature on folded frames: sum of rational
     switching functions over its (static, baked-in) pair list, with
-    optional static-box minimum-image distances. Same stable formulation
-    as :func:`molann_tpu.ops.features.switching_function` (exact closed
-    form for mm == 2*nn; quotient of geometric sums otherwise — the
-    naive (1-t^nn)/(1-t^mm) is ill-conditioned near r == r0)."""
-    from .features import geometric_sum
+    optional static-box minimum-image distances. Delegates the switching
+    math and the minimum image to the shared helpers in
+    :mod:`molann_tpu.ops.features` (ONE implementation of the
+    numerically critical geometric-sum formulation)."""
+    from .features import min_image_components, switching_function
 
-    inv_r0 = 1.0 / float(r0)
     acc = None
     for i, j in pairs:
         d = _sub3(atoms[j], atoms[i])
         if box is not None:
-            d = _min_image3(d, box)
-        t = _norm3(d) * inv_r0
-        if mm == 2 * nn:
-            s = 1.0 / (1.0 + t**nn)
-        else:
-            s = geometric_sum(t, nn) / geometric_sum(t, mm)
+            d = min_image_components(d, box)
+        s = switching_function(_norm3(d), r0, nn, mm)
         acc = s if acc is None else acc + s
     return acc
 

@@ -130,6 +130,16 @@ _edges_op.defvjp(_edges_fwd, _edges_bwd)
 # precision name -> split passes for the edge matmuls
 _PRECISION_PASSES = {"exact": 3, "tf32": 2, "bf16": 1}
 
+# Coordination features with more pairs than this move their edge rows
+# OUT of the resident matrix D into the separate chunk matrix C: their
+# rows only feed a per-feature switching SUM, so the kernels can stream
+# them _COORD_CHUNK rows at a time with per-chunk rematerialization —
+# scoped VMEM stays O(chunk x tile) no matter how many pairs a
+# condensed-phase contact CV has. (Resident-in-D, a 15504-pair layout
+# measured 98 MB of scoped VMEM against the 16 MB limit.)
+_COORD_RESIDENT_MAX = 512
+_COORD_CHUNK = 512
+
 
 # ---------------------------------------------------------------------------
 # Host-side layout compiler: CompiledFeatures -> edge matrix + row plan
@@ -242,17 +252,38 @@ class BlockedLayout:
         o = up8(o + nd)
         self.o_d34 = o
         o = up8(o + nd)
-        # one 8-aligned edge block PER coordination feature (its pair
-        # differences), so each feature's rows slice free of relayouts
+        # one 8-aligned edge block PER RESIDENT coordination feature (its
+        # pair differences), so each feature's rows slice free of
+        # relayouts; features past _COORD_RESIDENT_MAX pairs instead get
+        # a block in the separate chunk matrix C (streamed by the
+        # kernels — see _chunked_coord_rows)
+        self.coord_resident = tuple(
+            npairs <= _COORD_RESIDENT_MAX for npairs in self.coord_npairs
+        )
         self.o_c = []
-        for npairs in self.coord_npairs:
-            self.o_c.append(o)
-            o = up8(o + npairs)
+        self.chunk_offs = []
+        mc = 0
+        for npairs, res in zip(self.coord_npairs, self.coord_resident):
+            if res:
+                self.o_c.append(o)
+                self.chunk_offs.append(None)
+                o = up8(o + npairs)
+            else:
+                # each chunked feature's block is padded to a multiple of
+                # _COORD_CHUNK (zero rows, masked in-kernel) so the
+                # fori_loop walks fixed-size chunk-aligned slices
+                self.o_c.append(None)
+                self.chunk_offs.append(mc)
+                mc += -(-npairs // _COORD_CHUNK) * _COORD_CHUNK
+        self.mc = mc
         self.o_al = o
         o = up8(o + self.n_align)
         self.o_pos = o
         o = up8(o + npos)
-        self.m = o
+        # all-chunked layouts (e.g. a model of only large coordination
+        # features) would leave D with zero rows — Mosaic rejects
+        # zero-size operands, so keep one all-zero sublane block
+        self.m = max(o, 8)
 
         D = np.zeros((self.m, self.n_active), dtype=np.float32)
         for k, (a0, a1, a2) in enumerate(spec.angle_idx):
@@ -270,12 +301,16 @@ class BlockedLayout:
             D[self.o_d23 + k, c(a1)] -= 1.0
             D[self.o_d34 + k, c(a3)] += 1.0
             D[self.o_d34 + k, c(a2)] -= 1.0
+        C = np.zeros((mc, self.n_active), dtype=np.float32) if mc else None
         for kf, (start, npairs) in enumerate(spec.coord_slices):
+            tgt, base = ((D, self.o_c[kf]) if self.coord_resident[kf]
+                         else (C, self.chunk_offs[kf]))
             for p, (i, j) in enumerate(
                 spec.coord_pairs[start : start + npairs]
             ):
-                D[self.o_c[kf] + p, c(j)] += 1.0  # d = x[j] - x[i]
-                D[self.o_c[kf] + p, c(i)] -= 1.0
+                tgt[base + p, c(j)] += 1.0  # d = x[j] - x[i]
+                tgt[base + p, c(i)] -= 1.0
+        self.C = C
         if self.has_align:
             # raw gathers only — the centroid subtraction happens in-kernel
             # so D stays exactly 0/+-1 (bf16-exact, enabling the 3-pass
@@ -357,6 +392,16 @@ def auto_tile(lay: BlockedLayout, d_out: int, *, backward: bool,
     if backward:
         cols = 3 * lay.n_active * 2 + 3 * lay.m * 5 + lay.out_dim * 3 + d_out
     fixed = lay.D.size * 2 * 2  # D + DT resident (bf16)
+    if lay.mc:
+        # chunked coordination: one chunk of pair rows live at a time
+        # (x3 components, ~2 copies forward / ~5 with the remat backward),
+        # plus the bf16 chunk matrix C resident (transposed per-chunk
+        # in-kernel, so only one copy)
+        chunk = min(_COORD_CHUNK, max(
+            npairs for npairs, res in zip(lay.coord_npairs,
+                                          lay.coord_resident) if not res))
+        cols += 3 * chunk * (5 if backward else 2)
+        fixed += lay.C.size * 2
     tile = (budget_bytes - fixed) // (4 * cols)
     if tile < 128:
         raise ValueError(
@@ -401,7 +446,8 @@ def _seg_plan(lay: BlockedLayout):
             ("d34", lay.o_d34, lay.nd),
         ]
     for k in range(lay.nc):
-        plan += [(f"c{k}", lay.o_c[k], lay.coord_npairs[k])]
+        if lay.coord_resident[k]:
+            plan += [(f"c{k}", lay.o_c[k], lay.coord_npairs[k])]
     if lay.has_align:
         plan += [("al", lay.o_al, lay.n_align)]
     if lay.npos:
@@ -443,8 +489,138 @@ def _assemble_gE(gsegs, lay: BlockedLayout, T, dtype):
     return out
 
 
+def _chunk_geometry(passes, box, Ck, x3):
+    """One chunk's (minimum-image) pair distances: ``Ck [cc, n] bf16,
+    x3 [3, n, T] -> (r [cc, T], d 3-tuple of [cc, T])``. Pad rows of C
+    are all-zero, giving r == 0 — callers mask them."""
+    from .features import min_image_components
+
+    d = tuple(_split3_mm(Ck, x3[i], passes) for i in range(3))
+    if box is not None:
+        d = min_image_components(d, box)
+    r = jnp.sqrt(d[0] * d[0] + d[1] * d[1] + d[2] * d[2])
+    return r, d
+
+
+def _chunk_valid(i, npairs, dtype):
+    """[_COORD_CHUNK, 1] mask of the real (non-pad) rows of chunk i."""
+    row = jax.lax.broadcasted_iota(jnp.int32, (_COORD_CHUNK, 1), 0)
+    return (i * _COORD_CHUNK + row < npairs).astype(dtype)
+
+
+def _chunk_load(c_ref, off, i):
+    """Chunk i of a feature's pair rows from the C ref: a dynamic-start
+    (chunk-aligned) ref load — the Mosaic-lowerable indexing form (a
+    value-level ``dynamic_slice`` is not)."""
+    return c_ref[pl.ds(off + i * _COORD_CHUNK, _COORD_CHUNK), :]
+
+
+def _coord_feature_sum(passes, box, r0, nn, mm, off, npairs, c_ref, x3):
+    """Switching sum of ONE chunked coordination feature:
+    ``c_ref [mc, n] bf16 ref (rows off..off+npairs are its pairs),
+    x3 [3, n, T] -> [1, T]``.
+
+    A ``fori_loop`` walks the feature's pair rows _COORD_CHUNK at a
+    time, so only one chunk's intermediates are ever live — Mosaic's
+    stack allocator reuses the loop body's slots, keeping scoped VMEM at
+    O(chunk x tile) however many pairs the feature has (a fully
+    unrolled 15504-row layout measured 98 MB against the 16 MB limit,
+    and unrolled per-chunk slices still measured 93 MB: the scheduler
+    does not serialize data-independent chunks).
+
+    NOT differentiable (fori_loop has no reverse rule, and Mosaic can
+    lower neither remat2 nor closure-carrying custom_vjp calls): the
+    kernels differentiate their feature math w.r.t. the returned ROW
+    and hand the row cotangent to :func:`_coord_feature_sum_bwd`, the
+    explicit manual-remat backward loop.
+    """
+    from .features import switching_function
+
+    n_chunks = -(-npairs // _COORD_CHUNK)
+
+    def body(i, acc):
+        r, _ = _chunk_geometry(
+            passes, box, _chunk_load(c_ref, off, i), x3
+        )
+        s = switching_function(r, r0, nn, mm)
+        return acc + jnp.sum(s * _chunk_valid(i, npairs, s.dtype),
+                             axis=0, keepdims=True)
+
+    return jax.lax.fori_loop(
+        0, n_chunks, body, jnp.zeros((1, x3.shape[2]), x3.dtype)
+    )
+
+
+def _coord_feature_sum_bwd(passes, box, r0, nn, mm, off, npairs, c_ref,
+                           x3, gy):
+    """x-cotangent of :func:`_coord_feature_sum` given the row cotangent
+    ``gy [1, T]``: recomputes each chunk's geometry (remat) before the
+    analytic pullback — plain ops in a ``fori_loop``, nothing saved."""
+    from .features import switching_function
+
+    n_chunks = -(-npairs // _COORD_CHUNK)
+
+    def body(i, gx):
+        Ck = _chunk_load(c_ref, off, i)
+        r, d = _chunk_geometry(passes, box, Ck, x3)  # remat
+        # minimum-image shifts are piecewise constant (round()), so the
+        # pullback through them is the identity: gd on the shifted d IS
+        # gd on the raw edge rows
+        _, pull = jax.vjp(
+            lambda rr: switching_function(rr, r0, nn, mm), r
+        )
+        (gr,) = pull(jnp.broadcast_to(gy, r.shape))
+        # pad rows have r == 0: mask their cotangent and guard the
+        # division (real pairs are distinct atoms, r > 0)
+        scale = gr * _chunk_valid(i, npairs, r.dtype) / jnp.maximum(
+            r, jnp.asarray(1e-20, r.dtype)
+        )
+        CkT = jnp.swapaxes(Ck, 0, 1)
+        upd = jnp.stack(
+            [_split3_mm(CkT, scale * d[j], passes) for j in range(3)],
+            axis=0,
+        )
+        return gx + upd
+
+    return jax.lax.fori_loop(0, n_chunks, body, jnp.zeros_like(x3))
+
+
+def _chunked_coord_rows(lay: BlockedLayout, passes, x_blk, c_ref):
+    """Switching sums of the chunked (large-pair-count) coordination
+    features: ``-> {feature_index: [1, T]}`` — see
+    :func:`_coord_feature_sum`. ``c_ref`` is the C matrix REF (chunks
+    are loaded per loop step, not materialized). NOT differentiable —
+    kernels treat the rows as vjp arguments and push the row cotangents
+    through :func:`_chunked_coord_grads`."""
+    rows = {}
+    for k in range(lay.nc):
+        off = lay.chunk_offs[k]
+        if off is None:
+            continue
+        r0, nn, mm = lay.coord_params[k]
+        rows[k] = _coord_feature_sum(
+            passes, lay.coord_boxes[k], r0, nn, mm, off,
+            lay.coord_npairs[k], c_ref, x_blk,
+        )
+    return rows
+
+
+def _chunked_coord_grads(lay: BlockedLayout, passes, x_blk, c_ref, g_rows):
+    """x-cotangent ``[3, n, T]`` of the chunked coordination rows given
+    their cotangents ``g_rows {feature_index: [1, T]}``."""
+    gx = None
+    for k, gy in g_rows.items():
+        r0, nn, mm = lay.coord_params[k]
+        upd = _coord_feature_sum_bwd(
+            passes, lay.coord_boxes[k], r0, nn, mm, lay.chunk_offs[k],
+            lay.coord_npairs[k], c_ref, x_blk, gy,
+        )
+        gx = upd if gx is None else gx + upd
+    return gx
+
+
 def _feats_from_segs(segs, tensors, lay: BlockedLayout, activation, T,
-                     dtype):
+                     dtype, coord_rows=None):
     """Per-type feature math + MLP on pre-sliced segments: ``-> [k, T]``.
 
     segs: 3-tuple (component) of per-:func:`_seg_plan` segment arrays.
@@ -452,7 +628,9 @@ def _feats_from_segs(segs, tensors, lay: BlockedLayout, activation, T,
     [3, n_align]; W1' has its input columns pre-permuted/padded so the
     blocked row layout feeds it directly. With no MLP the result is the
     PADDED feature rows in blocked order (callers gather the real columns
-    outside).
+    outside). coord_rows: precomputed ``[1, T]`` rows of the CHUNKED
+    coordination features (:func:`_chunked_coord_rows`), keyed by
+    feature index.
     """
     names = [name for (name, _, _) in _seg_plan(lay)]
     S = {name: [segs[i][j] for i in range(3)] for j, name in enumerate(names)}
@@ -509,33 +687,25 @@ def _feats_from_segs(segs, tensors, lay: BlockedLayout, activation, T,
             put(sin_phi * rinv, lay.f_dsin)
     if lay.nc:
         # one row per coordination feature: switching-function sum over
-        # its pair-difference edge rows (same stable formulation as
-        # ops.features.switching_function; params are immediates)
+        # its pair-difference edge rows (params are immediates; the
+        # switching math and minimum image are the SHARED helpers in
+        # ops.features — one implementation across all compute paths).
+        # Resident features read their pre-sliced segment; chunked ones
+        # arrive precomputed in coord_rows.
+        from .features import min_image_components, switching_function
+
         rows = []
         for k in range(lay.nc):
-            d = [S[f"c{k}"][i] for i in range(3)]
+            if not lay.coord_resident[k]:
+                rows.append(coord_rows[k])
+                continue
+            d = tuple(S[f"c{k}"][i] for i in range(3))
             box = lay.coord_boxes[k]
             if box is not None:
-                # static lower-triangular minimum image (zero entries
-                # cost nothing; round() is gradient-transparent)
-                for i in (2, 1, 0):
-                    shift = jnp.round(d[i] * (1.0 / box[i][i]))
-                    for j in range(3):
-                        if box[i][j] != 0.0:
-                            d[j] = d[j] - shift * box[i][j]
+                d = min_image_components(d, box)
             r0, nn, mm = lay.coord_params[k]
-            t = jnp.sqrt(d[0] * d[0] + d[1] * d[1] + d[2] * d[2]) * (
-                1.0 / float(r0)
-            )
-            if mm == 2 * nn:
-                s = 1.0 / (1.0 + t**nn)
-            else:
-                # quotient of geometric sums — see
-                # ops.features.switching_function for the conditioning
-                # rationale (naive 1-t^mm cancels catastrophically at r0)
-                from .features import geometric_sum
-
-                s = geometric_sum(t, nn) / geometric_sum(t, mm)
+            r = jnp.sqrt(d[0] * d[0] + d[1] * d[1] + d[2] * d[2])
+            s = switching_function(r, r0, nn, mm)
             rows.append(jnp.sum(s, axis=0, keepdims=True))
         put(jnp.concatenate(rows, 0) if len(rows) > 1 else rows[0],
             lay.f_c)
@@ -575,17 +745,21 @@ def _feats_from_segs(segs, tensors, lay: BlockedLayout, activation, T,
 
 
 def _blk_forward(x_cmaj, D, DT, tensors, lay: BlockedLayout, activation,
-                 passes=3):
+                 passes=3, c_ref=None):
     """Fused forward on one tile: ``x [3, n, T] -> [k, T]``.
 
     D/DT: bf16 edge matrix and its transpose (DT feeds the backward's
-    cotangent matmul). See :func:`_feats_from_segs` for the tensor list
-    convention.
+    cotangent matmul). C: bf16 chunk matrix of the chunked coordination
+    features (present iff ``lay.mc``). See :func:`_feats_from_segs` for
+    the tensor list convention.
     """
     E = [_edges_op(passes, D, DT, x_cmaj[i]) for i in range(3)]  # 3 x [m, T]
     segs = _slice_segments(E, lay)
+    coord_rows = (_chunked_coord_rows(lay, passes, x_cmaj, c_ref)
+                  if lay.mc else None)
     return _feats_from_segs(
-        segs, tensors, lay, activation, x_cmaj.shape[2], x_cmaj.dtype
+        segs, tensors, lay, activation, x_cmaj.shape[2], x_cmaj.dtype,
+        coord_rows=coord_rows,
     )
 
 
@@ -595,16 +769,23 @@ def _blk_forward(x_cmaj, D, DT, tensors, lay: BlockedLayout, activation,
 
 
 def _blk_fwd_kernel(lay, activation, passes, x_ref, d_ref, dt_ref, *rest):
+    if lay.mc:
+        c_ref, *rest = rest
+    else:
+        c_ref = None
     y_ref = rest[-1]
     tensors = [r[:] for r in rest[:-1]]
     y_ref[:] = _blk_forward(
-        x_ref[:], d_ref[:], dt_ref[:], tensors, lay, activation, passes
+        x_ref[:], d_ref[:], dt_ref[:], tensors, lay, activation, passes,
+        c_ref=c_ref,
     )
 
 
 def _blk_bwd_kernel(lay, activation, passes, x_ref, gy_ref, d_ref, dt_ref,
                     *rest):
-    # rest = (*tensor_in_refs, gx_ref, *gtensor_out_refs)
+    # rest = ([c_ref], *tensor_in_refs, gx_ref, *gtensor_out_refs)
+    if lay.mc:
+        c_ref, *rest = rest
     n_t = (len(rest) - 1) // 2
     tensor_in = [r[:] for r in rest[:n_t]]
     gx_ref = rest[n_t]
@@ -617,19 +798,38 @@ def _blk_bwd_kernel(lay, activation, passes, x_ref, gy_ref, d_ref, dt_ref,
     # autodiff through the slices would pad each segment cotangent back to
     # full height and add them (one pad + one add per segment per
     # component); instead the disjoint segment grads concatenate into gE
-    # and one transposed edge matmul per component yields gx.
+    # and one transposed edge matmul per component yields gx. The chunked
+    # coordination rows DO differentiate w.r.t. x directly (their edge
+    # rows never materialize as segments); their x-cotangent adds on.
     E = [_split3_mm(D, x_blk[i], passes) for i in range(3)]
     segs = _slice_segments(E, lay)
 
-    def f(sg, tensors):
-        return _feats_from_segs(sg, tensors, lay, activation, T, x_blk.dtype)
+    if lay.mc:
+        # chunked coordination rows enter the vjp as ARGUMENTS (tiny
+        # [1, T] rows); their cotangents drive the explicit manual-remat
+        # backward loop for the x contribution
+        coord_rows = _chunked_coord_rows(lay, passes, x_blk, c_ref)
 
-    _, vjp = jax.vjp(f, segs, tensor_in)
-    gsegs, gtensors = vjp(gy_ref[:])
+        def f(sg, cr, tensors):
+            return _feats_from_segs(sg, tensors, lay, activation, T,
+                                    x_blk.dtype, coord_rows=cr)
+
+        _, vjp = jax.vjp(f, segs, coord_rows, tensor_in)
+        gsegs, g_rows, gtensors = vjp(gy_ref[:])
+        gx2 = _chunked_coord_grads(lay, passes, x_blk, c_ref, g_rows)
+    else:
+        def f(sg, tensors):
+            return _feats_from_segs(sg, tensors, lay, activation, T,
+                                    x_blk.dtype)
+
+        _, vjp = jax.vjp(f, segs, tensor_in)
+        gsegs, gtensors = vjp(gy_ref[:])
+        gx2 = None
     gE = _assemble_gE(gsegs, lay, T, x_blk.dtype)
-    gx_ref[:] = jnp.stack(
+    gx = jnp.stack(
         [_split3_mm(DT, gE[i], passes) for i in range(3)], axis=0
     )
+    gx_ref[:] = gx if gx2 is None else gx + gx2
 
     is_first = pl.program_id(0) == 0
     for ref, g in zip(gtensor_refs, gtensors):
@@ -647,6 +847,8 @@ def _blk_train_kernel(lay, activation, passes, inv_count, l_total,
     """Blocked fused MSE training kernel: loss + parameter gradients, no
     coordinate-gradient compute/write; with ``train_ref=False`` the QCP
     backward chain is skipped too (see fused._train_kernel)."""
+    if lay.mc:
+        c_ref, *rest = rest
     n_skip = 1 if (lay.has_align and not train_ref) else 0
     n_t = (len(rest) - 1 - n_skip) // 2 + n_skip
     fixed = [r[:] for r in rest[:n_skip]]
@@ -664,12 +866,15 @@ def _blk_train_kernel(lay, activation, passes, inv_count, l_total,
 
     # edges are constant w.r.t. the differentiated tensors: keep them
     # outside the vjp so no edge-backward machinery is traced at all
+    # (chunked coordination rows likewise — computed once, closed over)
     E = [_split3_mm(D, x_blk[i], passes) for i in range(3)]
     segs = _slice_segments(E, lay)
+    coord_rows = (_chunked_coord_rows(lay, passes, x_blk, c_ref)
+                  if lay.mc else None)
 
     def loss_fn(tensors):
         y = _feats_from_segs(segs, fixed + list(tensors), lay, activation,
-                             tile, x_blk.dtype)
+                             tile, x_blk.dtype, coord_rows=coord_rows)
         e = (y - yt) * mask
         return jnp.sum(e * e) * inv_count
 
@@ -724,6 +929,7 @@ def blocked_train_grads(spec, align_idx, activation, params, ref_x, x,
         pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
     ] + [_full_spec(t) for t in diff_tensors]
     passes = _PRECISION_PASSES[precision]
+    cmat = _c_operand(lay)
     outs = pl.pallas_call(
         functools.partial(
             _blk_train_kernel, lay, activation, passes, inv_count, l,
@@ -736,11 +942,12 @@ def blocked_train_grads(spec, align_idx, activation, params, ref_x, x,
             _full_spec(D),
             _full_spec(DT),
         ]
+        + [_full_spec(t) for t in cmat]
         + [_full_spec(t) for t in tensors],
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=interpret,
-    )(xc, ytm, D, DT, *tensors)
+    )(xc, ytm, D, DT, *cmat, *tensors)
     loss, *gtensors = outs
     gparams, gref = _unfold_tensor_grads(
         lay, params, ref_x, gtensors, has_ref=(n_skip == 0 and lay.has_align)
@@ -750,7 +957,9 @@ def blocked_train_grads(spec, align_idx, activation, params, ref_x, x,
 
 def _blk_cv_forces_kernel(lay, activation, passes, component, x_ref, d_ref,
                           dt_ref, *rest):
-    # rest = (*tensor_refs, y_ref, gx_ref)
+    # rest = ([c_ref], *tensor_refs, y_ref, gx_ref)
+    if lay.mc:
+        c_ref, *rest = rest
     n_t = len(rest) - 2
     tensors = [r[:] for r in rest[:n_t]]
     y_ref, gx_ref = rest[n_t], rest[n_t + 1]
@@ -762,23 +971,39 @@ def _blk_cv_forces_kernel(lay, activation, passes, component, x_ref, d_ref,
     E = [_split3_mm(D, x_blk[i], passes) for i in range(3)]
     segs = _slice_segments(E, lay)
 
-    def f(sg):
-        return _feats_from_segs(
-            sg, tensors, lay, activation, T, x_blk.dtype
-        )
+    if lay.mc:
+        # rows as vjp arguments + explicit backward loop (_blk_bwd_kernel)
+        coord_rows = _chunked_coord_rows(lay, passes, x_blk, c_ref)
 
-    y, vjp = jax.vjp(f, segs)
+        def f(sg, cr):
+            return _feats_from_segs(sg, tensors, lay, activation, T,
+                                    x_blk.dtype, coord_rows=cr)
+
+        y, vjp = jax.vjp(f, segs, coord_rows)
+    else:
+        def f(sg):
+            return _feats_from_segs(
+                sg, tensors, lay, activation, T, x_blk.dtype
+            )
+
+        y, vjp = jax.vjp(f, segs)
     if component is None:
         ct = jnp.ones_like(y)
     else:
         row = jax.lax.broadcasted_iota(jnp.int32, y.shape, 0)
         ct = (row == component).astype(y.dtype)
-    (gsegs,) = vjp(ct)
+    if lay.mc:
+        gsegs, g_rows = vjp(ct)
+        gx2 = _chunked_coord_grads(lay, passes, x_blk, c_ref, g_rows)
+    else:
+        (gsegs,) = vjp(ct)
+        gx2 = None
     gE = _assemble_gE(gsegs, lay, T, x_blk.dtype)
     y_ref[:] = y
-    gx_ref[:] = jnp.stack(
+    gx = jnp.stack(
         [_split3_mm(DT, gE[i], passes) for i in range(3)], axis=0
     )
+    gx_ref[:] = gx if gx2 is None else gx + gx2
 
 
 # ---------------------------------------------------------------------------
@@ -895,6 +1120,14 @@ def _check_tile(tile, interpret):
         )
 
 
+def _c_operand(lay):
+    """The bf16 chunk matrix of the chunked coordination features as a
+    kernel operand tuple (empty when every feature is resident in D)."""
+    if not lay.mc:
+        return ()
+    return (jnp.asarray(lay.C, dtype=jnp.bfloat16),)
+
+
 def _blk_fwd_impl(spec, align_idx, activation, tile, interpret,
                   params, ref_x, x, precision="exact"):
     passes = _PRECISION_PASSES[precision]
@@ -910,17 +1143,19 @@ def _blk_fwd_impl(spec, align_idx, activation, tile, interpret,
     tensors = _blk_tensors(lay, params, ref_x)
     d_out = _head_dim(lay, params)
 
+    cmat = _c_operand(lay)
     y = pl.pallas_call(
         functools.partial(_blk_fwd_kernel, lay, activation, passes),
         grid=(l_p // tile,),
         in_specs=[_x_spec(lay.n_active, tile), _full_spec(D), _full_spec(DT)]
+        + [_full_spec(t) for t in cmat]
         + [_full_spec(t) for t in tensors],
         out_specs=pl.BlockSpec(
             (d_out, tile), lambda i: (0, i), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((d_out, l_p), x.dtype),
         interpret=interpret,
-    )(xc, D, DT, *tensors)
+    )(xc, D, DT, *cmat, *tensors)
     y = y[:, :l]
     if not params:
         y = y[jnp.asarray(lay.perm_b)]
@@ -962,6 +1197,7 @@ def _blk_bwd_impl(spec, align_idx, activation, tile, interpret,
         jax.ShapeDtypeStruct(t.shape, t.dtype) for t in tensors
     ]
     out_specs = [_x_spec(lay.n_active, tile)] + [_full_spec(t) for t in tensors]
+    cmat = _c_operand(lay)
     outs = pl.pallas_call(
         functools.partial(_blk_bwd_kernel, lay, activation, passes),
         grid=(l_p // tile,),
@@ -972,11 +1208,12 @@ def _blk_bwd_impl(spec, align_idx, activation, tile, interpret,
             _full_spec(D),
             _full_spec(DT),
         ]
+        + [_full_spec(t) for t in cmat]
         + [_full_spec(t) for t in tensors],
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=interpret,
-    )(xc, gyt, D, DT, *tensors)
+    )(xc, gyt, D, DT, *cmat, *tensors)
     gxc, *gtensors = outs
     gx = _from_cmajor(_scatter_gx(gxc[:, :, :l], lay, x.dtype), tag)
     gparams, gref = _unfold_tensor_grads(lay, params, ref_x, gtensors)
@@ -1065,11 +1302,13 @@ def blocked_cv_forces(spec, align_idx, activation, params, ref_x, x, *,
             component = int(lay.perm_b[component])
 
     passes = _PRECISION_PASSES[precision]
+    cmat = _c_operand(lay)
     y, gx = pl.pallas_call(
         functools.partial(
             _blk_cv_forces_kernel, lay, activation, passes, component),
         grid=(l_p // tile,),
         in_specs=[_x_spec(lay.n_active, tile), _full_spec(D), _full_spec(DT)]
+        + [_full_spec(t) for t in cmat]
         + [_full_spec(t) for t in tensors],
         out_specs=[
             pl.BlockSpec((d_out, tile), lambda i: (0, i),
@@ -1081,7 +1320,7 @@ def blocked_cv_forces(spec, align_idx, activation, params, ref_x, x, *,
             jax.ShapeDtypeStruct((3, lay.n_active, l_p), x.dtype),
         ],
         interpret=interpret,
-    )(xc, D, DT, *tensors)
+    )(xc, D, DT, *cmat, *tensors)
     y = y[:, :l]
     if compact_grads:
         gx = gx[:, :, :l]

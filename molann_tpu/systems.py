@@ -10,6 +10,7 @@ benchmarks and the driver entry run without any external files.
 from __future__ import annotations
 
 import jax
+import numpy as np
 
 from .ann import (
     AlignmentLayer,
@@ -112,8 +113,7 @@ def synthetic_peptide(n_residues: int = 10, seed: int = 0) -> Universe:
     at ``n_residues=10`` → 50 atoms, or hundreds of residues for scaling
     studies) without shipping structure files.
     """
-    rng = __import__("numpy").random.default_rng(seed)
-    import numpy as np
+    rng = np.random.default_rng(seed)
 
     names, resids, resnames, coords = [], [], [], []
     # crude helix: backbone advances along z, rotates in xy
@@ -197,7 +197,6 @@ def lj_fluid(n_per_side: int = 5, spacing: float = 1.7, jitter: float = 0.05,
     coordination feature's ``pbc_box`` so contacts across the periodic
     boundary count via minimum image.
     """
-    import numpy as np
 
     rng = np.random.default_rng(seed)
     n = int(n_per_side)
@@ -224,7 +223,18 @@ def lj_fluid_model(n_per_side: int = 5, spacing: float = 1.7,
     over an :func:`lj_fluid` → MLP. At the default size this is 125 atoms
     and 2 × 7750 switching-function pairs — far past the unrolled-kernel
     envelope, so ``mode="auto"`` dispatches the blocked edge-matrix
-    formulation. Returns ``(model, universe, box)``."""
+    formulation.
+
+    All-pairs contact counts scale with the pair count (hundreds at this
+    size), which would saturate a tanh MLP into a constant with exactly
+    zero gradients; the construction therefore standardizes the features
+    over a jittered-lattice sample and folds the (x − μ)/σ affine into
+    the first Linear — the model stays a plain :class:`MolANN`.
+    Returns ``(model, universe, box)``."""
+    import jax.numpy as jnp
+
+    from .models.ann import SequentialNN
+
     u, box = lj_fluid(n_per_side, spacing, seed=seed)
     feats = [
         Feature("shell1", "coordination", u.atoms, r0=1.35 * spacing,
@@ -238,6 +248,17 @@ def lj_fluid_model(n_per_side: int = 5, spacing: float = 1.7,
         [pp.output_dimension(), *hidden_dims],
         key=key if key is not None else jax.random.PRNGKey(0),
     )
+    rng = np.random.default_rng(seed + 1)
+    xs = (u.atoms.positions[None]
+          + 0.15 * spacing * rng.normal(size=(16,) + u.atoms.positions.shape)
+          ).astype(np.float32)
+    f = np.asarray(pp(jnp.asarray(xs)))
+    mu = f.mean(axis=0)
+    sigma = f.std(axis=0) + 1e-3
+    (w0, b0), *rest = nn.params
+    w0n = w0 / jnp.asarray(sigma, w0.dtype)[:, None]
+    b0n = b0 - jnp.asarray(mu / sigma, b0.dtype) @ w0
+    nn = SequentialNN(((w0n, b0n), *rest), nn.layer_dims, nn.activation)
     return MolANN(pp, nn), u, box
 
 

@@ -118,6 +118,99 @@ def test_fluid_blocked_parity(rng):
     np.testing.assert_allclose(np.asarray(g), gj, atol=5e-5 * scale)
 
 
+def test_chunked_pair_path(rng):
+    """Past _COORD_RESIDENT_MAX pairs a coordination feature's edge rows
+    move OUT of the resident matrix D into the streamed chunk matrix C
+    (fori_loop + manual-remat backward — the formulation that keeps
+    scoped VMEM bounded on hardware): layout partition, forward, CV
+    forces, and single-kernel training grads all match the XLA path;
+    mixing with resident features and bonds exercises both routes in
+    one kernel."""
+    from molann_tpu.feature import Feature
+    from molann_tpu.models.ann import (
+        FeatureLayer,
+        MolANN,
+        PreprocessingANN,
+        create_sequential_nn,
+    )
+    from molann_tpu.ops.fused import (
+        fused_cv_forces,
+        fused_model_forward,
+        fused_train_grads,
+    )
+    from molann_tpu.ops.fused_blocked import (
+        _COORD_CHUNK,
+        _COORD_RESIDENT_MAX,
+        blocked_layout,
+    )
+
+    u, box = lj_fluid(4)  # 64 atoms -> 2016 pairs all-pairs
+    feats = [
+        Feature("big", "coordination", u.atoms, r0=1.35 * SPACING,
+                pbc_box=box),
+        Feature("small", "coordination", u.select_atoms("resid 1:10"),
+                r0=3.0),
+        Feature("b", "bond",
+                u.select_atoms("bynum 1") + u.select_atoms("bynum 40")),
+    ]
+    pp = PreprocessingANN(None, FeatureLayer(feats, u.atoms))
+    lay = blocked_layout(pp.feature_layer._spec, None)
+    assert lay.coord_resident == (False, True)
+    assert lay.coord_npairs[0] > _COORD_RESIDENT_MAX
+    assert lay.mc % _COORD_CHUNK == 0 and lay.mc >= lay.coord_npairs[0]
+
+    x = jnp.asarray(
+        (u.atoms.positions[None]
+         + 0.2 * rng.normal(size=(4, 64, 3))).astype(np.float32)
+    )
+    y_j = np.asarray(pp(x))
+    y_b = fused_model_forward(pp, x, tile=32, interpret=True,
+                              mode="blocked")
+    np.testing.assert_allclose(np.asarray(y_b), y_j,
+                               atol=2e-5 * np.abs(y_j).max())
+    yv, g = fused_cv_forces(pp, x, tile=32, interpret=True, mode="blocked",
+                            component=0)
+    gj = np.asarray(jax.grad(lambda xx: jnp.sum(pp(xx)[:, 0]))(x))
+    assert np.abs(gj).max() > 0.1
+    np.testing.assert_allclose(np.asarray(g), gj,
+                               atol=5e-6 * max(np.abs(gj).max(), 1.0))
+
+    # single-kernel training grads (rows constant w.r.t. params); scale
+    # the first layer down so tanh does not saturate to zero gradients
+    nn_p = create_sequential_nn([3, 8, 1], key=jax.random.PRNGKey(3))
+    (w0, b0), *rest = nn_p.params
+    nn_p = type(nn_p)(((w0 * 1e-3, b0), *rest), nn_p.layer_dims,
+                      nn_p.activation)
+    m = MolANN(pp, nn_p)
+    yt = jnp.asarray(rng.normal(size=(4, 1)).astype(np.float32))
+    loss_b, grads_b = fused_train_grads(m, x, yt, tile=32, interpret=True,
+                                        mode="blocked", precision="exact")
+    loss_j, grads_j = jax.value_and_grad(
+        lambda mm: jnp.mean((mm(x) - yt) ** 2))(m)
+    assert float(loss_b) == pytest.approx(float(loss_j), rel=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(grads_b),
+                    jax.tree_util.tree_leaves(grads_j)):
+        scale = max(float(jnp.abs(b).max()), 1e-9)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5 * scale)
+
+
+def test_fluid_model_not_saturated(rng):
+    """lj_fluid_model folds feature standardization into its first
+    Linear: outputs vary across frames and coordinate gradients are
+    nonzero (raw contact counts in the hundreds would pin tanh at +-1
+    with exactly-zero gradients)."""
+    model, u, box = lj_fluid_model(3)
+    x = jnp.asarray(
+        (u.atoms.positions[None]
+         + 0.3 * rng.normal(size=(6, 27, 3))).astype(np.float32)
+    )
+    y = np.asarray(model(x))
+    assert y.std() > 1e-4
+    g = np.asarray(jax.grad(lambda xx: jnp.sum(model(xx)))(x))
+    assert np.abs(g).max() > 1e-3
+
+
 def test_condensed_example_quick():
     """examples/condensed_phase_cv.py end to end (quick mode): LJ
     dynamics at two temperatures, coordination shells, HLDA CV
