@@ -299,12 +299,36 @@ def cmd_convert(args):
     """Convert between trajectory formats, streaming chunk-by-chunk (never
     holds the full trajectory in RAM). Inputs: .npy/.dcd/.trr/.xtc;
     outputs: .npy (frames or packed), .dcd, .trr, .xtc. ``--scale``
-    multiplies coordinates (e.g. 10 for GROMACS nm -> PDB/DCD Angstrom)."""
+    multiplies coordinates (e.g. 10 for GROMACS nm -> PDB/DCD Angstrom).
+    Unit cells are PRESERVED when both formats carry them: the boxes
+    ride one cheap header scan (coordinates still stream) and are
+    scaled like the coordinates; ``--box lx,ly,lz`` overrides."""
     n_frames, fpf = _traj_dims(args.traj)
     n_atoms = fpf // 3
     chunk = max(1, int(args.chunk))
     out = str(args.out)
     scale = np.float32(args.scale)
+
+    boxes = None
+    if any(out.lower().endswith(e) for e in (".dcd", ".trr", ".xtc")):
+        if args.box:
+            try:
+                lx, ly, lz = (float(v) for v in args.box.split(","))
+            except ValueError:
+                raise SystemExit(f"error: bad --box {args.box!r} "
+                                 "(want lx,ly,lz)")
+            boxes = np.broadcast_to(
+                np.diag([lx, ly, lz]).astype(np.float32),
+                (n_frames, 3, 3))
+        else:
+            from .io.reader import read_traj_boxes
+
+            boxes = read_traj_boxes(args.traj)
+            if boxes is not None and len(boxes) != n_frames:
+                raise SystemExit(
+                    f"error: {len(boxes)} boxes for {n_frames} frames")
+        if boxes is not None and scale != 1.0:
+            boxes = boxes * np.float64(scale)
 
     def chunks():
         from .io.reader import open_frame_reader
@@ -315,12 +339,17 @@ def cmd_convert(args):
             block = read(s, c).reshape(c, fpf)
             yield s, (block * scale if scale != 1.0 else block)
 
-    writer = _open_traj_writer(out, xtc_precision=args.xtc_precision)
+    writer = _open_traj_writer(out, xtc_precision=args.xtc_precision,
+                               with_box=boxes is not None)
     if writer is not None:
         # all three writers are incremental: one chunk in flight at a time
         with writer:
-            for _, c in chunks():
-                writer.append(c.reshape(-1, n_atoms, 3))
+            for s, c in chunks():
+                if boxes is not None:
+                    writer.append(c.reshape(-1, n_atoms, 3),
+                                  box=boxes[s : s + c.shape[0]])
+                else:
+                    writer.append(c.reshape(-1, n_atoms, 3))
     else:
         shape = (n_frames, fpf) if args.packed else (n_frames, n_atoms, 3)
         dst = np.lib.format.open_memmap(
@@ -1323,6 +1352,10 @@ def main(argv=None):
                     help="frames per streaming chunk")
     pc.add_argument("--scale", type=float, default=1.0,
                     help="multiply coordinates (10 = GROMACS nm -> Angstrom)")
+    pc.add_argument("--box", default=None, metavar="LX,LY,LZ",
+                    help="orthorhombic cell for the output (default: "
+                         "carry the input's per-frame boxes when it has "
+                         "them)")
     pc.add_argument("--xtc-precision", type=float, default=1000.0,
                     help="XTC output precision (resolution 1/precision)")
     pc.set_defaults(fn=cmd_convert)

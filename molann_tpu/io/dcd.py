@@ -121,6 +121,43 @@ def write_dcd(path, frames, *, title="written by molann_tpu", cell=None):
     return path
 
 
+def scan_dcd_cells(path):
+    """Per-frame unit-cell records of a DCD without decoding coordinates:
+    ``-> [n_frames, 6] float64 or None`` (None when the file has no cell
+    flag). Seek walk over the fixed-size records — see
+    :func:`molann_tpu.io.xdr.scan_xtc_boxes` for the rationale."""
+    with open(path, "rb") as fh:
+        def rec_skip(read_payload=False):
+            head = fh.read(4)
+            if not head:
+                return None
+            (n,) = struct.unpack("<i", head)
+            payload = fh.read(n) if read_payload else fh.seek(n, 1)
+            tail = fh.read(4)
+            if len(tail) < 4 or struct.unpack("<i", tail)[0] != n:
+                raise ValueError("corrupt DCD record")
+            return payload if read_payload else n
+
+        header = rec_skip(read_payload=True)
+        if header is None or header[:4] != b"CORD":
+            raise ValueError("not a coordinate DCD")
+        icntrl = struct.unpack("<20i", header[4:84])
+        if icntrl[19] == 0 or icntrl[10] == 0:
+            return None
+        rec_skip()  # title
+        rec_skip()  # natoms
+        cells = []
+        while True:
+            c = rec_skip(read_payload=True)
+            if c is None:
+                break
+            cells.append(np.frombuffer(c, dtype="<f8"))
+            for _ in range(3):  # x/y/z planes
+                if rec_skip() is None:
+                    raise ValueError("truncated DCD frame")
+        return np.asarray(cells)
+
+
 def read_dcd(path):
     """Read a (little-endian, no-fixed-atoms) DCD: returns
     ``(frames [n_frames, n_atoms, 3] float32, cell or None)``."""

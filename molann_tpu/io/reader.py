@@ -12,7 +12,36 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["open_frame_reader"]
+__all__ = ["open_frame_reader", "read_traj_boxes"]
+
+
+def read_traj_boxes(traj):
+    """Per-frame box matrices of a trajectory PATH without decoding any
+    coordinates: ``-> [n_frames, 3, 3] float32 or None`` (None for
+    formats/files that carry no cell — .npy, cell-less DCD, box-less
+    TRR; an all-zero XTC box also counts as none). The light companion
+    to :func:`open_frame_reader` — 'convert' streams coordinates chunk
+    by chunk while the boxes ride this one cheap header scan."""
+    low = str(traj).lower()
+    if low.endswith(".xtc"):
+        from .xdr import scan_xtc_boxes
+
+        boxes = scan_xtc_boxes(traj)
+        return None if not boxes.size or not boxes.any() else boxes
+    if low.endswith(".trr"):
+        from .xdr import scan_trr_boxes
+
+        return scan_trr_boxes(traj)
+    if low.endswith(".dcd"):
+        from .dcd import scan_dcd_cells
+
+        cells = scan_dcd_cells(traj)
+        if cells is None or not len(cells):
+            return None
+        from ..pbc import dcd_cell_to_box
+
+        return dcd_cell_to_box(cells)
+    return None
 
 
 def open_frame_reader(traj, *, backend="auto"):

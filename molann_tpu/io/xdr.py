@@ -663,6 +663,97 @@ def write_xtc(path, frames, *, precision=1000.0, box=None, start_step=0,
     return path
 
 
+def scan_xtc_boxes(path):
+    """Per-frame box matrices of an XTC WITHOUT decoding coordinates:
+    ``-> [n_frames, 3, 3] float32``. A seek walk over the frame headers
+    (compressed blocks are skipped via their ``nbytes`` field), so huge
+    trajectories scan in O(frames) tiny reads — this is how ``convert``
+    carries cells alongside streamed coordinates."""
+    boxes = []
+    with open(path, "rb") as fh:
+        while True:
+            hdr = fh.read(56)
+            if not hdr:
+                break
+            if len(hdr) < 56:
+                raise ValueError("truncated XTC frame header")
+            magic, natoms, _step = struct.unpack_from(">3i", hdr, 0)
+            if magic != _XTC_MAGIC:
+                raise ValueError(f"bad XTC magic {magic} (expected 1995)")
+            if natoms <= 0:
+                raise ValueError(f"corrupt XTC frame (natoms={natoms})")
+            boxes.append(np.frombuffer(hdr, dtype=">f4", count=9,
+                                       offset=16).reshape(3, 3))
+            if natoms <= 9:
+                fh.seek(12 * natoms, 1)
+            else:
+                sub = fh.read(36)
+                if len(sub) < 36:
+                    raise ValueError("truncated XTC frame data")
+                (nbytes,) = struct.unpack_from(">i", sub, 32)
+                if nbytes < 0:
+                    raise ValueError("corrupt XTC frame (negative size)")
+                fh.seek(nbytes + (-nbytes % 4), 1)
+    return np.asarray(boxes, dtype=np.float32).reshape(-1, 3, 3)
+
+
+def scan_trr_boxes(path):
+    """Per-frame box matrices of a TRR without decoding coordinates:
+    ``-> [n_frames, 3, 3] float32 or None`` (None when the file carries
+    no box sections). Same seek-walk rationale as
+    :func:`scan_xtc_boxes`; header validation mirrors :func:`read_trr`.
+    """
+    boxes = []
+    n_frames = 0
+    with open(path, "rb") as fh:
+        while True:
+            head = fh.read(4)
+            if not head:
+                break
+            if len(head) < 4:
+                raise ValueError("truncated TRR frame header")
+            (magic,) = struct.unpack(">i", head)
+            if magic != _TRR_MAGIC:
+                raise ValueError(f"bad TRR magic {magic} (expected 1993)")
+            sl = fh.read(8)
+            slen, xlen = struct.unpack(">2i", sl)
+            if xlen != slen - 1:
+                raise ValueError("corrupt TRR version string")
+            fh.seek(-(-xlen // 4) * 4, 1)
+            hdr = fh.read(52)
+            (_ir, _e, box_size, vir, pres, _top, _sym, x_size, v_size,
+             f_size, natoms, _step, _nre) = struct.unpack(">13i", hdr)
+            if x_size <= 0 or natoms <= 0:
+                raise ValueError("TRR frame carries no coordinates")
+            if min(box_size, vir, pres, v_size, f_size) < 0:
+                raise ValueError("corrupt TRR frame (negative section "
+                                 "size)")
+            width = (box_size // 9) if box_size else (
+                x_size // (3 * natoms))
+            if width not in (4, 8):
+                raise ValueError(f"corrupt TRR sizes (real width {width})")
+            if x_size != 3 * natoms * width or any(
+                s not in (0, 3 * natoms * width) for s in (v_size, f_size)
+            ) or (box_size not in (0, 9 * width)):
+                raise ValueError("corrupt TRR frame (section size "
+                                 "mismatch)")
+            fh.seek(2 * width, 1)  # t, lambda
+            if box_size:
+                raw = fh.read(9 * width)
+                boxes.append(np.frombuffer(
+                    raw, dtype=">f8" if width == 8 else ">f4",
+                    count=9).reshape(3, 3))
+            fh.seek(vir + pres + x_size + v_size + f_size, 1)
+            n_frames += 1
+    if not boxes:
+        return None
+    if len(boxes) != n_frames:
+        raise ValueError(
+            f"only {len(boxes)} of {n_frames} TRR frames carry a box"
+        )
+    return np.asarray(boxes, dtype=np.float32)
+
+
 def read_xtc(path):
     """Read an XTC: returns ``(frames [n_frames, n_atoms, 3] float32,
     times [n_frames] float64, box [n_frames, 3, 3] float32)``."""

@@ -242,6 +242,75 @@ def test_convert_cli_xtc_trr_npy(tmp_path, frames):
     np.testing.assert_array_equal(read_trr(back)[0], got)
 
 
+def test_box_scanners_match_full_readers(tmp_path, frames, rng):
+    """scan_xtc_boxes / scan_trr_boxes / scan_dcd_cells return the same
+    boxes as the full decoders, without touching coordinates."""
+    from molann_tpu.io.dcd import DCDWriter, read_dcd, scan_dcd_cells
+    from molann_tpu.io.reader import read_traj_boxes
+    from molann_tpu.io.xdr import scan_trr_boxes, scan_xtc_boxes
+    from molann_tpu.pbc import box_to_dcd_cell
+
+    per_frame = np.stack([np.diag([8.0 + i, 9.0, 10.0]).astype(np.float32)
+                          for i in range(len(frames))])
+    xtc = tmp_path / "b.xtc"
+    write_xtc(xtc, frames, box=per_frame)
+    np.testing.assert_allclose(scan_xtc_boxes(xtc), read_xtc(xtc)[2])
+    np.testing.assert_allclose(read_traj_boxes(xtc), per_frame, atol=1e-6)
+
+    trr = tmp_path / "b.trr"
+    write_trr(trr, frames, box=per_frame)
+    np.testing.assert_allclose(scan_trr_boxes(trr), read_trr(trr)[2])
+    # no box sections -> None
+    trr2 = tmp_path / "nobox.trr"
+    write_trr(trr2, frames)
+    assert scan_trr_boxes(trr2) is None
+    assert read_traj_boxes(trr2) is None
+    # zero XTC box (written when omitted) counts as no cell
+    xtc2 = tmp_path / "nobox.xtc"
+    write_xtc(xtc2, frames)
+    assert read_traj_boxes(xtc2) is None
+
+    dcd = tmp_path / "b.dcd"
+    with DCDWriter(dcd, has_cell=True) as w:
+        w.append(frames, cell=box_to_dcd_cell(per_frame))
+    np.testing.assert_allclose(scan_dcd_cells(dcd), read_dcd(dcd)[1])
+    np.testing.assert_allclose(read_traj_boxes(dcd), per_frame, atol=1e-4)
+    dcd2 = tmp_path / "nocell.dcd"
+    with DCDWriter(dcd2) as w:
+        w.append(frames)
+    assert scan_dcd_cells(dcd2) is None
+
+
+def test_convert_preserves_boxes(tmp_path, frames):
+    """'convert' carries per-frame cells between box-bearing formats,
+    scales them with --scale, and takes --box for box-less inputs."""
+    from molann_tpu.cli import main
+    from molann_tpu.io.reader import read_traj_boxes
+
+    per_frame = np.stack([np.diag([8.0 + i, 9.0, 10.0]).astype(np.float32)
+                          for i in range(len(frames))])
+    src = tmp_path / "t.trr"
+    write_trr(src, frames, box=per_frame)
+    # trr -> xtc: boxes ride along
+    mid = tmp_path / "t.xtc"
+    assert main(["convert", str(src), str(mid)]) == 0
+    np.testing.assert_allclose(read_traj_boxes(mid), per_frame, atol=1e-6)
+    # xtc -> dcd with scale: boxes scale like coordinates
+    dcd = tmp_path / "t.dcd"
+    assert main(["convert", str(mid), str(dcd), "--scale", "10"]) == 0
+    np.testing.assert_allclose(read_traj_boxes(dcd), 10.0 * per_frame,
+                               rtol=1e-5, atol=1e-4)
+    # box-less npy -> trr with explicit --box
+    npy = tmp_path / "t.npy"
+    np.save(npy, frames)
+    out = tmp_path / "o.trr"
+    assert main(["convert", str(npy), str(out), "--box", "7,8,9"]) == 0
+    got = read_traj_boxes(out)
+    np.testing.assert_allclose(
+        got, np.broadcast_to(np.diag([7.0, 8.0, 9.0]), got.shape),
+        atol=1e-6)
+
+
 # ---------------------------------------------------------------------------
 # property-based: the codec invariant that matters is the quantization bound
 # ---------------------------------------------------------------------------
