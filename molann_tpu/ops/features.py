@@ -115,8 +115,26 @@ def switching_function(r, r0, nn, mm):
     window needed)."""
     t = r / r0
     if mm == 2 * nn:
-        return 1.0 / (1.0 + t**nn)
+        return 1.0 / (1.0 + _ipow(t, nn))
     return geometric_sum(t, nn) / geometric_sum(t, mm)
+
+
+def _ipow(t, k):
+    """``t**k`` for a static positive int exponent by repeated squaring
+    (log2(k) multiplies). ``t**k`` with an integer operand can lower to
+    a transcendental ``exp(k log t)`` on the VPU — measurably slower in
+    the pair-heavy kernels AND undefined at ``t == 0`` (padded chunk
+    rows); explicit multiplies are exact there."""
+    k = int(k)
+    acc = None
+    sq = t
+    while k:
+        if k & 1:
+            acc = sq if acc is None else acc * sq
+        k >>= 1
+        if k:
+            sq = sq * sq
+    return acc
 
 
 def min_image_components(d, box):

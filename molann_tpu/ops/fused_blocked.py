@@ -78,6 +78,37 @@ def _bdot(a, b):
     return jnp.dot(a, b, preferred_element_type=jnp.float32)
 
 
+def _bdot_t(a, b):
+    """``a^T @ b`` for ``a [k, n], b [k, t] -> [n, t]`` WITHOUT
+    materializing the transpose: dot_general contracting dim 0 of both
+    operands — the MXU takes transposed layouts natively, whereas an
+    explicit ``swapaxes`` inside the chunk loop costs a relayout copy
+    per chunk."""
+    return jax.lax.dot_general(
+        a, b, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _split3_mm_t(Cb, y, passes=3):
+    """``Cb^T @ y`` with the same hi/mid/lo f32-split pass structure as
+    :func:`_split3_mm` (Cb bf16-exact, y f32): the chunk backward's
+    cotangent matmul, transpose-free."""
+    hi32 = y.astype(jnp.bfloat16).astype(jnp.float32)
+    if passes == 1:
+        return _bdot_t(Cb, hi32.astype(jnp.bfloat16))
+    r = y - hi32
+    mid32 = r.astype(jnp.bfloat16).astype(jnp.float32)
+    if passes == 2:
+        acc = _bdot_t(Cb, mid32.astype(jnp.bfloat16))
+        return acc + _bdot_t(Cb, hi32.astype(jnp.bfloat16))
+    lo = (r - mid32).astype(jnp.bfloat16)
+    acc = _bdot_t(Cb, lo)
+    acc = acc + _bdot_t(Cb, mid32.astype(jnp.bfloat16))
+    acc = acc + _bdot_t(Cb, hi32.astype(jnp.bfloat16))
+    return acc
+
+
 def _split3_mm(Db, x, passes=3):
     """f32-accurate matmul in <=3 MXU passes: ``Db [m, n] bf16 x x [n, T]
     f32``.
@@ -301,7 +332,11 @@ class BlockedLayout:
             D[self.o_d23 + k, c(a1)] -= 1.0
             D[self.o_d34 + k, c(a3)] += 1.0
             D[self.o_d34 + k, c(a2)] -= 1.0
-        C = np.zeros((mc, self.n_active), dtype=np.float32) if mc else None
+        # Mosaic DMA slices must be lane-aligned: the chunk matrix's
+        # column count pads to a multiple of 128 (zero columns; the
+        # kernels pad x to match, so the padding is inert)
+        self.c_cols = -(-self.n_active // 128) * 128
+        C = np.zeros((mc, self.c_cols), dtype=np.float32) if mc else None
         for kf, (start, npairs) in enumerate(spec.coord_slices):
             tgt, base = ((D, self.o_c[kf]) if self.coord_resident[kf]
                          else (C, self.chunk_offs[kf]))
@@ -394,14 +429,14 @@ def auto_tile(lay: BlockedLayout, d_out: int, *, backward: bool,
     fixed = lay.D.size * 2 * 2  # D + DT resident (bf16)
     if lay.mc:
         # chunked coordination: one chunk of pair rows live at a time
-        # (x3 components, ~2 copies forward / ~5 with the remat backward),
-        # plus the bf16 chunk matrix C resident (transposed per-chunk
-        # in-kernel, so only one copy)
+        # (x3 components, ~2 copies forward / ~5 with the remat
+        # backward) plus the two bf16 DMA scratch slots — the chunk
+        # matrix itself STAYS IN HBM (pl.ANY operand, streamed)
         chunk = min(_COORD_CHUNK, max(
             npairs for npairs, res in zip(lay.coord_npairs,
                                           lay.coord_resident) if not res))
         cols += 3 * chunk * (5 if backward else 2)
-        fixed += lay.C.size * 2
+        fixed += 2 * _COORD_CHUNK * lay.n_active * 2
     tile = (budget_bytes - fixed) // (4 * cols)
     if tile < 128:
         raise ValueError(
@@ -508,25 +543,63 @@ def _chunk_valid(i, npairs, dtype):
     return (i * _COORD_CHUNK + row < npairs).astype(dtype)
 
 
-def _chunk_load(c_ref, off, i):
-    """Chunk i of a feature's pair rows from the C ref: a dynamic-start
-    (chunk-aligned) ref load — the Mosaic-lowerable indexing form (a
-    value-level ``dynamic_slice`` is not)."""
-    return c_ref[pl.ds(off + i * _COORD_CHUNK, _COORD_CHUNK), :]
+def _chunk_walk(c_ref, off, npairs, body_fn, init):
+    """Double-buffered walk over ONE chunked feature's pair rows.
+
+    ``c_ref`` lives in HBM (``pl.ANY`` operand — the chunk matrix never
+    occupies VMEM as a whole): two ``[_COORD_CHUNK, n]`` bf16 scratch
+    slots alternate, the NEXT chunk's DMA starting before the current
+    chunk computes, so the copy rides under the matmuls (at kernel
+    shapes the chunk DMA is ~5 us against ~100 us of chunk compute).
+    ``body_fn(i, Ck, carry) -> carry`` runs per chunk inside a
+    ``fori_loop`` — one chunk's intermediates live at a time, which is
+    what keeps scoped VMEM bounded for ANY pair count.
+    """
+    n_chunks = -(-npairs // _COORD_CHUNK)
+
+    def scoped(scratch, sem):
+        def dma(slot, i):
+            return pltpu.make_async_copy(
+                c_ref.at[pl.ds(off + i * _COORD_CHUNK, _COORD_CHUNK), :],
+                scratch.at[slot],
+                sem.at[slot],
+            )
+
+        dma(0, 0).start()
+
+        def body(i, carry):
+            slot = jax.lax.rem(i, 2)
+            nxt = jax.lax.rem(i + 1, 2)
+
+            @pl.when(i + 1 < n_chunks)
+            def _():
+                dma(nxt, i + 1).start()
+
+            dma(slot, i).wait()
+            return body_fn(i, scratch[slot], carry)
+
+        return jax.lax.fori_loop(0, n_chunks, body, init)
+
+    return pl.run_scoped(
+        scoped,
+        scratch=pltpu.VMEM((2, _COORD_CHUNK, c_ref.shape[1]),
+                           jnp.bfloat16),
+        sem=pltpu.SemaphoreType.DMA((2,)),
+    )
 
 
 def _coord_feature_sum(passes, box, r0, nn, mm, off, npairs, c_ref, x3):
     """Switching sum of ONE chunked coordination feature:
-    ``c_ref [mc, n] bf16 ref (rows off..off+npairs are its pairs),
+    ``c_ref [mc, n] bf16 HBM ref (rows off..off+npairs are its pairs),
     x3 [3, n, T] -> [1, T]``.
 
-    A ``fori_loop`` walks the feature's pair rows _COORD_CHUNK at a
-    time, so only one chunk's intermediates are ever live — Mosaic's
-    stack allocator reuses the loop body's slots, keeping scoped VMEM at
-    O(chunk x tile) however many pairs the feature has (a fully
-    unrolled 15504-row layout measured 98 MB against the 16 MB limit,
-    and unrolled per-chunk slices still measured 93 MB: the scheduler
-    does not serialize data-independent chunks).
+    Chunks stream through :func:`_chunk_walk`, so only one chunk's
+    intermediates are ever live — Mosaic's stack allocator reuses the
+    loop body's slots, keeping scoped VMEM at O(chunk x tile) however
+    many pairs the feature has (a fully unrolled 15504-row layout
+    measured 98 MB against the 16 MB limit, and unrolled data-
+    independent per-chunk slices still measured 93 MB: the scheduler
+    does not serialize them — the loop is what bounds it).
 
     NOT differentiable (fori_loop has no reverse rule, and Mosaic can
     lower neither remat2 nor closure-carrying custom_vjp calls): the
@@ -536,32 +609,25 @@ def _coord_feature_sum(passes, box, r0, nn, mm, off, npairs, c_ref, x3):
     """
     from .features import switching_function
 
-    n_chunks = -(-npairs // _COORD_CHUNK)
-
-    def body(i, acc):
-        r, _ = _chunk_geometry(
-            passes, box, _chunk_load(c_ref, off, i), x3
-        )
+    def body(i, Ck, acc):
+        r, _ = _chunk_geometry(passes, box, Ck, x3)
         s = switching_function(r, r0, nn, mm)
         return acc + jnp.sum(s * _chunk_valid(i, npairs, s.dtype),
                              axis=0, keepdims=True)
 
-    return jax.lax.fori_loop(
-        0, n_chunks, body, jnp.zeros((1, x3.shape[2]), x3.dtype)
-    )
+    return _chunk_walk(c_ref, off, npairs, body,
+                       jnp.zeros((1, x3.shape[2]), x3.dtype))
 
 
 def _coord_feature_sum_bwd(passes, box, r0, nn, mm, off, npairs, c_ref,
                            x3, gy):
     """x-cotangent of :func:`_coord_feature_sum` given the row cotangent
-    ``gy [1, T]``: recomputes each chunk's geometry (remat) before the
-    analytic pullback — plain ops in a ``fori_loop``, nothing saved."""
+    ``gy [1, T]``: recomputes each chunk's geometry (manual remat)
+    before the analytic pullback — plain ops in the same streamed chunk
+    walk, nothing saved between chunks."""
     from .features import switching_function
 
-    n_chunks = -(-npairs // _COORD_CHUNK)
-
-    def body(i, gx):
-        Ck = _chunk_load(c_ref, off, i)
+    def body(i, Ck, gx):
         r, d = _chunk_geometry(passes, box, Ck, x3)  # remat
         # minimum-image shifts are piecewise constant (round()), so the
         # pullback through them is the identity: gd on the shifted d IS
@@ -575,24 +641,33 @@ def _coord_feature_sum_bwd(passes, box, r0, nn, mm, off, npairs, c_ref,
         scale = gr * _chunk_valid(i, npairs, r.dtype) / jnp.maximum(
             r, jnp.asarray(1e-20, r.dtype)
         )
-        CkT = jnp.swapaxes(Ck, 0, 1)
         upd = jnp.stack(
-            [_split3_mm(CkT, scale * d[j], passes) for j in range(3)],
+            [_split3_mm_t(Ck, scale * d[j], passes) for j in range(3)],
             axis=0,
         )
         return gx + upd
 
-    return jax.lax.fori_loop(0, n_chunks, body, jnp.zeros_like(x3))
+    return _chunk_walk(c_ref, off, npairs, body, jnp.zeros_like(x3))
+
+
+def _pad_cols(lay: BlockedLayout, x_blk):
+    """Pad x to the chunk matrix's lane-aligned column count (the pad
+    columns of C are zero, so the extra rows are inert)."""
+    n = x_blk.shape[1]
+    if lay.c_cols == n:
+        return x_blk
+    return jnp.pad(x_blk, ((0, 0), (0, lay.c_cols - n), (0, 0)))
 
 
 def _chunked_coord_rows(lay: BlockedLayout, passes, x_blk, c_ref):
     """Switching sums of the chunked (large-pair-count) coordination
     features: ``-> {feature_index: [1, T]}`` — see
-    :func:`_coord_feature_sum`. ``c_ref`` is the C matrix REF (chunks
-    are loaded per loop step, not materialized). NOT differentiable —
-    kernels treat the rows as vjp arguments and push the row cotangents
-    through :func:`_chunked_coord_grads`."""
+    :func:`_coord_feature_sum`. ``c_ref`` is the C matrix HBM REF
+    (chunks stream per loop step, never materialized whole). NOT
+    differentiable — kernels treat the rows as vjp arguments and push
+    the row cotangents through :func:`_chunked_coord_grads`."""
     rows = {}
+    x3p = _pad_cols(lay, x_blk)
     for k in range(lay.nc):
         off = lay.chunk_offs[k]
         if off is None:
@@ -600,7 +675,7 @@ def _chunked_coord_rows(lay: BlockedLayout, passes, x_blk, c_ref):
         r0, nn, mm = lay.coord_params[k]
         rows[k] = _coord_feature_sum(
             passes, lay.coord_boxes[k], r0, nn, mm, off,
-            lay.coord_npairs[k], c_ref, x_blk,
+            lay.coord_npairs[k], c_ref, x3p,
         )
     return rows
 
@@ -609,14 +684,15 @@ def _chunked_coord_grads(lay: BlockedLayout, passes, x_blk, c_ref, g_rows):
     """x-cotangent ``[3, n, T]`` of the chunked coordination rows given
     their cotangents ``g_rows {feature_index: [1, T]}``."""
     gx = None
+    x3p = _pad_cols(lay, x_blk)
     for k, gy in g_rows.items():
         r0, nn, mm = lay.coord_params[k]
         upd = _coord_feature_sum_bwd(
             passes, lay.coord_boxes[k], r0, nn, mm, lay.chunk_offs[k],
-            lay.coord_npairs[k], c_ref, x_blk, gy,
+            lay.coord_npairs[k], c_ref, x3p, gy,
         )
         gx = upd if gx is None else gx + upd
-    return gx
+    return gx[:, : x_blk.shape[1], :]
 
 
 def _feats_from_segs(segs, tensors, lay: BlockedLayout, activation, T,
@@ -942,7 +1018,7 @@ def blocked_train_grads(spec, align_idx, activation, params, ref_x, x,
             _full_spec(D),
             _full_spec(DT),
         ]
-        + [_full_spec(t) for t in cmat]
+        + [pl.BlockSpec(memory_space=pl.ANY) for _ in cmat]
         + [_full_spec(t) for t in tensors],
         out_specs=out_specs,
         out_shape=out_shapes,
@@ -1148,7 +1224,7 @@ def _blk_fwd_impl(spec, align_idx, activation, tile, interpret,
         functools.partial(_blk_fwd_kernel, lay, activation, passes),
         grid=(l_p // tile,),
         in_specs=[_x_spec(lay.n_active, tile), _full_spec(D), _full_spec(DT)]
-        + [_full_spec(t) for t in cmat]
+        + [pl.BlockSpec(memory_space=pl.ANY) for _ in cmat]
         + [_full_spec(t) for t in tensors],
         out_specs=pl.BlockSpec(
             (d_out, tile), lambda i: (0, i), memory_space=pltpu.VMEM
@@ -1208,7 +1284,7 @@ def _blk_bwd_impl(spec, align_idx, activation, tile, interpret,
             _full_spec(D),
             _full_spec(DT),
         ]
-        + [_full_spec(t) for t in cmat]
+        + [pl.BlockSpec(memory_space=pl.ANY) for _ in cmat]
         + [_full_spec(t) for t in tensors],
         out_specs=out_specs,
         out_shape=out_shapes,
@@ -1308,7 +1384,7 @@ def blocked_cv_forces(spec, align_idx, activation, params, ref_x, x, *,
             _blk_cv_forces_kernel, lay, activation, passes, component),
         grid=(l_p // tile,),
         in_specs=[_x_spec(lay.n_active, tile), _full_spec(D), _full_spec(DT)]
-        + [_full_spec(t) for t in cmat]
+        + [pl.BlockSpec(memory_space=pl.ANY) for _ in cmat]
         + [_full_spec(t) for t in tensors],
         out_specs=[
             pl.BlockSpec((d_out, tile), lambda i: (0, i),

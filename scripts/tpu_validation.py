@@ -779,9 +779,14 @@ def main():
                                                  1e-9)
     cgerr = float(np.abs(np.asarray(gf).reshape(gj.shape) - gj).max()) / max(
         float(np.abs(gj).max()), 1e-9)
+    # rate: device-side readback only (np.asarray of the [l, n, 3]
+    # gradient would pull ~100 MB through the tunnel and measure the
+    # RPC, not the kernel), a few dispatches pipelined
     t0 = time.time()
-    _ = float(np.asarray(fwd_bwd(fm, xf)[1])[0, 0, 0])
-    rate = xf.shape[0] / (time.time() - t0)
+    outs = [fwd_bwd(fm, xf) for _ in range(4)]
+    for o in outs:
+        _ = float(o[1][0, 0, 0])
+    rate = 4 * xf.shape[0] / (time.time() - t0)
     # thresholds: kernels agree with XLA to ~1e-7 on the RAW feature
     # values; the standardization affine folded into W1 (systems.
     # lj_fluid_model) amplifies that by feature_scale/sigma (~400x here),
@@ -789,7 +794,7 @@ def main():
     check(f"condensed phase: {n_pairs}-pair blocked coordination fwd+bwd",
           cverr < 5e-4 and cgerr < 1e-3,
           f"rel v={cverr:.2e} g={cgerr:.2e} compile={compile_s:.0f}s "
-          f"{rate / 1e3:.0f}K frames/s (single small dispatch)")
+          f"{rate / 1e3:.0f}K frames/s")
 
     # -- periodic boundaries ----------------------------------------------
     from molann_tpu.pbc import guess_bonds, make_whole, unwrap_time, wrap
