@@ -101,3 +101,46 @@ def test_make_fused_train_step_on_mesh_matches_single_device():
         jax.tree_util.tree_leaves(m_dp), jax.tree_util.tree_leaves(m_1d)
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_shard_map_chunked_coordination_cv_forces():
+    """The HBM-streamed chunked-coordination kernel under data-parallel
+    shard_map: per-device CV values + forces over a sharded frame batch
+    reassemble to the single-device result (the condensed-phase serving
+    path at pod scale)."""
+    from molann_tpu.ops.fused import fused_cv_forces, model_select_mode
+    from molann_tpu.ops.fused_blocked import blocked_layout
+    from molann_tpu.systems import lj_fluid_model
+
+    model, u, box = lj_fluid_model(4)  # 64 atoms, 2 x 2016 pairs
+    lay = blocked_layout(
+        model.preprocessing_layer.feature_layer._spec, None)
+    assert lay.mc > 0 and model_select_mode(model) == "blocked"
+    rng = np.random.default_rng(3)
+    l = 32  # 4 frames per device
+    x = jnp.asarray(
+        (u.atoms.positions[None]
+         + 0.2 * rng.normal(size=(l, 64, 3))).astype(np.float32)
+    )
+    mesh = data_mesh(8)
+
+    def per_shard(m, xb):
+        return fused_cv_forces(m, xb, tile=4, interpret=True,
+                               mode="blocked")
+
+    spmd = jax.jit(
+        jax.shard_map(
+            per_shard, mesh=mesh,
+            in_specs=(P(), P("data")), out_specs=(P("data"), P("data")),
+            check_vma=False,
+        )
+    )
+    y_dp, g_dp = spmd(model, shard_batch(x, mesh))
+    y_1d = model(x)
+    g_1d = jax.grad(lambda xx: jnp.sum(model(xx)))(x)
+    np.testing.assert_allclose(np.asarray(y_dp), np.asarray(y_1d),
+                               rtol=1e-5, atol=1e-5)
+    # thousands-of-pairs switching sums: accumulation-order spread
+    scale = float(jnp.abs(g_1d).max())
+    np.testing.assert_allclose(np.asarray(g_dp).reshape(g_1d.shape),
+                               np.asarray(g_1d), atol=5e-4 * scale)
