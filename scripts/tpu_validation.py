@@ -794,7 +794,8 @@ def main():
     check(f"condensed phase: {n_pairs}-pair blocked coordination fwd+bwd",
           cverr < 5e-4 and cgerr < 1e-3,
           f"rel v={cverr:.2e} g={cgerr:.2e} compile={compile_s:.0f}s "
-          f"{rate / 1e3:.0f}K frames/s")
+          f"{rate / 1e3:.0f}K frames/s (small-batch, tunnel-dispatch-"
+          "bound; device rate: scripts/condensed_perf_probe.py)")
 
     # -- periodic boundaries ----------------------------------------------
     from molann_tpu.pbc import guess_bonds, make_whole, unwrap_time, wrap

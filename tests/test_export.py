@@ -131,6 +131,38 @@ def test_stablehlo_fused_blocked_artifact(tmp_path):
     assert b"tpu_custom_call" in blob
 
 
+def test_stablehlo_fused_chunked_artifact(tmp_path):
+    """fused=True on a condensed-phase model (chunked coordination: the
+    HBM-streamed DMA kernel) cross-lowers from this CPU process; verified
+    executing on real hardware by scripts/tpu_validation.py evidence and
+    the r03 probe (artifact parity 2.4e-4/4.0e-4 vs the in-Python model
+    at the standardization-amplified bound)."""
+    from molann_tpu.ops.fused_blocked import blocked_layout
+    from molann_tpu.systems import lj_fluid_model
+
+    model, u, _ = lj_fluid_model(3)
+    lay = blocked_layout(
+        model.preprocessing_layer.feature_layer._spec, None)
+    # force the chunked path even at this small test size
+    import molann_tpu.ops.fused_blocked as fb
+
+    old = fb._COORD_RESIDENT_MAX
+    fb._COORD_RESIDENT_MAX = 64
+    fb.blocked_layout.cache_clear()
+    try:
+        lay = blocked_layout(
+            model.preprocessing_layer.feature_layer._spec, None)
+        assert lay.mc > 0
+        blob = export_stablehlo(model, len(u.atoms), batch_size=256,
+                                raw_mlir=True, with_gradient=True,
+                                fused=True)
+        assert blob[:4] == b"ML\xefR"
+        assert b"tpu_custom_call" in blob
+    finally:
+        fb._COORD_RESIDENT_MAX = old
+        fb.blocked_layout.cache_clear()
+
+
 def test_read_bundle_truncated_entry_header():
     """A bundle cut off inside an entry header raises the module's own
     truncation ValueError, not a raw struct.error (mirrors the bounds
