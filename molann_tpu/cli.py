@@ -317,6 +317,8 @@ def cmd_convert(args):
             except ValueError:
                 raise SystemExit(f"error: bad --box {args.box!r} "
                                  "(want lx,ly,lz)")
+            # --box is given in OUTPUT units (per its help text): a
+            # zero-copy broadcast view, never scaled by --scale
             boxes = np.broadcast_to(
                 np.diag([lx, ly, lz]).astype(np.float32),
                 (n_frames, 3, 3))
@@ -327,8 +329,9 @@ def cmd_convert(args):
             if boxes is not None and len(boxes) != n_frames:
                 raise SystemExit(
                     f"error: {len(boxes)} boxes for {n_frames} frames")
-        if boxes is not None and scale != 1.0:
-            boxes = boxes * np.float64(scale)
+            # scanned boxes are in input units: scale like coordinates
+            if boxes is not None and scale != 1.0:
+                boxes = boxes * scale  # f32 * f32, no upcast
 
     def chunks():
         from .io.reader import open_frame_reader
@@ -1353,9 +1356,10 @@ def main(argv=None):
     pc.add_argument("--scale", type=float, default=1.0,
                     help="multiply coordinates (10 = GROMACS nm -> Angstrom)")
     pc.add_argument("--box", default=None, metavar="LX,LY,LZ",
-                    help="orthorhombic cell for the output (default: "
-                         "carry the input's per-frame boxes when it has "
-                         "them)")
+                    help="orthorhombic cell for the output, in OUTPUT "
+                         "units — not multiplied by --scale (default: "
+                         "carry the input's per-frame boxes, scaled like "
+                         "the coordinates, when it has them)")
     pc.add_argument("--xtc-precision", type=float, default=1000.0,
                     help="XTC output precision (resolution 1/precision)")
     pc.set_defaults(fn=cmd_convert)

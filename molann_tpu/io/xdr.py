@@ -699,12 +699,15 @@ def scan_xtc_boxes(path):
 
 def scan_trr_boxes(path):
     """Per-frame box matrices of a TRR without decoding coordinates:
-    ``-> [n_frames, 3, 3] float32 or None`` (None when the file carries
-    no box sections). Same seek-walk rationale as
-    :func:`scan_xtc_boxes`; header validation mirrors :func:`read_trr`.
+    ``-> [n_frames, 3, 3] float32 or None`` (None when NO frame carries
+    a box section). Frames without a box section in a mixed file (legal
+    TRR — our own :class:`TRRWriter` takes ``box`` per append) get a
+    zero box, keeping the result frame-aligned. Same seek-walk
+    rationale as :func:`scan_xtc_boxes`; header validation mirrors
+    :func:`read_trr`.
     """
     boxes = []
-    n_frames = 0
+    any_box = False
     with open(path, "rb") as fh:
         while True:
             head = fh.read(4)
@@ -743,14 +746,12 @@ def scan_trr_boxes(path):
                 boxes.append(np.frombuffer(
                     raw, dtype=">f8" if width == 8 else ">f4",
                     count=9).reshape(3, 3))
+                any_box = True
+            else:
+                boxes.append(np.zeros((3, 3)))
             fh.seek(vir + pres + x_size + v_size + f_size, 1)
-            n_frames += 1
-    if not boxes:
+    if not any_box:
         return None
-    if len(boxes) != n_frames:
-        raise ValueError(
-            f"only {len(boxes)} of {n_frames} TRR frames carry a box"
-        )
     return np.asarray(boxes, dtype=np.float32)
 
 

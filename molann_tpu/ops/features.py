@@ -113,6 +113,11 @@ def switching_function(r, r0, nn, mm):
     smooth and well-conditioned everywhere, the ``r == r0`` value
     ``nn/mm`` emerging naturally with its exact derivative (no guard
     window needed)."""
+    nn, mm = int(nn), int(mm)
+    if nn < 1 or mm < 1:
+        raise ValueError(
+            f"switching_function exponents must be positive ints, got "
+            f"nn={nn}, mm={mm}")
     t = r / r0
     if mm == 2 * nn:
         return 1.0 / (1.0 + _ipow(t, nn))
@@ -126,6 +131,8 @@ def _ipow(t, k):
     the pair-heavy kernels AND undefined at ``t == 0`` (padded chunk
     rows); explicit multiplies are exact there."""
     k = int(k)
+    if k < 1:
+        raise ValueError(f"_ipow requires a positive exponent, got {k}")
     acc = None
     sq = t
     while k:

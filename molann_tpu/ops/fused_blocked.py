@@ -431,12 +431,18 @@ def auto_tile(lay: BlockedLayout, d_out: int, *, backward: bool,
         # chunked coordination: one chunk of pair rows live at a time
         # (x3 components, ~2 copies forward / ~5 with the remat
         # backward) plus the two bf16 DMA scratch slots — the chunk
-        # matrix itself STAYS IN HBM (pl.ANY operand, streamed)
+        # matrix itself STAYS IN HBM (pl.ANY operand, streamed). The
+        # lane-padded x copy (_pad_cols, [3, c_cols, T] f32) and the
+        # backward's gx carry (same shape) scale with tile, so they are
+        # columns; the scratch slots are chunk-sized, so fixed. Both use
+        # c_cols (the 128-lane-padded column count), NOT n_active — at
+        # n_active just past a lane boundary the difference is ~2x.
         chunk = min(_COORD_CHUNK, max(
             npairs for npairs, res in zip(lay.coord_npairs,
                                           lay.coord_resident) if not res))
         cols += 3 * chunk * (5 if backward else 2)
-        fixed += 2 * _COORD_CHUNK * lay.n_active * 2
+        cols += 3 * lay.c_cols * (2 if backward else 1)
+        fixed += 2 * _COORD_CHUNK * lay.c_cols * 2
     tile = (budget_bytes - fixed) // (4 * cols)
     if tile < 128:
         raise ValueError(

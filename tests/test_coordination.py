@@ -133,6 +133,10 @@ def test_switching_function_r0_crossing():
     # decays: ~1 well inside, ~0 well outside
     assert float(switching_function(jnp.float32(0.5), 3.0, 6, 12)) > 0.99
     assert float(switching_function(jnp.float32(12.0), 3.0, 6, 12)) < 0.01
+    # non-positive exponents are a clear error, not a deep TypeError
+    for nn, mm in ((0, 0), (0, 6), (6, 0), (-2, 4)):
+        with pytest.raises(ValueError, match="positive"):
+            switching_function(jnp.float32(1.0), 3.0, nn, mm)
 
 
 def test_rigid_motion_invariance(u, groups, rng):

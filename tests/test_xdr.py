@@ -309,6 +309,32 @@ def test_convert_preserves_boxes(tmp_path, frames):
     np.testing.assert_allclose(
         got, np.broadcast_to(np.diag([7.0, 8.0, 9.0]), got.shape),
         atol=1e-6)
+    # --box is OUTPUT units: NOT multiplied by --scale
+    out2 = tmp_path / "o2.trr"
+    assert main(["convert", str(npy), str(out2), "--box", "7,8,9",
+                 "--scale", "10"]) == 0
+    np.testing.assert_allclose(read_traj_boxes(out2), got, atol=1e-6)
+
+
+def test_convert_mixed_box_trr(tmp_path, frames):
+    """A TRR where only SOME frames carry a box (legal — TRRWriter takes
+    box per append) scans frame-aligned (zero box on box-less frames)
+    and converts without error."""
+    from molann_tpu.cli import main
+    from molann_tpu.io.xdr import TRRWriter, scan_trr_boxes
+
+    box = np.diag([8.0, 9.0, 10.0]).astype(np.float32)
+    src = tmp_path / "mixed.trr"
+    with TRRWriter(src) as w:
+        w.append(frames[:2], box=np.broadcast_to(box, (2, 3, 3)))
+        w.append(frames[2:])
+    got = scan_trr_boxes(src)
+    assert got.shape == (len(frames), 3, 3)
+    np.testing.assert_allclose(got[:2], np.broadcast_to(box, (2, 3, 3)))
+    np.testing.assert_array_equal(got[2:], 0.0)
+    out = tmp_path / "mixed_out.trr"
+    assert main(["convert", str(src), str(out)]) == 0
+    np.testing.assert_allclose(read_trr(out)[0], frames, atol=1e-6)
 
 
 # ---------------------------------------------------------------------------
