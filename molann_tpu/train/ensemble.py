@@ -40,6 +40,7 @@ __all__ = [
     "ensemble_size",
     "ensemble_apply",
     "committee",
+    "calibrated_committee",
     "make_ensemble_train_step",
     "fit_ensemble",
     "EnsembleResult",
@@ -94,6 +95,37 @@ def committee(stacked, x):
     """
     ys = ensemble_apply(stacked, x)
     return jnp.mean(ys, axis=0), jnp.std(ys, axis=0)
+
+
+def calibrated_committee(stacked, x, x_ref, *, eps=1e-8):
+    """Gauge-fixed committee ``(mean [l, d], std [l, d])`` for CVs that
+    are only defined up to sign/scale (autoencoder bottlenecks, VAMP and
+    eigenfunction modes, ...).
+
+    Raw :func:`committee` disagreement on such models is dominated by
+    each member's arbitrary parametrization (z vs -z vs 2z), not by
+    epistemic uncertainty. Here every member's output is first
+    standardized on the REFERENCE frames ``x_ref`` (the training
+    distribution): per member and output dim, subtract the reference
+    mean, divide by the reference std, and align the sign to member 0 by
+    reference-set correlation. After calibration all members agree on
+    ``x_ref`` by construction up to fit differences, so the std on ``x``
+    measures genuine disagreement — near zero where the data constrained
+    the committee, large where it extrapolates (the acquisition signal
+    for adaptive sampling; see examples/committee_uncertainty.py).
+
+    Sign alignment is per output dim — for multi-dimensional CVs with a
+    rotational gauge freedom, compare subspaces instead (this helper is
+    calibrated for the common 1-D/per-dim case).
+    """
+    ys_ref = ensemble_apply(stacked, x_ref)              # [K, m, d]
+    mu = ys_ref.mean(axis=1, keepdims=True)
+    sd = ys_ref.std(axis=1, keepdims=True) + eps
+    z_ref = (ys_ref - mu) / sd
+    sign = jnp.sign(jnp.sum(z_ref * z_ref[:1], axis=1, keepdims=True))
+    sign = jnp.where(sign == 0, 1.0, sign)               # [K, 1, d]
+    z = sign * (ensemble_apply(stacked, x) - mu) / sd
+    return jnp.mean(z, axis=0), jnp.std(z, axis=0)
 
 
 def _batch_length(batch) -> Any:

@@ -199,6 +199,51 @@ def test_ensemble_mesh_step_runs_and_matches(rng, bagging):
                                    rtol=1e-5, atol=1e-6)
 
 
+def test_calibrated_committee_removes_gauge(rng):
+    """A member that is an exact sign/scale transform of another is NOT
+    disagreement: raw committee std sees it, calibrated std does not."""
+    from molann_tpu.models.ann import SequentialNN
+    from molann_tpu.train import calibrated_committee
+
+    m0 = create_sequential_nn([2, 8, 1], key=jax.random.PRNGKey(0))
+    # m1(x) = -3 * m0(x): same CV in a different gauge
+    params = list(m0.params)
+    w, b = params[-1]
+    params[-1] = (-3.0 * w, -3.0 * b)
+    m1 = SequentialNN(tuple(params), m0.layer_dims, m0.activation)
+    stacked = stack_models([m0, m1])
+
+    x_ref = jnp.asarray(rng.normal(size=(128, 2)).astype(np.float32))
+    x = jnp.asarray(rng.normal(size=(32, 2)).astype(np.float32))
+    _, raw_std = committee(stacked, x)
+    assert float(raw_std.mean()) > 0.1          # gauge noise dominates
+    mean, cal_std = calibrated_committee(stacked, x, x_ref)
+    np.testing.assert_allclose(np.asarray(cal_std), 0.0, atol=1e-4)
+    # calibrated mean is the standardized CV (reference mean 0 / std 1)
+    z0 = (m0(x_ref) - m0(x_ref).mean()) / m0(x_ref).std()
+    z = (m0(x) - m0(x_ref).mean()) / m0(x_ref).std()
+    np.testing.assert_allclose(np.asarray(mean), np.asarray(z),
+                               rtol=1e-3, atol=1e-4)
+    del z0
+
+
+def test_committee_uncertainty_example_quick():
+    """examples/committee_uncertainty.py end to end (quick mode): a
+    committee trained ONLY in basin A disagrees much more on basin-B
+    frames — uncertainty-guided acquisition without a biased run."""
+    import importlib.util
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), os.pardir,
+                        "examples", "committee_uncertainty.py")
+    spec = importlib.util.spec_from_file_location("committee_example", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    res = mod.main(quick=True)
+    assert res["ratio"] > 3.0
+    assert np.asarray(res["losses"])[-1].mean() < 0.2
+
+
 def test_full_molann_committee_freezes_ref_x(rng):
     """End-to-end: a committee of full MolANN models (alignment + features
     + MLP) trains jointly; the alignment ref_x buffer stays frozen and
