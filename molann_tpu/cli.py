@@ -295,6 +295,94 @@ def cmd_forces(args):
     return _evaluate(args, want_forces=True)
 
 
+def cmd_committee(args):
+    """Committee CV evaluation: mean + disagreement over member models.
+
+    The std over members is the epistemic-uncertainty / acquisition
+    signal for adaptive sampling (train members with
+    ``train --ensemble K``). With ``--calibrate REF_TRAJ`` the members
+    are gauge-fixed (standardized + sign-aligned) on the reference
+    frames first — required for CVs defined only up to sign/scale
+    (autoencoder / VAMP / eigenfunction objectives).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .io.reader import open_frame_reader
+    from .train import (
+        calibrated_committee,
+        committee,
+        committee_calibration,
+        stack_models,
+    )
+    from .train.data import packed_batch_iterator
+
+    models = [_load_model(p) for p in args.models]
+    if len(models) < 2:
+        print("error: a committee needs at least 2 member models",
+              file=sys.stderr)
+        return 1
+    dims = [_model_dims(m) for m in models]
+    if len(set(dims)) != 1:
+        print(f"error: members disagree on (n_atoms, d_out): {dims}",
+              file=sys.stderr)
+        return 1
+    n_atoms, d_out = dims[0]
+    n_frames = _check_traj(args.traj, n_atoms)
+    try:
+        stacked = stack_models(models)
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+
+    calib = None
+    if args.calibrate:
+        read, n_ref, na_ref = open_frame_reader(args.calibrate,
+                                                backend=args.backend)
+        if na_ref != n_atoms:
+            print(f"error: --calibrate trajectory has {na_ref} atoms per "
+                  f"frame; the models take {n_atoms}", file=sys.stderr)
+            return 1
+        sel = np.unique(
+            np.linspace(0, n_ref - 1,
+                        min(n_ref, args.calibrate_frames)).astype(int)
+        )
+        x_ref = jnp.asarray(
+            np.concatenate([read(int(i), 1) for i in sel], axis=0)
+        )
+        calib = committee_calibration(stacked, x_ref)
+        fn = jax.jit(
+            lambda x: calibrated_committee(stacked, x, calibration=calib)
+        )
+    else:
+        fn = jax.jit(lambda x: committee(stacked, x))
+
+    mean_out = np.lib.format.open_memmap(
+        args.out, mode="w+", dtype=np.float32, shape=(n_frames, d_out)
+    )
+    std_out = np.lib.format.open_memmap(
+        args.std_out, mode="w+", dtype=np.float32, shape=(n_frames, d_out)
+    )
+    n_done = 0
+    for xb in packed_batch_iterator(
+        args.traj, args.batch_size, shuffle=False, epochs=1,
+        drop_remainder=False, backend=args.backend,
+    ):
+        x = jnp.asarray(xb).reshape(xb.shape[0], -1, 3)
+        m, s = fn(x)
+        mean_out[n_done : n_done + xb.shape[0]] = np.asarray(m)
+        std_out[n_done : n_done + xb.shape[0]] = np.asarray(s)
+        n_done += xb.shape[0]
+    mean_out.flush()
+    std_out.flush()
+    mx = float(std_out.max()) if n_frames else 0.0
+    print(f"wrote {args.out} (committee mean) and {args.std_out} "
+          f"(disagreement): {mean_out.shape}, {len(models)} members"
+          f"{', calibrated' if calib is not None else ''}; "
+          f"max disagreement {mx:.4g}")
+    return 0
+
+
 def cmd_convert(args):
     """Convert between trajectory formats, streaming chunk-by-chunk (never
     holds the full trajectory in RAM). Inputs: .npy/.dcd/.trr/.xtc;
@@ -1010,6 +1098,9 @@ def cmd_train(args):
         mse_loss,
     )
 
+    if args.bagging and not args.ensemble:
+        print("error: --bagging requires --ensemble K", file=sys.stderr)
+        return 1
     model = _load_model(args.model)
     ds = TrajectoryDataset(args.traj)
     n = len(ds)
@@ -1150,6 +1241,53 @@ def cmd_train(args):
                 yield (x, jnp.asarray(weights[idx]))
             else:
                 yield x
+
+    if args.ensemble:
+        # committee training: K freshly-initialized members through ONE
+        # compiled vmapped step (train/ensemble.py); members are written
+        # as out-stem.member{i}.npz for the `committee` subcommand.
+        from pathlib import Path
+
+        from .train import fit_ensemble, reinitialized_members, unstack_model
+
+        if args.ensemble < 2:
+            print("error: --ensemble needs at least 2 members",
+                  file=sys.stderr)
+            return 1
+        if args.checkpoint_dir:
+            print("error: --checkpoint-dir is not supported with "
+                  "--ensemble", file=sys.stderr)
+            return 1
+        if args.decoder_out:
+            print("error: --decoder-out is not supported with --ensemble "
+                  "(per-member decoders are discarded)", file=sys.stderr)
+            return 1
+        try:
+            members = reinitialized_members(model, args.ensemble,
+                                            seed=args.seed)
+        except TypeError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 1
+        res = fit_ensemble(
+            members, loss_fn, batches(), optimizer=_make_optimizer(args),
+            mesh=mesh, num_steps=args.steps, log_every=args.log_every,
+            bagging=args.bagging, seed=args.seed,
+        )
+        out = Path(args.out)
+        for i in range(args.ensemble):
+            m = unstack_model(res.models, i)
+            if args.loss in ("autoencoder", "tae"):
+                m = m[0]
+            save_model(str(out.with_name(f"{out.stem}.member{i}"
+                                         f"{out.suffix}")), m)
+        first = float(np.mean(res.losses[0]))
+        last = float(np.mean(res.losses[-1]))
+        print(f"trained committee of {args.ensemble} for "
+              f"{len(res.losses)} steps: committee-mean loss "
+              f"{first:.6g} -> {last:.6g}; wrote "
+              f"{out.with_name(out.stem)}.member0..{args.ensemble - 1}"
+              f"{out.suffix}")
+        return 0
 
     res = fit(model, loss_fn, batches(),
               optimizer=_make_optimizer(args), mesh=mesh,
@@ -1340,6 +1478,36 @@ def main(argv=None):
     pf.add_argument("--component", type=int, default=None)
     pf.add_argument("--forces-out", default="forces.npy")
     pf.set_defaults(fn=cmd_forces)
+
+    pcm = sub.add_parser(
+        "committee",
+        help="committee CV evaluation: per-frame mean + member "
+             "disagreement (epistemic uncertainty) over K models "
+             "trained with `train --ensemble K`",
+    )
+    pcm.add_argument("models", nargs="+",
+                     help="2+ member models (.npz), e.g. "
+                          "trained.member0.npz trained.member1.npz ...")
+    pcm.add_argument("traj", help="trajectory to score "
+                                  "(.npy/.dcd/.trr/.xtc)")
+    pcm.add_argument("--out", default="cvs.npy",
+                     help="committee-mean CVs [n_frames, d]")
+    pcm.add_argument("--std-out", default="uncertainty.npy",
+                     help="member disagreement (std) [n_frames, d] — "
+                          "large where the committee extrapolates")
+    pcm.add_argument("--calibrate", default=None, metavar="REF_TRAJ",
+                     help="gauge-fix members (standardize + sign-align) "
+                          "on these reference frames first — required "
+                          "for sign/scale-free CVs (autoencoder / vamp "
+                          "/ eigenfunction); typically the training "
+                          "trajectory")
+    pcm.add_argument("--calibrate-frames", type=int, default=4096,
+                     help="max evenly-spaced reference frames used for "
+                          "calibration")
+    pcm.add_argument("--batch-size", type=int, default=1 << 16)
+    pcm.add_argument("--backend", default="auto",
+                     choices=["auto", "native", "numpy"])
+    pcm.set_defaults(fn=cmd_committee)
 
     pc = sub.add_parser(
         "convert",
@@ -1629,6 +1797,15 @@ def main(argv=None):
                          "(cosine/warmup-cosine/exponential)")
     pt.add_argument("--grad-clip", type=float, default=0.0,
                     help="clip gradients to this global norm (0 = off)")
+    pt.add_argument("--ensemble", type=int, default=0, metavar="K",
+                    help="train a committee of K members (freshly "
+                         "re-initialized from distinct seeds) through one "
+                         "compiled vmapped step; writes OUT-stem."
+                         "member{0..K-1}.npz for the `committee` command")
+    pt.add_argument("--bagging", action="store_true",
+                    help="with --ensemble: each member trains on a "
+                         "bootstrap resample of every batch (decorrelates "
+                         "members beyond their init)")
     pt.add_argument("--seed", type=int, default=0)
     pt.add_argument("--devices", type=int, default=0,
                     help="shard batches over N devices (data-parallel)")

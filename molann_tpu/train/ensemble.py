@@ -40,7 +40,9 @@ __all__ = [
     "ensemble_size",
     "ensemble_apply",
     "committee",
+    "committee_calibration",
     "calibrated_committee",
+    "reinitialized_members",
     "make_ensemble_train_step",
     "fit_ensemble",
     "EnsembleResult",
@@ -97,7 +99,22 @@ def committee(stacked, x):
     return jnp.mean(ys, axis=0), jnp.std(ys, axis=0)
 
 
-def calibrated_committee(stacked, x, x_ref, *, eps=1e-8):
+def committee_calibration(stacked, x_ref, *, eps=1e-8):
+    """Precompute the gauge-fixing transform ``(mu, sd, sign)`` of
+    :func:`calibrated_committee` on the reference frames ``x_ref``, so a
+    streaming consumer (e.g. the ``committee`` CLI) evaluates the
+    reference set once instead of once per batch."""
+    ys_ref = ensemble_apply(stacked, x_ref)              # [K, m, d]
+    mu = ys_ref.mean(axis=1, keepdims=True)
+    sd = ys_ref.std(axis=1, keepdims=True) + eps
+    z_ref = (ys_ref - mu) / sd
+    sign = jnp.sign(jnp.sum(z_ref * z_ref[:1], axis=1, keepdims=True))
+    sign = jnp.where(sign == 0, 1.0, sign)               # [K, 1, d]
+    return mu, sd, sign
+
+
+def calibrated_committee(stacked, x, x_ref=None, *, eps=1e-8,
+                         calibration=None):
     """Gauge-fixed committee ``(mean [l, d], std [l, d])`` for CVs that
     are only defined up to sign/scale (autoencoder bottlenecks, VAMP and
     eigenfunction modes, ...).
@@ -114,18 +131,56 @@ def calibrated_committee(stacked, x, x_ref, *, eps=1e-8):
     the committee, large where it extrapolates (the acquisition signal
     for adaptive sampling; see examples/committee_uncertainty.py).
 
+    Pass either ``x_ref`` or a precomputed
+    ``calibration=committee_calibration(stacked, x_ref)``.
+
     Sign alignment is per output dim — for multi-dimensional CVs with a
     rotational gauge freedom, compare subspaces instead (this helper is
     calibrated for the common 1-D/per-dim case).
     """
-    ys_ref = ensemble_apply(stacked, x_ref)              # [K, m, d]
-    mu = ys_ref.mean(axis=1, keepdims=True)
-    sd = ys_ref.std(axis=1, keepdims=True) + eps
-    z_ref = (ys_ref - mu) / sd
-    sign = jnp.sign(jnp.sum(z_ref * z_ref[:1], axis=1, keepdims=True))
-    sign = jnp.where(sign == 0, 1.0, sign)               # [K, 1, d]
+    if calibration is None:
+        if x_ref is None:
+            raise ValueError("pass x_ref or calibration")
+        calibration = committee_calibration(stacked, x_ref, eps=eps)
+    mu, sd, sign = calibration
     z = sign * (ensemble_apply(stacked, x) - mu) / sd
     return jnp.mean(z, axis=0), jnp.std(z, axis=0)
+
+
+def reinitialized_members(model, k: int, *, seed: int = 0):
+    """K copies of ``model`` whose MLP parameters are freshly drawn from
+    distinct PRNG keys (torch-``Linear``-style init, same layer dims) —
+    the committee-construction step when all you have is one saved model.
+
+    Alignment/feature metadata (including the frozen ``ref_x`` buffer) is
+    shared untouched; only ``SequentialNN`` parameters re-draw. Handles a
+    bare :class:`~molann_tpu.models.ann.SequentialNN`, a
+    :class:`~molann_tpu.models.ann.MolANN`, and (nested) tuples of those
+    (the ``(model, decoder)`` pairs the autoencoder losses train).
+    """
+    from ..models.ann import MolANN, SequentialNN, create_sequential_nn
+
+    if k < 2:
+        raise ValueError("an ensemble needs at least 2 members")
+
+    def reinit(m, key):
+        if isinstance(m, (tuple, list)):
+            keys = jax.random.split(key, len(m))
+            return tuple(reinit(p, kk) for p, kk in zip(m, keys))
+        if isinstance(m, MolANN):
+            return MolANN(m.preprocessing_layer, reinit(m.ann_layers, key))
+        if isinstance(m, SequentialNN):
+            dtype = m.params[0][0].dtype
+            return create_sequential_nn(
+                m.layer_dims, m.activation, key=key, dtype=dtype
+            )
+        raise TypeError(
+            f"cannot reinitialize {type(m).__name__}: expected MolANN, "
+            "SequentialNN, or a tuple of those"
+        )
+
+    base = jax.random.PRNGKey(seed)
+    return [reinit(model, kk) for kk in jax.random.split(base, k)]
 
 
 def _batch_length(batch) -> Any:

@@ -1025,3 +1025,69 @@ def test_msm_cli_bootstrap(workdir, capsys):
     saved = np.load(workdir / "msm_boot.npz")
     assert saved["bootstrap_timescales"].shape == (25, 3)
     assert saved["bootstrap_pi"].shape == (25, 10)
+
+def test_train_cli_ensemble_and_committee(workdir, capsys):
+    """'train --ensemble K --bagging' writes K member models; the
+    'committee' subcommand streams mean + disagreement that match a
+    direct calibrated_committee() evaluation."""
+    assert main([
+        "build", str(workdir / "system.pdb"), str(workdir / "features.txt"),
+        "--section", "Output", "--mlp", "6", "1",
+        "--out", str(workdir / "ens0.npz"),
+    ]) == 0
+    rc = main([
+        "train", str(workdir / "ens0.npz"), str(workdir / "traj.npy"),
+        "--loss", "autoencoder", "--steps", "25", "--batch-size", "256",
+        "--ensemble", "3", "--bagging", "--log-every", "0",
+        "--out", str(workdir / "ens.npz"),
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "trained committee of 3" in out
+    members = [workdir / f"ens.member{i}.npz" for i in range(3)]
+    assert all(p.exists() for p in members)
+    assert not (workdir / "ens.npz").exists()
+
+    rc = main([
+        "committee", *[str(p) for p in members], str(workdir / "traj.npy"),
+        "--out", str(workdir / "cmean.npy"),
+        "--std-out", str(workdir / "cstd.npy"),
+        "--calibrate", str(workdir / "traj.npy"),
+        "--batch-size", "256",
+    ])
+    assert rc == 0
+    mean = np.load(workdir / "cmean.npy")
+    std = np.load(workdir / "cstd.npy")
+    assert mean.shape == std.shape == (700, 1)
+    assert np.isfinite(mean).all() and (std >= 0).all()
+
+    # matches a direct calibrated_committee evaluation
+    import jax.numpy as jnp
+
+    from molann_tpu.io import load_model
+    from molann_tpu.train import calibrated_committee, stack_models
+
+    stacked = stack_models([load_model(str(p)) for p in members])
+    frames = jnp.asarray(np.load(workdir / "traj.npy"))
+    n = frames.shape[0]
+    sel = np.unique(np.linspace(0, n - 1, min(n, 4096)).astype(int))
+    em, es = calibrated_committee(stacked, frames, frames[sel])
+    np.testing.assert_allclose(mean, np.asarray(em), atol=2e-5)
+    np.testing.assert_allclose(std, np.asarray(es), atol=2e-5)
+
+    # uncalibrated path + validation errors
+    rc = main([
+        "committee", *[str(p) for p in members], str(workdir / "traj.npy"),
+        "--out", str(workdir / "cmean2.npy"),
+        "--std-out", str(workdir / "cstd2.npy"),
+    ])
+    assert rc == 0
+    assert main([
+        "committee", str(members[0]), str(workdir / "traj.npy"),
+    ]) == 1  # < 2 members
+    assert main([
+        "train", str(workdir / "ens0.npz"), str(workdir / "traj.npy"),
+        "--loss", "autoencoder", "--bagging",
+        "--out", str(workdir / "x.npz"),
+    ]) == 1  # --bagging without --ensemble
+    capsys.readouterr()

@@ -266,3 +266,55 @@ def test_full_molann_committee_freezes_ref_x(rng):
     mean, std = committee(result.models, x)
     assert mean.shape == (32, 3) and std.shape == (32, 3)
     assert bool(jnp.isfinite(std).all())
+
+def test_reinitialized_members(rng):
+    """reinitialized_members: fresh MLP params per member from distinct
+    keys, shared frozen alignment metadata, tuple handling, validation."""
+    from molann_tpu.train import reinitialized_members
+
+    model, u = alanine_model(key=jax.random.PRNGKey(0))
+    members = reinitialized_members(model, 3, seed=11)
+    assert len(members) == 3
+    ref0 = model.preprocessing_layer.align_layer.ref_x
+    w = [np.asarray(m.ann_layers.params[0][0]) for m in members]
+    assert float(np.abs(w[0] - w[1]).max()) > 1e-4
+    assert float(np.abs(w[1] - w[2]).max()) > 1e-4
+    for m in members:
+        assert m.ann_layers.layer_dims == model.ann_layers.layer_dims
+        np.testing.assert_array_equal(
+            np.asarray(m.preprocessing_layer.align_layer.ref_x),
+            np.asarray(ref0),
+        )
+    # members stack (identical structure) and differ only in values
+    stacked = stack_models(members)
+    assert ensemble_size(stacked) == 3
+
+    # (model, decoder) tuples reinitialize both parts
+    dec = create_sequential_nn([3, 4, 2], key=jax.random.PRNGKey(9))
+    pairs = reinitialized_members((model, dec), 2, seed=0)
+    assert isinstance(pairs[0], tuple) and len(pairs[0]) == 2
+    assert pairs[0][1].layer_dims == dec.layer_dims
+    assert float(np.abs(np.asarray(pairs[0][1].params[0][0])
+                        - np.asarray(pairs[1][1].params[0][0])).max()) > 1e-4
+
+    with pytest.raises(ValueError, match="at least 2"):
+        reinitialized_members(model, 1)
+    with pytest.raises(TypeError, match="cannot reinitialize"):
+        reinitialized_members(object(), 2)
+
+
+def test_committee_calibration_precompute_matches(rng):
+    """calibrated_committee(calibration=...) == calibrated_committee(x_ref)
+    — the streaming path of the `committee` CLI."""
+    from molann_tpu.train import calibrated_committee, committee_calibration
+
+    stacked = stack_models(_mlps(3))
+    x_ref = jnp.asarray(rng.normal(size=(64, 2)).astype(np.float32))
+    x = jnp.asarray(rng.normal(size=(16, 2)).astype(np.float32))
+    m1, s1 = calibrated_committee(stacked, x, x_ref)
+    calib = committee_calibration(stacked, x_ref)
+    m2, s2 = calibrated_committee(stacked, x, calibration=calib)
+    np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+    with pytest.raises(ValueError, match="x_ref or calibration"):
+        calibrated_committee(stacked, x)
