@@ -67,7 +67,8 @@ def _parse_grid(gridspec, d, *, subject=None):
 
 def _open_traj_writer(out, *, xtc_precision=1000.0, with_box=False):
     """Incremental writer (context manager with ``append([c, n, 3])``) for
-    ``.dcd``/``.trr``/``.xtc`` outputs, or None for ``.npy`` paths — the
+    ``.dcd``/``.trr``/``.xtc``/``.nc`` outputs, or None for ``.npy``
+    paths — the
     single home of the per-extension writer dispatch ('convert',
     'sample' and 'unwrap' all write trajectories). With ``with_box``
     the returned writer's ``append`` takes ``(frames, box=[k, 3, 3])``
@@ -93,6 +94,10 @@ def _open_traj_writer(out, *, xtc_precision=1000.0, with_box=False):
         from .io.xdr import XTCWriter
 
         return XTCWriter(out, precision=xtc_precision)
+    if low.endswith(".nc") or low.endswith(".ncdf"):
+        from .io.netcdf import NetCDFWriter
+
+        return NetCDFWriter(out, with_box=with_box)
     return None
 
 
@@ -125,7 +130,7 @@ def _model_dims(model):
 
 
 def _traj_dims(path):
-    """(n_frames, floats_per_frame) of a .npy/.dcd/.trr/.xtc trajectory."""
+    """(n_frames, floats_per_frame) of a .npy/.dcd/.trr/.xtc/.nc trajectory."""
     from .io.reader import open_frame_reader
 
     try:
@@ -385,8 +390,9 @@ def cmd_committee(args):
 
 def cmd_convert(args):
     """Convert between trajectory formats, streaming chunk-by-chunk (never
-    holds the full trajectory in RAM). Inputs: .npy/.dcd/.trr/.xtc;
-    outputs: .npy (frames or packed), .dcd, .trr, .xtc. ``--scale``
+    holds the full trajectory in RAM). Inputs: .npy/.dcd/.trr/.xtc/.nc;
+    outputs: .npy (frames or packed), .dcd, .trr, .xtc, .nc (Amber
+    NetCDF). ``--scale``
     multiplies coordinates (e.g. 10 for GROMACS nm -> PDB/DCD Angstrom).
     Unit cells are PRESERVED when both formats carry them: the boxes
     ride one cheap header scan (coordinates still stream) and are
@@ -398,7 +404,8 @@ def cmd_convert(args):
     scale = np.float32(args.scale)
 
     boxes = None
-    if any(out.lower().endswith(e) for e in (".dcd", ".trr", ".xtc")):
+    if any(out.lower().endswith(e)
+           for e in (".dcd", ".trr", ".xtc", ".nc", ".ncdf")):
         if args.box:
             try:
                 lx, ly, lz = (float(v) for v in args.box.split(","))
@@ -474,6 +481,10 @@ def _load_frames_and_boxes(traj, boxarg):
         frames, cell = read_dcd(traj)
         if cell is not None:
             boxes = dcd_cell_to_box(cell)
+    elif low.endswith(".nc") or low.endswith(".ncdf"):
+        from .io.netcdf import read_netcdf
+
+        frames, _, boxes = read_netcdf(traj)
     elif low.endswith(".npy"):
         frames = np.load(traj)
         if frames.ndim != 3 or frames.shape[2] != 3:
@@ -482,7 +493,7 @@ def _load_frames_and_boxes(traj, boxarg):
         frames = frames.astype(np.float32)
     else:
         raise SystemExit(f"error: unsupported trajectory {traj!r} "
-                         "(.xtc/.trr/.dcd/.npy)")
+                         "(.xtc/.trr/.dcd/.nc/.npy)")
     if boxarg:
         try:
             lx, ly, lz = (float(v) for v in boxarg.split(","))
@@ -1489,7 +1500,7 @@ def main(argv=None):
                      help="2+ member models (.npz), e.g. "
                           "trained.member0.npz trained.member1.npz ...")
     pcm.add_argument("traj", help="trajectory to score "
-                                  "(.npy/.dcd/.trr/.xtc)")
+                                  "(.npy/.dcd/.trr/.xtc/.nc)")
     pcm.add_argument("--out", default="cvs.npy",
                      help="committee-mean CVs [n_frames, d]")
     pcm.add_argument("--std-out", default="uncertainty.npy",
@@ -1511,11 +1522,11 @@ def main(argv=None):
 
     pc = sub.add_parser(
         "convert",
-        help="convert trajectories (.npy/.dcd/.trr/.xtc in; "
-             ".npy/.dcd/.trr/.xtc out)",
+        help="convert trajectories (.npy/.dcd/.trr/.xtc/.nc in; "
+             ".npy/.dcd/.trr/.xtc/.nc out)",
     )
-    pc.add_argument("traj", help="input trajectory (.npy/.dcd/.trr/.xtc)")
-    pc.add_argument("out", help="output path (.npy/.dcd/.trr/.xtc)")
+    pc.add_argument("traj", help="input trajectory (.npy/.dcd/.trr/.xtc/.nc)")
+    pc.add_argument("out", help="output path (.npy/.dcd/.trr/.xtc/.nc)")
     pc.add_argument("--packed", action="store_true",
                     help="write packed [n_frames, 3n] instead of "
                          "[n_frames, n_atoms, 3] (.npy outputs only)")
@@ -1537,11 +1548,11 @@ def main(argv=None):
         help="repair periodic wrapping (make molecules whole / remove "
              "box jumps) before feature extraction",
     )
-    pu.add_argument("traj", help="wrapped trajectory (.xtc/.trr/.dcd; "
+    pu.add_argument("traj", help="wrapped trajectory (.xtc/.trr/.dcd/.nc; "
                                  ".npy with --box)")
     pu.add_argument("pdb", help="topology PDB (bond guessing; its "
                                 "coordinates must be whole)")
-    pu.add_argument("out", help="output (.npy/.dcd/.trr/.xtc)")
+    pu.add_argument("out", help="output (.npy/.dcd/.trr/.xtc/.nc)")
     pu.add_argument("--mode", default="whole",
                     choices=["whole", "nojump", "whole+nojump"],
                     help="whole = reassemble molecules across the "
@@ -1590,7 +1601,7 @@ def main(argv=None):
     ps.add_argument("--gamma", type=float, default=5.0,
                     help="baoab friction (1/time)")
     ps.add_argument("--out", default="sampled.npy",
-                    help="trajectory output (.npy/.dcd/.trr/.xtc)")
+                    help="trajectory output (.npy/.dcd/.trr/.xtc/.nc)")
     ps.add_argument("--bias-out", default=None,
                     help="write metadynamics deposits (.npz)")
     ps.add_argument("--steps", type=int, default=5000)

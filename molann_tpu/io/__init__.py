@@ -4,6 +4,8 @@ from .export import (export_bundle, export_stablehlo,
 from .dcd import DCDWriter, read_dcd, write_dcd
 from .xdr import (TRRWriter, XTCWriter, read_trr, read_xtc,
                   write_trr, write_xtc)
+from .netcdf import (NetCDFReader, NetCDFWriter, read_netcdf,
+                     write_netcdf)
 from .reader import open_frame_reader
 from .torch_import import load_torchscript
 from .torch_export import export_torchscript
@@ -24,7 +26,11 @@ __all__ = [
     "write_trr",
     "read_xtc",
     "write_xtc",
+    "read_netcdf",
+    "write_netcdf",
     "DCDWriter",
+    "NetCDFReader",
+    "NetCDFWriter",
     "TRRWriter",
     "XTCWriter",
 ]

@@ -19,7 +19,8 @@ def read_traj_boxes(traj):
     """Per-frame box matrices of a trajectory PATH without decoding any
     coordinates: ``-> [n_frames, 3, 3] float32 or None`` (None for
     formats/files that carry no cell — .npy, cell-less DCD, box-less
-    TRR; an all-zero XTC box also counts as none). The light companion
+    TRR, cell-less Amber .nc; an all-zero XTC box also counts as none).
+    The light companion
     to :func:`open_frame_reader` — 'convert' streams coordinates chunk
     by chunk while the boxes ride this one cheap header scan."""
     low = str(traj).lower()
@@ -32,6 +33,10 @@ def read_traj_boxes(traj):
         from .xdr import scan_trr_boxes
 
         return scan_trr_boxes(traj)
+    if low.endswith(".nc") or low.endswith(".ncdf"):
+        from .netcdf import scan_netcdf_boxes
+
+        return scan_netcdf_boxes(traj)
     if low.endswith(".dcd"):
         from .dcd import scan_dcd_cells
 
@@ -49,9 +54,10 @@ def open_frame_reader(traj, *, backend="auto"):
     ``read(start, count) -> [count, n_atoms, 3] float32``.
 
     ``traj``: an in-memory ``[l, n, 3]`` (or packed ``[l, 3n]``) array,
-    or a path to ``.npy`` / ``.dcd`` / ``.trr`` / ``.xtc``. Paths prefer
-    the native loader (mmap + threaded gather, any format); pure-python
-    decoders keep everything working without a compiler. ``.npy`` files
+    or a path to ``.npy`` / ``.dcd`` / ``.trr`` / ``.xtc`` /
+    ``.nc`` (Amber NetCDF). Paths prefer the native loader (mmap +
+    threaded gather; .nc is python-only); pure-python decoders keep
+    everything working without a compiler. ``.npy`` and ``.nc`` files
     are memory-mapped, so opening is cheap regardless of size.
     ``backend``: 'auto' (native loader preferred), 'native' (required —
     raises if it cannot open), or 'numpy' (pure-python decoders only,
@@ -84,6 +90,11 @@ def open_frame_reader(traj, *, backend="auto"):
                 raise
 
     low = str(traj).lower()
+    if low.endswith(".nc") or low.endswith(".ncdf"):
+        from .netcdf import NetCDFReader
+
+        r = NetCDFReader(traj)  # mmap-backed: lazy random access
+        return r.read, r.n_frames, r.n_atoms
     if low.endswith(".dcd"):
         from .dcd import read_dcd
 

@@ -155,7 +155,8 @@ def lagged_pair_iterator(dataset, batch_size, lag, *, shuffle=True,
 def packed_batch_iterator(path, batch_size, *, shuffle=True, seed=0,
                           epochs=None, multiple_of=1, backend="auto",
                           drop_remainder=True, n_threads=None):
-    """Yield packed ``[batch, 3n]`` float32 batches from a .npy trajectory.
+    """Yield packed ``[batch, 3n]`` float32 batches from a trajectory
+    (.npy/.dcd/.trr/.xtc/.nc).
 
     backend='native' uses the C++ loader (mmap + threaded gather); while a
     batch is being consumed, the NEXT batch's pages are prefetched
@@ -185,6 +186,10 @@ def packed_batch_iterator(path, batch_size, *, shuffle=True, seed=0,
             from ..io.xdr import read_xtc
 
             mm = read_xtc(path)[0]
+        elif low.endswith(".nc") or low.endswith(".ncdf"):
+            from ..io.netcdf import read_netcdf
+
+            mm = read_netcdf(path)[0]
         else:
             mm = np.load(path, mmap_mode="r")
         n = mm.shape[0]
