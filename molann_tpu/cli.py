@@ -1842,7 +1842,9 @@ def main(argv=None):
     pxt.add_argument("--out", default="model.pt")
     pxt.set_defaults(fn=cmd_export_torch)
 
-    pb = sub.add_parser("build", help="build a model from PDB + feature file")
+    pb = sub.add_parser(
+        "build",
+        help="build a model from a topology (PDB/GRO/XYZ) + feature file")
     pb.add_argument("pdb")
     pb.add_argument("features")
     pb.add_argument("--section", required=True)

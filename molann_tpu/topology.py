@@ -296,11 +296,17 @@ class FrozenAtomGroup:
 
 
 class Universe:
-    """Minimal MDAnalysis-compatible universe built from a PDB file.
+    """Minimal MDAnalysis-compatible universe built from a coordinate
+    file — dispatched on extension like MDAnalysis:
 
-    Only ATOM/HETATM records are read (fixed PDB columns with a
-    whitespace-split fallback); this covers the reference's fixture
-    (reference test/alanine-dipeptide-vacuum.pdb) and standard PDBs.
+    - ``.pdb`` (default): ATOM/HETATM records (fixed PDB columns with a
+      whitespace-split fallback); covers the reference's fixture
+      (reference test/alanine-dipeptide-vacuum.pdb) and standard PDBs.
+      A CRYST1 record, when present, populates :attr:`box`.
+    - ``.gro``: GROMACS coordinate files (fixed columns, nanometres —
+      converted to the Angstroms every other front-end uses, matching
+      MDAnalysis); the trailing box line populates :attr:`box`.
+    - ``.xyz``: plain XYZ (element x y z, Angstroms).
 
     Can also be built directly from arrays via :meth:`from_arrays`.
     """
@@ -311,8 +317,15 @@ class Universe:
         self._resids: list[int] = []
         self._resnames: list[str] = []
         self._positions = np.zeros((0, 3), dtype=np.float32)
+        self._box = None
         if pdb_filename is not None:
-            self._load_pdb(pdb_filename)
+            low = str(pdb_filename).lower()
+            if low.endswith(".gro"):
+                self._load_gro(pdb_filename)
+            elif low.endswith(".xyz"):
+                self._load_xyz(pdb_filename)
+            else:
+                self._load_pdb(pdb_filename)
 
     # -- construction ------------------------------------------------------
 
@@ -337,6 +350,21 @@ class Universe:
         with open(filename, "r") as fh:
             for line in fh:
                 rec = line[:6].strip()
+                if rec == "CRYST1":
+                    try:
+                        a, b, c = (float(line[6:15]), float(line[15:24]),
+                                   float(line[24:33]))
+                        al, be, ga = (float(line[33:40]), float(line[40:47]),
+                                      float(line[47:54]))
+                    except (ValueError, IndexError):
+                        continue
+                    # the common "no cell" placeholder: unit cube, 90/90/90
+                    if not (a <= 1.0 and b <= 1.0 and c <= 1.0):
+                        from .pbc import dcd_cell_to_box
+
+                        self._box = dcd_cell_to_box(
+                            np.asarray([a, ga, b, be, al, c]))
+                    continue
                 if rec not in ("ATOM", "HETATM"):
                     continue
                 try:
@@ -368,7 +396,91 @@ class Universe:
             for el, nm in zip(elements, names)
         ]
 
+    def _load_gro(self, filename: str) -> None:
+        """GROMACS .gro: title line, atom count, fixed-column atom lines
+        (``%5d%-5s%5s%5d`` + free-format nm coordinates, velocities
+        ignored), trailing box line. Coordinates and box are converted
+        nm -> Angstrom (x10), matching MDAnalysis."""
+        with open(filename, "r") as fh:
+            lines = fh.read().splitlines()
+        if len(lines) < 2:
+            raise ValueError(f"{filename}: not a .gro file (too short)")
+        try:
+            n = int(lines[1].strip())
+        except ValueError:
+            raise ValueError(
+                f"{filename}: bad .gro atom count {lines[1]!r}")
+        if n < 0 or len(lines) < 2 + n:
+            raise ValueError(
+                f"{filename}: .gro promises {n} atoms, has "
+                f"{max(0, len(lines) - 3)} atom lines")
+        names, resids, resnames, coords = [], [], [], []
+        for line in lines[2 : 2 + n]:
+            try:
+                resids.append(int(line[0:5]))
+                resnames.append(line[5:10].strip())
+                names.append(line[10:15].strip())
+                vals = line[20:].split()
+                x, y, z = (float(v) for v in vals[:3])
+            except (ValueError, IndexError):
+                raise ValueError(f"{filename}: malformed .gro line {line!r}")
+            coords.append((x, y, z))
+        self._names = names
+        self._resnames = resnames
+        self._resids = resids
+        self._positions = 10.0 * np.asarray(coords, dtype=np.float32)
+        self._types = [guess_atom_type(nm) for nm in names]
+        if len(lines) > 2 + n:
+            vals = [float(v) for v in lines[2 + n].split()]
+            if len(vals) >= 3 and any(vals):
+                box = np.zeros((3, 3), dtype=np.float64)
+                box[0, 0], box[1, 1], box[2, 2] = vals[0], vals[1], vals[2]
+                if len(vals) >= 9:  # v1y v1z v2x v2z v3x v3y
+                    (box[0, 1], box[0, 2], box[1, 0],
+                     box[1, 2], box[2, 0], box[2, 1]) = vals[3:9]
+                self._box = (10.0 * box).astype(np.float32)
+
+    def _load_xyz(self, filename: str) -> None:
+        """Plain XYZ: atom count, comment, ``element x y z`` lines
+        (Angstroms). Only the first frame of a multi-frame file is read
+        (a topology needs one geometry; trajectories belong in the
+        binary codecs)."""
+        with open(filename, "r") as fh:
+            lines = fh.read().splitlines()
+        if not lines:
+            raise ValueError(f"{filename}: empty .xyz file")
+        try:
+            n = int(lines[0].split()[0])
+        except (ValueError, IndexError):
+            raise ValueError(f"{filename}: bad .xyz atom count "
+                             f"{lines[0]!r}")
+        if n < 0 or len(lines) < 2 + n:
+            raise ValueError(f"{filename}: .xyz promises {n} atoms, has "
+                             f"{max(0, len(lines) - 2)} atom lines")
+        names, coords = [], []
+        for line in lines[2 : 2 + n]:
+            parts = line.split()
+            try:
+                x, y, z = (float(v) for v in parts[1:4])
+            except (ValueError, IndexError):
+                raise ValueError(f"{filename}: malformed .xyz line {line!r}")
+            names.append(parts[0])
+            coords.append((x, y, z))
+        self._names = names
+        self._resnames = ["UNK"] * n
+        self._resids = [1] * n
+        self._positions = np.asarray(coords, dtype=np.float32)
+        self._types = [guess_atom_type(nm) for nm in names]
+
     # -- MDAnalysis-compatible API ----------------------------------------
+
+    @property
+    def box(self):
+        """``[3, 3] float32`` unit-cell matrix in Angstroms (GROMACS
+        lower-triangular convention, directly usable with
+        :mod:`molann_tpu.pbc`), or None when the file carried no cell —
+        from a .gro box line or a PDB CRYST1 record."""
+        return self._box
 
     @property
     def atoms(self) -> AtomGroup:
