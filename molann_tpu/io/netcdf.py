@@ -278,12 +278,31 @@ class NetCDFReader:
             out *= self._scale
         return out.reshape(count, self.n_atoms, 3)
 
+    def frames_at(self, idx):
+        """Gather arbitrary frames: ``[len(idx), n_atoms, 3] float32``.
+        Contiguous runs in ``idx`` are read with one :meth:`read` call
+        each, so sorted batches (the shuffled-iterator access pattern)
+        touch the mmap in order."""
+        idx = np.asarray(idx, dtype=np.int64).reshape(-1)
+        out = np.empty((len(idx), self.n_atoms, 3), dtype=np.float32)
+        i = 0
+        while i < len(idx):
+            j = i + 1
+            while j < len(idx) and idx[j] == idx[j - 1] + 1:
+                j += 1
+            out[i:j] = self.read(int(idx[i]), j - i)
+            i = j
+        return out
+
     def times(self):
         """``[n_frames] float64`` times, or None when the file has none."""
         t = self._vars.get("time")
         if t is None or not t.is_record or t.shape != ():
             return None
-        return self._record_series(t).reshape(-1).astype(np.float64)
+        out = self._record_series(t).reshape(-1).astype(np.float64)
+        # MDAnalysis NCDF semantics: scale_factor applies to ANY
+        # variable carrying it, not just coordinates.
+        return out * float(t.attrs.get("scale_factor", 1.0))
 
     def boxes(self):
         """``[n_frames, 3, 3] float32`` box matrices from cell_lengths/
@@ -297,6 +316,7 @@ class NetCDFReader:
         lengths = self._record_series(ln).astype(np.float64)
         lengths *= float(ln.attrs.get("scale_factor", 1.0))
         angles = self._record_series(an).astype(np.float64)
+        angles *= float(an.attrs.get("scale_factor", 1.0))
         from ..pbc import dcd_cell_to_box
 
         # (A, gamma, B, beta, alpha, C) in degrees — the DCD-record

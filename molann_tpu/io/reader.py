@@ -36,7 +36,10 @@ def read_traj_boxes(traj):
     if low.endswith(".nc") or low.endswith(".ncdf"):
         from .netcdf import scan_netcdf_boxes
 
-        return scan_netcdf_boxes(traj)
+        boxes = scan_netcdf_boxes(traj)
+        if boxes is None or not boxes.size or not boxes.any():
+            return None  # all-zero cells count as "no box", like XTC
+        return boxes
     if low.endswith(".dcd"):
         from .dcd import scan_dcd_cells
 
@@ -49,9 +52,22 @@ def read_traj_boxes(traj):
     return None
 
 
+def _with_close(read, closer=None):
+    """Attach a ``close`` attribute to a read callable (no-op when the
+    underlying source holds no OS resources)."""
+    read.close = closer if closer is not None else (lambda: None)
+    return read
+
+
 def open_frame_reader(traj, *, backend="auto"):
     """-> ``(read, n_frames, n_atoms)`` with
     ``read(start, count) -> [count, n_atoms, 3] float32``.
+
+    Every returned ``read`` carries a ``read.close()`` attribute that
+    releases any fd/mmap the reader holds (a no-op for in-memory
+    arrays). Long-lived processes opening many trajectories (serving)
+    should call it rather than rely on GC; a ``weakref.finalize``
+    backstop closes NetCDF readers at collection time regardless.
 
     ``traj``: an in-memory ``[l, n, 3]`` (or packed ``[l, 3n]``) array,
     or a path to ``.npy`` / ``.dcd`` / ``.trr`` / ``.xtc`` /
@@ -72,7 +88,11 @@ def open_frame_reader(traj, *, backend="auto"):
             arr = arr.reshape(arr.shape[0], -1, 3)
         if arr.ndim != 3 or arr.shape[-1] != 3:
             raise ValueError(f"expected [l, n, 3] frames, got {arr.shape}")
-        return (lambda s, c: arr[s : s + c]), arr.shape[0], arr.shape[1]
+        return (
+            _with_close(lambda s, c: arr[s : s + c]),
+            arr.shape[0],
+            arr.shape[1],
+        )
 
     if backend in ("auto", "native"):
         try:
@@ -84,7 +104,11 @@ def open_frame_reader(traj, *, backend="auto"):
             def read(s, c):
                 return ldr.read_range(s, c).reshape(c, n_atoms, 3)
 
-            return read, ldr.n_frames, n_atoms
+            return (
+                _with_close(read, getattr(ldr, "close", None)),
+                ldr.n_frames,
+                n_atoms,
+            )
         except Exception:
             if backend == "native":
                 raise
@@ -93,8 +117,17 @@ def open_frame_reader(traj, *, backend="auto"):
     if low.endswith(".nc") or low.endswith(".ncdf"):
         from .netcdf import NetCDFReader
 
+        import weakref
+
         r = NetCDFReader(traj)  # mmap-backed: lazy random access
-        return r.read, r.n_frames, r.n_atoms
+
+        def read(s, c, _r=r):
+            return _r.read(s, c)
+
+        # Deterministic close for callers that use it; finalize backstop
+        # so a dropped callable still releases the fd/mmap at GC.
+        weakref.finalize(read, r.close)
+        return _with_close(read, r.close), r.n_frames, r.n_atoms
     if low.endswith(".dcd"):
         from .dcd import read_dcd
 
@@ -117,7 +150,7 @@ def open_frame_reader(traj, *, backend="auto"):
                 "[n_frames, n_atoms, 3] or packed [n_frames, 3n]"
             )
     return (
-        (lambda s, c: np.asarray(frames[s : s + c], np.float32)),
+        _with_close(lambda s, c: np.asarray(frames[s : s + c], np.float32)),
         frames.shape[0],
         frames.shape[1],
     )

@@ -431,7 +431,13 @@ class Universe:
         self._positions = 10.0 * np.asarray(coords, dtype=np.float32)
         self._types = [guess_atom_type(nm) for nm in names]
         if len(lines) > 2 + n:
-            vals = [float(v) for v in lines[2 + n].split()]
+            try:
+                vals = [float(v) for v in lines[2 + n].split()]
+            except ValueError:
+                # Trailing non-numeric line (comment/garbage) — per the
+                # lenient .gro convention treat it as "no box" rather
+                # than surfacing a raw float() ValueError.
+                vals = []
             if len(vals) >= 3 and any(vals):
                 box = np.zeros((3, 3), dtype=np.float64)
                 box[0, 0], box[1, 1], box[2, 2] = vals[0], vals[1], vals[2]

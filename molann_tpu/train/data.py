@@ -152,6 +152,21 @@ def lagged_pair_iterator(dataset, batch_size, lag, *, shuffle=True,
         epoch += 1
 
 
+class _LazyNetCDFFrames:
+    """Array-like lazy view over a NetCDFReader: ``.shape`` plus fancy
+    indexing by a frame-index array, reading frames on demand from the
+    mmap instead of materializing the whole trajectory in RAM."""
+
+    def __init__(self, reader):
+        self._r = reader
+        self.shape = (reader.n_frames, reader.n_atoms, 3)
+
+    def __getitem__(self, idx):
+        if isinstance(idx, slice):
+            idx = np.arange(*idx.indices(self.shape[0]))
+        return self._r.frames_at(np.atleast_1d(idx))
+
+
 def packed_batch_iterator(path, batch_size, *, shuffle=True, seed=0,
                           epochs=None, multiple_of=1, backend="auto",
                           drop_remainder=True, n_threads=None):
@@ -187,9 +202,12 @@ def packed_batch_iterator(path, batch_size, *, shuffle=True, seed=0,
 
             mm = read_xtc(path)[0]
         elif low.endswith(".nc") or low.endswith(".ncdf"):
-            from ..io.netcdf import read_netcdf
+            from ..io.netcdf import NetCDFReader
 
-            mm = read_netcdf(path)[0]
+            # Lazy mmap-backed view (bounded memory for large files):
+            # the reader stays open for the iterator's lifetime, like
+            # the .npy mmap path.
+            mm = _LazyNetCDFFrames(NetCDFReader(path))
         else:
             mm = np.load(path, mmap_mode="r")
         n = mm.shape[0]

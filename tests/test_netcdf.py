@@ -129,6 +129,87 @@ def test_scale_factor_applied(tmp_path, frames):
     np.testing.assert_allclose(back, 10.0 * frames, rtol=1e-6)
 
 
+def test_scale_factor_on_time_and_angles(tmp_path, frames):
+    """scale_factor applies to ANY variable carrying it (MDAnalysis
+    NCDF semantics) — time and cell_angles, not just coordinates."""
+    path = str(tmp_path / "s.nc")
+    nc = scipy_io.netcdf_file(path, "w")
+    nc.createDimension("frame", None)
+    nc.createDimension("spatial", 3)
+    nc.createDimension("atom", 7)
+    nc.createDimension("cell_spatial", 3)
+    nc.createDimension("cell_angular", 3)
+    v = nc.createVariable("coordinates", "f", ("frame", "atom", "spatial"))
+    v[:] = frames
+    t = nc.createVariable("time", "f", ("frame",))
+    t[:] = np.arange(11.0, dtype=np.float32)
+    t.scale_factor = 2.0
+    ln = nc.createVariable("cell_lengths", "d", ("frame", "cell_spatial"))
+    ln[:] = np.full((11, 3), 20.0)
+    an = nc.createVariable("cell_angles", "d", ("frame", "cell_angular"))
+    an[:] = np.full((11, 3), 45.0)  # stored at half scale
+    an.scale_factor = 2.0
+    nc.close()
+    with NetCDFReader(path) as r:
+        np.testing.assert_allclose(r.times(), 2.0 * np.arange(11.0))
+        box = r.boxes()
+    # 2.0 * 45 deg = 90 deg -> orthorhombic 20-Angstrom box
+    np.testing.assert_allclose(
+        box, np.broadcast_to(20.0 * np.eye(3), (11, 3, 3)), atol=1e-4)
+
+
+def test_all_zero_nc_cells_count_as_none(tmp_path, frames):
+    """read_traj_boxes normalizes all-zero .nc cell records to None,
+    matching the XTC convention, so convert does not emit meaningless
+    cell records."""
+    from molann_tpu.io.reader import read_traj_boxes
+
+    path = tmp_path / "z.nc"
+    write_netcdf(path, frames, box=np.zeros((11, 3, 3), np.float32))
+    assert read_traj_boxes(str(path)) is None
+
+
+def test_frames_at_gather(tmp_path, frames):
+    path = tmp_path / "t.nc"
+    write_netcdf(path, frames)
+    with NetCDFReader(path) as r:
+        idx = np.array([0, 3, 4, 5, 9, 10])
+        np.testing.assert_array_equal(r.frames_at(idx), frames[idx])
+
+
+def test_reader_close_hook(tmp_path, frames):
+    """open_frame_reader exposes read.close() on every branch; for .nc
+    it deterministically releases the fd/mmap."""
+    from molann_tpu.io.reader import open_frame_reader
+
+    path = tmp_path / "t.nc"
+    write_netcdf(path, frames)
+    read, _, _ = open_frame_reader(str(path), backend="numpy")
+    np.testing.assert_array_equal(read(0, 2), frames[:2])
+    read.close()
+    with pytest.raises(Exception):
+        read(0, 2)  # mmap is closed
+    # in-memory branch: close is a no-op but present
+    read2, _, _ = open_frame_reader(frames)
+    read2.close()
+    np.testing.assert_array_equal(read2(0, 2), frames[:2])
+
+
+def test_packed_iterator_nc_is_lazy(tmp_path, frames):
+    """The .nc fallback iterator reads batches on demand through the
+    mmap-backed reader (bounded memory), and yields the same packed
+    batches as an eager in-memory pass."""
+    from molann_tpu.train.data import packed_batch_iterator
+
+    path = str(tmp_path / "t.nc")
+    write_netcdf(path, frames)
+    got = list(packed_batch_iterator(path, 4, shuffle=False, epochs=1,
+                                     backend="numpy"))
+    want = frames.reshape(11, -1)
+    assert len(got) == 2
+    np.testing.assert_array_equal(np.concatenate(got), want[:8])
+
+
 def test_open_frame_reader_dispatch(tmp_path, frames):
     from molann_tpu.io.reader import open_frame_reader, read_traj_boxes
 
