@@ -42,6 +42,7 @@
 #include <chrono>
 #include <cstdint>
 #include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <deque>
 #include <string>
@@ -179,7 +180,97 @@ struct InFlight {
   PJRT_Buffer* in;
   std::vector<PJRT_Buffer*> outs;
   PJRT_Event* done;
+  std::chrono::steady_clock::time_point t_submit;
 };
+
+double seconds_since(std::chrono::steady_clock::time_point t0) {
+  return std::chrono::duration<double>(std::chrono::steady_clock::now() - t0)
+      .count();
+}
+
+void destroy_buffer(PJRT_Buffer* b) {
+  PJRT_Buffer_Destroy_Args bd{};
+  bd.struct_size = PJRT_Buffer_Destroy_Args_STRUCT_SIZE;
+  bd.buffer = b;
+  check(g_api->PJRT_Buffer_Destroy(&bd), "Buffer_Destroy");
+}
+
+// Submit one execute of `c` on `device` with input `in`; returns the
+// output buffers + completion event via out-params.
+PJRT_Event* submit_execute(const Compiled& c, PJRT_Device* device,
+                           bool portable, PJRT_Buffer* in,
+                           std::vector<PJRT_Buffer*>* outs) {
+  outs->assign(c.num_outputs, nullptr);
+  PJRT_ExecuteOptions eopts{};
+  eopts.struct_size = PJRT_ExecuteOptions_STRUCT_SIZE;
+  PJRT_Buffer* const arg_list[1] = {in};
+  PJRT_Buffer* const* const arg_lists[1] = {arg_list};
+  PJRT_Buffer** const out_lists[1] = {outs->data()};
+  PJRT_Event* done[1] = {nullptr};
+  PJRT_LoadedExecutable_Execute_Args ex{};
+  ex.struct_size = PJRT_LoadedExecutable_Execute_Args_STRUCT_SIZE;
+  ex.executable = c.exec;
+  ex.options = &eopts;
+  ex.argument_lists = arg_lists;
+  ex.num_devices = 1;
+  ex.num_args = 1;
+  ex.output_lists = out_lists;
+  ex.device_complete_events = done;
+  if (portable) ex.execute_device = device;
+  check(g_api->PJRT_LoadedExecutable_Execute(&ex), "Execute");
+  return done[0];
+}
+
+// Device-side throughput probe for one compiled bucket (VERDICT r3 #1:
+// the container itself must report a measured device rate, not tunnel
+// wall time). Methodology: K back-to-back executes on one device
+// serialize on its queue, so wall(K) = fixed_overhead + K * t_device;
+// the slope (wall(K) - wall(1)) / (K - 1) cancels the fixed
+// per-dispatch overhead (tunnel RTT, host syscalls, event plumbing)
+// and isolates per-execute device time. Returns slope seconds per
+// execute; sync_s gets the single-execute wall (incl. RTT).
+double probe_device_rate(PJRT_Client* client, PJRT_Device* device,
+                         bool portable, const Compiled& c, int64_t n_atoms,
+                         double* sync_s) {
+  std::vector<float> zeros(static_cast<size_t>(c.B) * n_atoms * 3, 0.0f);
+  const int64_t dims[3] = {c.B, n_atoms, 3};
+  PJRT_Client_BufferFromHostBuffer_Args hb{};
+  hb.struct_size = PJRT_Client_BufferFromHostBuffer_Args_STRUCT_SIZE;
+  hb.client = client;
+  hb.data = zeros.data();
+  hb.type = PJRT_Buffer_Type_F32;
+  hb.dims = dims;
+  hb.num_dims = 3;
+  hb.host_buffer_semantics =
+      PJRT_HostBufferSemantics_kImmutableUntilTransferCompletes;
+  hb.device = device;
+  check(g_api->PJRT_Client_BufferFromHostBuffer(&hb), "BufferFromHost(probe)");
+  await(hb.done_with_host_buffer, "probe host buffer transfer");
+  PJRT_Buffer* in = hb.buffer;
+
+  auto run_k = [&](int k) -> double {
+    std::vector<std::vector<PJRT_Buffer*>> outs(k);
+    std::vector<PJRT_Event*> done(k);
+    const auto t0 = std::chrono::steady_clock::now();
+    for (int i = 0; i < k; i++) {
+      done[i] = submit_execute(c, device, portable, in, &outs[i]);
+    }
+    for (int i = 0; i < k; i++) await(done[i], "probe execution");
+    const double dt = seconds_since(t0);
+    for (auto& ob : outs) {
+      for (PJRT_Buffer* b : ob) destroy_buffer(b);
+    }
+    return dt;
+  };
+
+  run_k(1);  // warm-up: first-execute costs (allocation, program load)
+  const double t1 = run_k(1);
+  constexpr int kK = 8;
+  const double tk = run_k(kK);
+  destroy_buffer(in);
+  *sync_s = t1;
+  return (tk - t1) / (kK - 1);
+}
 
 }  // namespace
 
@@ -319,6 +410,24 @@ int main(int argc, char** argv) {
                static_cast<long long>(n_frames),
                static_cast<long long>(n_atoms));
 
+  // --- device-side throughput probe, per bucket (before serving) ---
+  // SERVE_PJRT_PROBE=0 skips it (tests that pin exact per-device
+  // execute counts; latency-critical one-shot serves).
+  const bool portable = n_dev > 1;
+  const char* probe_env = std::getenv("SERVE_PJRT_PROBE");
+  const bool do_probe = !(probe_env && std::strcmp(probe_env, "0") == 0);
+  for (const Compiled& c : do_probe ? buckets : std::vector<Compiled>{}) {
+    double sync_s = 0.0;
+    const double slope_s = probe_device_rate(
+        client, ad.addressable_devices[0], portable, c, n_atoms, &sync_s);
+    const double rate = slope_s > 0 ? c.B / slope_s / 1e6 : -1.0;
+    std::fprintf(stderr,
+                 "device-probe bucket B=%lld: %.2fM frames/s device "
+                 "(slope %.3f ms/exec, sync %.3f ms incl. RTT)\n",
+                 static_cast<long long>(c.B), rate, slope_s * 1e3,
+                 sync_s * 1e3);
+  }
+
   std::vector<float> out_all;   // [n_frames, d], d discovered on batch 0
   std::vector<float> grad_all;  // [n_frames, 3n] for 2-output artifacts
   if (want_grad) grad_all.resize(static_cast<size_t>(n_frames) * fpf);
@@ -351,10 +460,19 @@ int main(int argc, char** argv) {
   std::deque<InFlight> inflight;
   std::vector<float> host_in;
 
+  // timing accumulators (VERDICT r3 #1): where the wall time goes
+  double read_s = 0, h2d_s = 0, d2h_s = 0, exec_lat_s = 0;
+  std::chrono::steady_clock::time_point t_first_submit{}, t_last_complete{};
+  bool any_submitted = false;
+
   auto drain_one = [&]() {
     InFlight fl = inflight.front();
     inflight.pop_front();
     await(fl.done, "execution");
+    t_last_complete = std::chrono::steady_clock::now();
+    exec_lat_s += std::chrono::duration<double>(t_last_complete - fl.t_submit)
+                      .count();
+    const auto t_d2h0 = t_last_complete;
 
     // output 0 = CV values [B, d]
     PJRT_Buffer_ToHostBuffer_Args th{};
@@ -407,14 +525,9 @@ int main(int argc, char** argv) {
                   static_cast<size_t>(fl.take) * fpf * sizeof(float));
     }
 
-    PJRT_Buffer_Destroy_Args bd{};
-    bd.struct_size = PJRT_Buffer_Destroy_Args_STRUCT_SIZE;
-    bd.buffer = fl.in;
-    check(g_api->PJRT_Buffer_Destroy(&bd), "Buffer_Destroy");
-    for (PJRT_Buffer* b : fl.outs) {
-      bd.buffer = b;
-      check(g_api->PJRT_Buffer_Destroy(&bd), "Buffer_Destroy");
-    }
+    d2h_s += seconds_since(t_d2h0);
+    destroy_buffer(fl.in);
+    for (PJRT_Buffer* b : fl.outs) destroy_buffer(b);
   };
 
   const auto t_serve0 = std::chrono::steady_clock::now();
@@ -424,9 +537,11 @@ int main(int argc, char** argv) {
     PJRT_Device* device = ad.addressable_devices[bi % n_dev];
 
     host_in.resize(static_cast<size_t>(B) * fpf);
+    const auto t_read0 = std::chrono::steady_clock::now();
     if (tl_read_range(ldr, s.start, s.take, host_in.data()) != 0) {
       die(std::string("read trajectory: ") + tl_last_error());
     }
+    read_s += seconds_since(t_read0);
     if (s.take < B) {  // pad the tail batch with the last frame
       const float* last = host_in.data() + (s.take - 1) * fpf;
       for (int64_t r = s.take; r < B; r++) {
@@ -442,6 +557,7 @@ int main(int argc, char** argv) {
     }
 
     const int64_t dims[3] = {B, n_atoms, 3};
+    const auto t_h2d0 = std::chrono::steady_clock::now();
     PJRT_Client_BufferFromHostBuffer_Args hb{};
     hb.struct_size = PJRT_Client_BufferFromHostBuffer_Args_STRUCT_SIZE;
     hb.client = client;
@@ -454,35 +570,21 @@ int main(int argc, char** argv) {
     hb.device = device;
     check(g_api->PJRT_Client_BufferFromHostBuffer(&hb), "BufferFromHost");
     await(hb.done_with_host_buffer, "host buffer transfer");
+    h2d_s += seconds_since(t_h2d0);
 
     InFlight fl;
     fl.start = s.start;
     fl.take = s.take;
     fl.B = B;
     fl.in = hb.buffer;
-    fl.outs.assign(s.c->num_outputs, nullptr);
-    fl.done = nullptr;
-
-    PJRT_ExecuteOptions eopts{};
-    eopts.struct_size = PJRT_ExecuteOptions_STRUCT_SIZE;
-    PJRT_Buffer* const arg_list[1] = {fl.in};
-    PJRT_Buffer* const* const arg_lists[1] = {arg_list};
-    PJRT_Buffer** const out_lists[1] = {fl.outs.data()};
-    PJRT_Event* done[1] = {nullptr};
-    PJRT_LoadedExecutable_Execute_Args ex{};
-    ex.struct_size = PJRT_LoadedExecutable_Execute_Args_STRUCT_SIZE;
-    ex.executable = s.c->exec;
-    ex.options = &eopts;
-    ex.argument_lists = arg_lists;
-    ex.num_devices = 1;
-    ex.num_args = 1;
-    ex.output_lists = out_lists;
-    ex.device_complete_events = done;
+    fl.t_submit = std::chrono::steady_clock::now();
     // portable executables (n_dev > 1) are dispatched per device; with
     // one device the compile-time placement stands, as before
-    if (n_dev > 1) ex.execute_device = device;
-    check(g_api->PJRT_LoadedExecutable_Execute(&ex), "Execute");
-    fl.done = done[0];
+    fl.done = submit_execute(*s.c, device, n_dev > 1, fl.in, &fl.outs);
+    if (!any_submitted) {
+      t_first_submit = fl.t_submit;
+      any_submitted = true;
+    }
     inflight.push_back(std::move(fl));
 
     while (inflight.size() >= max_inflight) drain_one();
@@ -498,6 +600,17 @@ int main(int argc, char** argv) {
                "round-trips, %zu device(s))\n",
                static_cast<long long>(n_frames), serve_s,
                n_frames / serve_s / 1e6, n_dev);
+  if (any_submitted) {
+    const double span_s =
+        std::chrono::duration<double>(t_last_complete - t_first_submit)
+            .count();
+    std::fprintf(stderr,
+                 "timing: read %.6f s, h2d %.6f s, d2h %.6f s, "
+                 "submit-to-complete %.6f s total; pipelined span %.6f s "
+                 "(%.2fM frames/s first-submit to last-complete)\n",
+                 read_s, h2d_s, d2h_s, exec_lat_s, span_s,
+                 span_s > 0 ? n_frames / span_s / 1e6 : -1.0);
+  }
   write_npy(argv[4], out_all.data(), n_frames, d_out);
   std::fprintf(stderr, "wrote %s: [%lld, %lld]\n", argv[4],
                static_cast<long long>(n_frames),

@@ -75,7 +75,7 @@ def _bundle(buckets):
 
 
 def _run(serve_bin, mock_plugin, workdir, artifact, frames, *, devices,
-         outputs=2, batch_arg=None):
+         outputs=2, batch_arg=None, probe=False):
     traj = os.path.join(workdir, "traj.npy")
     np.save(traj, frames)
     art = os.path.join(workdir, "artifact.bin")
@@ -86,7 +86,8 @@ def _run(serve_bin, mock_plugin, workdir, artifact, frames, *, devices,
     if batch_arg:
         cmd.append(str(batch_arg))
     env = dict(os.environ, MOCK_DEVICES=str(devices),
-               MOCK_OUTPUTS=str(outputs))
+               MOCK_OUTPUTS=str(outputs),
+               SERVE_PJRT_PROBE="1" if probe else "0")
     proc = subprocess.run(cmd, env=env, capture_output=True, text=True)
     assert proc.returncode == 0, proc.stderr
     return out, proc.stderr
@@ -125,6 +126,40 @@ def test_multi_device_bundle_serving(tmp_path, serve_bin, mock_plugin,
     counts = [int(c) for c in re.findall(r"dev\d+=(\d+)", err)]
     assert len(counts) == 4 and sum(counts) == 7
     assert sum(1 for c in counts if c > 0) == 4  # every device ran
+
+
+def test_device_probe_and_timing_plumbing(tmp_path, serve_bin, mock_plugin,
+                                          frames):
+    """VERDICT r3 #1: the container measures and reports device-side
+    rates. With the probe enabled, stderr carries one device-probe line
+    per bucket (slope-timed device frames/s + sync latency) and the
+    serve loop's timing breakdown (read/h2d/d2h/span)."""
+    out, err = _run(serve_bin, mock_plugin, str(tmp_path),
+                    _bundle([256, 64]), frames, devices=1, probe=True)
+    _check_outputs(out, frames)
+    probes = re.findall(
+        r"device-probe bucket B=(\d+): (\S+)M frames/s device "
+        r"\(slope (\S+) ms/exec, sync (\S+) ms incl\. RTT\)", err)
+    assert [int(p[0]) for p in probes] == [256, 64]
+    for _, rate, slope, sync in probes:
+        assert float(sync) > 0.0
+        # slope can be ~0 on the instant mock; rate is -1 then by contract
+        assert float(rate) != 0.0
+    m = re.search(
+        r"timing: read (\S+) s, h2d (\S+) s, d2h (\S+) s, "
+        r"submit-to-complete (\S+) s total; pipelined span (\S+) s "
+        r"\((\S+)M frames/s first-submit to last-complete\)", err)
+    assert m, err
+    span, rate = float(m.group(5)), float(m.group(6))
+    assert span > 0 and rate > 0
+
+
+def test_probe_disabled_by_default_in_tests(tmp_path, serve_bin, mock_plugin,
+                                            frames):
+    _, err = _run(serve_bin, mock_plugin, str(tmp_path),
+                  _bundle([256, 64]), frames, devices=2)
+    assert "device-probe" not in err
+    assert "timing: read" in err  # breakdown always reported
 
 
 def test_single_vs_multi_device_identical(tmp_path, serve_bin, mock_plugin,
