@@ -51,7 +51,7 @@
 
 namespace {
 
-enum class Format { NPY, DCD, TRR, XTC };
+enum class Format { NPY, DCD, TRR, XTC, NC };
 
 struct Loader {
   int fd = -1;
@@ -68,6 +68,12 @@ struct Loader {
   // TRR/XTC: variable frame sizes -> offset index (n_frames + 1 entries,
   // last = end of the final frame) built by a header walk at open
   std::vector<size_t> frame_off;
+  // NC (Amber NetCDF-3 classic): coordinates record geometry
+  size_t nc_begin = 0;      // byte offset of frame 0's coordinates
+  size_t nc_recsize = 0;    // bytes per record slot (all record vars)
+  size_t nc_per_rec = 0;    // bytes of coordinates within one record
+  bool nc_double = false;   // NC_DOUBLE coordinates (NC_FLOAT otherwise)
+  float nc_scale = 1.0f;    // coordinates scale_factor attribute
   // common
   int64_t n_frames = 0;
   int64_t floats_per_frame = 0;    // 3 * n_atoms
@@ -87,6 +93,9 @@ struct Loader {
     if (format == Format::TRR || format == Format::XTC) {
       return base + frame_off[static_cast<size_t>(f)];
     }
+    if (format == Format::NC) {
+      return base + nc_begin + static_cast<size_t>(f) * nc_recsize;
+    }
     return base + frame0_off + static_cast<size_t>(f) * frame_stride;
   }
   size_t frame_bytes(int64_t f = 0) const {
@@ -95,6 +104,7 @@ struct Loader {
       return frame_off[static_cast<size_t>(f) + 1] -
              frame_off[static_cast<size_t>(f)];
     }
+    if (format == Format::NC) return nc_per_rec;
     return frame_stride;
   }
 
@@ -784,6 +794,253 @@ bool gather_xtc_frame(const Loader* L, int64_t f, float* out) {
   return decode_xtc_frame(L->base, off + 56, end, L->natoms, out);
 }
 
+// ---- Amber NetCDF-3 (classic CDF-1 / 64-bit-offset CDF-2) ---------------
+// Big-endian header: numrecs, dimension list, global attributes, then a
+// variable list where each variable carries its own attributes, type,
+// vsize and begin offset. The AMBER trajectory convention stores
+// coordinates as a record variable [frame, atom, spatial=3] of
+// NC_FLOAT/NC_DOUBLE, interleaved with the other record variables
+// (time, cell_lengths, cell_angles) in per-record slots of `recsize`
+// bytes. Mirrors molann_tpu/io/netcdf.py — the Python oracle;
+// tests/test_native_drift.py pins the two implementations together.
+
+constexpr int32_t kNcDimension = 0x0A;
+constexpr int32_t kNcVariable = 0x0B;
+constexpr int32_t kNcAttribute = 0x0C;
+
+size_t nc_type_size(int32_t t) {
+  switch (t) {
+    case 1: case 2: return 1;  // NC_BYTE, NC_CHAR
+    case 3: return 2;          // NC_SHORT
+    case 4: case 5: return 4;  // NC_INT, NC_FLOAT
+    case 6: return 8;          // NC_DOUBLE
+    default: return 0;
+  }
+}
+
+struct NcCursor {
+  const uint8_t* p;
+  size_t size, off;
+  bool fail = false;
+  bool need(size_t n) {
+    if (fail || off + n > size) { fail = true; return false; }
+    return true;
+  }
+  uint32_t u4() {
+    if (!need(4)) return 0;
+    uint32_t v = rd_be_u32(p + off);
+    off += 4;
+    return v;
+  }
+  int32_t i4() { return static_cast<int32_t>(u4()); }
+  int64_t i8() {
+    if (!need(8)) return 0;
+    uint64_t hi = rd_be_u32(p + off), lo = rd_be_u32(p + off + 4);
+    off += 8;
+    return static_cast<int64_t>((hi << 32) | lo);
+  }
+  bool read_name(std::string* out) {
+    int32_t n = i4();
+    if (fail || n < 0 || n > (1 << 20)) { fail = true; return false; }
+    size_t padded = (static_cast<size_t>(n) + 3) & ~size_t{3};
+    if (!need(padded)) return false;
+    out->assign(reinterpret_cast<const char*>(p + off),
+                static_cast<size_t>(n));
+    off += padded;
+    return true;
+  }
+  // tag+count pair; ABSENT = (0, 0)
+  int32_t tagged_count(int32_t expect) {
+    int32_t tag = i4(), count = i4();
+    if (fail) return -1;
+    if (tag == 0 && count == 0) return 0;
+    if (tag != expect || count < 0) { fail = true; return -1; }
+    return count;
+  }
+  // Walk one attribute list; if scale_out != nullptr, capture a numeric
+  // "scale_factor" into it.
+  bool skip_attrs(double* scale_out) {
+    int32_t count = tagged_count(kNcAttribute);
+    if (count < 0) return false;
+    for (int32_t i = 0; i < count; i++) {
+      std::string nm;
+      if (!read_name(&nm)) return false;
+      int32_t t = i4(), nelems = i4();
+      size_t esz = nc_type_size(t);
+      if (fail || esz == 0 || nelems < 0) { fail = true; return false; }
+      size_t raw = static_cast<size_t>(nelems) * esz;
+      size_t padded = (raw + 3) & ~size_t{3};
+      if (!need(padded)) return false;
+      if (scale_out && nm == "scale_factor" && nelems == 1) {
+        if (t == 5) *scale_out = rd_be_f32(p + off);
+        else if (t == 6) *scale_out = rd_be_f64(p + off);
+        else if (t == 4) *scale_out = rd_be_i32(p + off);
+      }
+      off += padded;
+    }
+    return true;
+  }
+};
+
+bool parse_nc_header(const uint8_t* p, size_t size, Loader* L) {
+  L->format = Format::NC;
+  const int version = p[3];
+  if (version == 5) {
+    set_error("NetCDF CDF-5 (64-bit data) is not supported; only classic "
+              "CDF-1/CDF-2 (the AMBER convention variants)");
+    return false;
+  }
+  if (version != 1 && version != 2) {
+    set_error("unsupported NetCDF variant (only classic CDF-1/CDF-2; "
+              "NetCDF-4/HDF5 files need the netCDF4 library)");
+    return false;
+  }
+  NcCursor c{p, size, 4};
+  const uint32_t numrecs_raw = c.u4();
+
+  // dimensions
+  int32_t ndims = c.tagged_count(kNcDimension);
+  if (ndims < 0) { set_error("corrupt NetCDF dimension list"); return false; }
+  std::vector<int64_t> dimsize;
+  int rec_dim = -1;
+  for (int32_t i = 0; i < ndims; i++) {
+    std::string nm;
+    if (!c.read_name(&nm)) { set_error("corrupt NetCDF dimension"); return false; }
+    int32_t sz = c.i4();
+    if (c.fail || sz < 0) { set_error("corrupt NetCDF dimension"); return false; }
+    if (sz == 0 && rec_dim < 0) rec_dim = i;
+    dimsize.push_back(sz);
+  }
+  if (!c.skip_attrs(nullptr)) {
+    set_error("corrupt NetCDF global attributes");
+    return false;
+  }
+
+  // variables: accumulate record geometry in header order
+  int32_t nvars = c.tagged_count(kNcVariable);
+  if (nvars < 0) { set_error("corrupt NetCDF variable list"); return false; }
+  size_t recsize = 0, n_rec_vars = 0;
+  size_t rec0 = size;        // min begin over record variables
+  bool have_coords = false;
+  size_t coords_per_rec = 0;
+  for (int32_t i = 0; i < nvars; i++) {
+    std::string nm;
+    if (!c.read_name(&nm)) { set_error("corrupt NetCDF variable"); return false; }
+    int32_t nd = c.i4();
+    if (c.fail || nd < 0 || nd > 32) {
+      set_error("corrupt NetCDF variable " + nm);
+      return false;
+    }
+    std::vector<int32_t> dimids(nd);
+    for (int32_t d = 0; d < nd; d++) {
+      dimids[d] = c.i4();
+      if (c.fail || dimids[d] < 0 ||
+          dimids[d] >= static_cast<int32_t>(dimsize.size())) {
+        set_error("corrupt dimension ids on " + nm);
+        return false;
+      }
+    }
+    double scale = 1.0;
+    if (!c.skip_attrs(&scale)) {
+      set_error("corrupt attributes on " + nm);
+      return false;
+    }
+    int32_t nc_type = c.i4();
+    c.i4();  // vsize: recomputed below, never trusted
+    int64_t begin = version == 2 ? c.i8() : static_cast<int64_t>(c.u4());
+    size_t esz = nc_type_size(nc_type);
+    if (c.fail || esz == 0 || begin < 0) {
+      set_error("corrupt NetCDF variable " + nm);
+      return false;
+    }
+    const bool is_record = nd > 0 && rec_dim >= 0 && dimids[0] == rec_dim;
+    int64_t per_elems = 1;
+    for (int32_t d = is_record ? 1 : 0; d < nd; d++) {
+      per_elems *= dimsize[static_cast<size_t>(dimids[d])];
+    }
+    const size_t per_rec = esz * static_cast<size_t>(per_elems);
+    if (is_record) {
+      recsize += (per_rec + 3) & ~size_t{3};
+      n_rec_vars++;
+      if (static_cast<size_t>(begin) < rec0) {
+        rec0 = static_cast<size_t>(begin);
+      }
+    }
+    if (nm == "coordinates") {
+      if (!is_record || nd != 3 ||
+          dimsize[static_cast<size_t>(dimids[2])] != 3) {
+        set_error("coordinates is not a record [frame, atom, 3] variable "
+                  "(not an AMBER trajectory convention file)");
+        return false;
+      }
+      if (nc_type != 5 && nc_type != 6) {
+        set_error("coordinates must be NC_FLOAT or NC_DOUBLE");
+        return false;
+      }
+      const int64_t natoms = dimsize[static_cast<size_t>(dimids[1])];
+      if (natoms <= 0) {
+        set_error("non-positive NetCDF atom count");
+        return false;
+      }
+      have_coords = true;
+      coords_per_rec = per_rec;
+      L->natoms = natoms;
+      L->floats_per_frame = 3 * natoms;
+      L->nc_begin = static_cast<size_t>(begin);
+      L->nc_double = nc_type == 6;
+      L->nc_scale = static_cast<float>(scale);
+    }
+  }
+  if (c.fail) { set_error("truncated NetCDF header"); return false; }
+  if (!have_coords) {
+    set_error("no record 'coordinates' variable (not an AMBER trajectory "
+              "convention file)");
+    return false;
+  }
+  // classic-format special rule: a single record variable is unpadded
+  if (n_rec_vars == 1) recsize = coords_per_rec;
+  if (recsize == 0) { set_error("zero NetCDF record size"); return false; }
+  L->nc_recsize = recsize;
+  L->nc_per_rec = coords_per_rec;
+
+  int64_t numrecs;
+  if (numrecs_raw == 0xFFFFFFFFu) {  // STREAMING: count from file size
+    numrecs = rec0 < size
+                  ? static_cast<int64_t>((size - rec0) / recsize)
+                  : 0;
+    if (numrecs < 0) numrecs = 0;
+  } else {
+    numrecs = static_cast<int64_t>(numrecs_raw);
+  }
+  if (numrecs > 0) {
+    const size_t need = L->nc_begin +
+                        static_cast<size_t>(numrecs - 1) * recsize +
+                        coords_per_rec;
+    if (need > size) {
+      set_error("truncated NetCDF (file smaller than header promises)");
+      return false;
+    }
+  }
+  L->n_frames = numrecs;
+  return true;
+}
+
+void gather_nc_frame(const Loader* L, int64_t f, float* out) {
+  const uint8_t* x =
+      L->base + L->nc_begin + static_cast<size_t>(f) * L->nc_recsize;
+  const int64_t n = L->floats_per_frame;
+  if (L->nc_double) {
+    for (int64_t k = 0; k < n; k++) {
+      out[k] = static_cast<float>(rd_be_f64(x + 8 * k));
+    }
+  } else {
+    for (int64_t k = 0; k < n; k++) out[k] = rd_be_f32(x + 4 * k);
+  }
+  if (L->nc_scale != 1.0f) {
+    for (int64_t k = 0; k < n; k++) out[k] *= L->nc_scale;
+  }
+}
+
 void prefetch_loop(Loader* L) {
   const size_t page = static_cast<size_t>(sysconf(_SC_PAGESIZE));
   for (;;) {
@@ -855,6 +1112,11 @@ void* tl_open(const char* path, int64_t* out_n_frames,
       delete L;
       return nullptr;
     }
+  } else if (L->map_size >= 8 && std::memcmp(L->base, "CDF", 3) == 0) {
+    if (!parse_nc_header(L->base, L->map_size, L)) {
+      delete L;
+      return nullptr;
+    }
   } else {
     size_t off = parse_npy_header(L->base, L->map_size, L);
     if (off == 0) {
@@ -920,6 +1182,11 @@ int tl_read_batch(void* handle, const int64_t* indices, int64_t count,
           }
         }
         break;
+      case Format::NC:
+        for (int64_t i = lo; i < hi; i++) {
+          gather_nc_frame(L, indices[i], out + i * fpf);
+        }
+        break;
     }
   };
   if (n_threads <= 1 || count < 1024) {
@@ -973,6 +1240,11 @@ int tl_read_range(void* handle, int64_t start, int64_t count, float* out) {
         if (!gather_xtc_frame(L, start + i, out + i * L->floats_per_frame)) {
           return -1;
         }
+      }
+      break;
+    case Format::NC:
+      for (int64_t i = 0; i < count; i++) {
+        gather_nc_frame(L, start + i, out + i * L->floats_per_frame);
       }
       break;
   }

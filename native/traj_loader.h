@@ -13,7 +13,8 @@ extern "C" {
 // Last error message for the calling thread (valid until the next call).
 const char* tl_last_error();
 
-// Open a trajectory (.npy / .dcd / .trr / .xtc, auto-detected by magic).
+// Open a trajectory (.npy / .dcd / .trr / .xtc / Amber .nc, auto-detected
+// by magic).
 // Returns an opaque handle (NULL on error) and fills frame geometry.
 void* tl_open(const char* path, int64_t* out_n_frames,
               int64_t* out_floats_per_frame);

@@ -73,6 +73,7 @@ def test_committed_so_matches_fresh_build(tmp_path, fresh_so, rng):
     if not os.path.exists(native_loader._SO_PATH):
         pytest.skip("no committed .so")
     from molann_tpu.io.dcd import write_dcd
+    from molann_tpu.io.netcdf import write_netcdf
     from molann_tpu.io.xdr import write_trr, write_xtc
 
     frames = (
@@ -86,6 +87,8 @@ def test_committed_so_matches_fresh_build(tmp_path, fresh_so, rng):
     paths.append(write_dcd(tmp_path / "t.dcd", frames))
     paths.append(write_trr(tmp_path / "t.trr", frames))
     paths.append(write_xtc(tmp_path / "t.xtc", frames, precision=1000.0))
+    write_netcdf(tmp_path / "t.nc", frames)
+    paths.append(tmp_path / "t.nc")
 
     for p in paths:
         committed = _open_with(native_loader._SO_PATH, p)
