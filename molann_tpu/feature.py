@@ -82,16 +82,17 @@ class Feature:
     """
 
     def __init__(self, name, feature_type, atom_group, *, group_b=None,
-                 r0=None, nn=None, mm=None, pbc_box=None):
+                 r0=None, nn=None, mm=None, pbc_box=None, d_max=None):
         if feature_type not in FEATURE_TYPE_IDS:
             raise NotImplementedError(f"feature {feature_type} not implemented!")
 
         if feature_type != "coordination":
             if (group_b is not None or r0 is not None or nn is not None
-                    or mm is not None or pbc_box is not None):
+                    or mm is not None or pbc_box is not None
+                    or d_max is not None):
                 raise ValueError(
-                    "group_b/r0/nn/mm/pbc_box are coordination-feature "
-                    "parameters"
+                    "group_b/r0/nn/mm/pbc_box/d_max are coordination-"
+                    "feature parameters"
                 )
         else:
             # coordination: sum over pairs (group A x group B, or all
@@ -127,6 +128,16 @@ class Feature:
             self.nn = nn
             self.mm = mm
             self.pbc_box = _check_pbc_box(pbc_box)
+            # optional PLUMED-style stretch-truncation distance: the
+            # switching function is rescaled to hit exactly 0 at d_max
+            # (ops.features.switching_function), making the feature
+            # finite-ranged — the exact-culling radius for
+            # ops.neighbor's cell-list pair construction.
+            if d_max is not None and not float(d_max) > self.r0:
+                raise ValueError(
+                    f"d_max must exceed r0, got d_max={d_max!r}, "
+                    f"r0={self.r0}")
+            self.d_max = None if d_max is None else float(d_max)
 
         if len(set(atom_group)) < len(atom_group):
             raise IndexError("atom group contains repeated elements!")
@@ -251,7 +262,8 @@ def _parse_coordination_params(type_token):
             and type_token.endswith("]")):
         raise NotImplementedError(f"feature {type_token} not implemented!")
     kw = {}
-    names = {"r0": "r0", "n": "nn", "m": "mm", "box": "pbc_box"}
+    names = {"r0": "r0", "n": "nn", "m": "mm", "box": "pbc_box",
+             "dmax": "d_max"}
     body = type_token[len("coordination["):-1]
     for tok in body.split():
         if "=" not in tok:
@@ -260,7 +272,7 @@ def _parse_coordination_params(type_token):
         key, val = tok.split("=", 1)
         if key not in names:
             raise ValueError(f"unknown coordination parameter {key!r} "
-                             "(r0, n, m, box)")
+                             "(r0, n, m, box, dmax)")
         if key == "box":
             # orthorhombic lengths, colon-separated (commas split the
             # feature line): box=8:8:8
@@ -269,8 +281,8 @@ def _parse_coordination_params(type_token):
             except ValueError:
                 raise ValueError(f"bad box lengths {val!r} "
                                  "(want box=lx:ly:lz)")
-        elif key == "r0":
-            kw["r0"] = float(val)
+        elif key in ("r0", "dmax"):
+            kw[names[key]] = float(val)
         else:
             kw[names[key]] = int(val)
     if "r0" not in kw:

@@ -89,6 +89,8 @@ def _feature_to_dict(f: Feature, saver):
                       "nn": int(nn), "mm": int(mm)}
         if f.pbc_box is not None:
             d["coord"]["box"] = [list(row) for row in f.pbc_box]
+        if getattr(f, "d_max", None) is not None:
+            d["coord"]["d_max"] = float(f.d_max)
     pos = getattr(ag, "positions", None)
     if pos is not None:
         d["positions"] = saver.array(np.asarray(pos, dtype=np.float32))
@@ -107,7 +109,7 @@ def _feature_from_dict(d, arrays):
             if len(ix) > n_a else None)
         return Feature(d["name"], "coordination", ag_a, group_b=ag_b,
                        r0=c["r0"], nn=c["nn"], mm=c["mm"],
-                       pbc_box=c.get("box"))
+                       pbc_box=c.get("box"), d_max=c.get("d_max"))
     ag = FrozenAtomGroup(d["ix"], pos)
     return Feature(d["name"], d["type"], ag)
 
@@ -183,6 +185,11 @@ def _spec_to_dict(spec: CompiledFeatures):
             None if b is None else [list(row) for row in b]
             for b in spec.coord_boxes
         ],
+        "coord_dmax": [
+            None if v is None else float(v)
+            for v in (getattr(spec, "coord_dmax", None)
+                      or (None,) * len(spec.coord_slices))
+        ],
     }
 
 
@@ -209,6 +216,13 @@ def _spec_from_dict(d):
             else tuple(tuple(float(v) for v in row) for row in b)
             for b in d.get(
                 "coord_boxes",
+                (None,) * len(d.get("coord_slices", ())),
+            )
+        ),
+        coord_dmax=tuple(
+            None if v is None else float(v)
+            for v in d.get(
+                "coord_dmax",
                 (None,) * len(d.get("coord_slices", ())),
             )
         ),

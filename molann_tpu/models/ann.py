@@ -342,8 +342,9 @@ class FeatureMap(PytreeNode):
         a, b = idx[:n_a], idx[n_a:]
         pairs = coordination_pair_list(a, b)
         box = getattr(self.feature, "pbc_box", None)
+        dmax = getattr(self.feature, "d_max", None)
         return (tuple(pairs), ((0, len(pairs)),), ((r0, nn, mm),),
-                (box,))
+                (box,), (dmax,))
 
     def __call__(self, x):
         _check_input(x, self.input_atom_num)

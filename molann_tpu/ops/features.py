@@ -95,7 +95,7 @@ def geometric_sum(t, k):
     return acc
 
 
-def switching_function(r, r0, nn, mm):
+def switching_function(r, r0, nn, mm, d_max=None):
     """PLUMED rational switching ``(1-(r/r0)^nn)/(1-(r/r0)^mm)``.
 
     For the default ``mm == 2*nn`` the algebraically identical
@@ -112,16 +112,37 @@ def switching_function(r, r0, nn, mm):
     — algebraically identical for all ``t >= 0`` — is used instead:
     smooth and well-conditioned everywhere, the ``r == r0`` value
     ``nn/mm`` emerging naturally with its exact derivative (no guard
-    window needed)."""
+    window needed).
+
+    ``d_max`` (optional, static) applies PLUMED's stretch-and-truncate:
+    ``s'(r) = (s(r) - s(d_max)) / (1 - s(d_max))`` for ``r < d_max``
+    and EXACTLY 0 beyond — ``s'(0) = 1``, continuous at ``d_max``
+    (the derivative has PLUMED's standard small jump there). This is
+    what makes coordination features finite-ranged, so neighbor-list
+    culling at ``r_cut = d_max`` is exact, not an approximation
+    (:mod:`molann_tpu.ops.neighbor`)."""
     nn, mm = int(nn), int(mm)
     if nn < 1 or mm < 1:
         raise ValueError(
             f"switching_function exponents must be positive ints, got "
             f"nn={nn}, mm={mm}")
     t = r / r0
-    if mm == 2 * nn:
-        return 1.0 / (1.0 + _ipow(t, nn))
-    return geometric_sum(t, nn) / geometric_sum(t, mm)
+
+    def raw(tt):
+        if mm == 2 * nn:
+            return 1.0 / (1.0 + _ipow(tt, nn))
+        return geometric_sum(tt, nn) / geometric_sum(tt, mm)
+
+    if d_max is None:
+        return raw(t)
+    d_max = float(d_max)
+    if d_max <= r0:
+        raise ValueError(f"d_max must exceed r0, got d_max={d_max}, "
+                         f"r0={r0}")
+    y = d_max / float(r0)  # > 1: the plain quotient is well-conditioned
+    s_dmax = (1.0 - y**nn) / (1.0 - y**mm)
+    stretch = 1.0 / (1.0 - s_dmax)
+    return jnp.where(r < d_max, (raw(t) - s_dmax) * stretch, 0.0)
 
 
 def _ipow(t, k):
@@ -171,26 +192,30 @@ def _static_minimum_image(dx, box):
 
 
 def coordination_features(x, coord_pairs, coord_slices, coord_params,
-                          coord_boxes=None):
+                          coord_boxes=None, coord_dmax=None):
     """[l, n, 3] × static pair table → [l, nc] switching-function
     contact counts (one column per coordination feature). Extension
     beyond the reference feature set; see
     :meth:`molann_tpu.feature.Feature.get_coordination_params`.
     Features carrying a static ``pbc_box`` use minimum-image pair
-    distances (intermolecular contacts in a periodic cell)."""
+    distances (intermolecular contacts in a periodic cell); a
+    ``d_max`` truncates the switching exactly (PLUMED stretching)."""
     outs = []
     pairs = np.asarray(coord_pairs, dtype=np.int32).reshape(-1, 2)
     if coord_boxes is None:
         coord_boxes = (None,) * len(coord_slices)
-    for (start, npairs), (r0, nn, mm), box in zip(
-        coord_slices, coord_params, coord_boxes
+    if coord_dmax is None:
+        coord_dmax = (None,) * len(coord_slices)
+    for (start, npairs), (r0, nn, mm), box, dmax in zip(
+        coord_slices, coord_params, coord_boxes, coord_dmax
     ):
         g = _gather(x, pairs[start:start + npairs])
         d = g[:, :, 1, :] - g[:, :, 0, :]
         if box is not None:
             d = _static_minimum_image(d, box)
         r = jnp.linalg.norm(d, axis=-1)
-        outs.append(jnp.sum(switching_function(r, r0, nn, mm), axis=1))
+        outs.append(jnp.sum(switching_function(r, r0, nn, mm, dmax),
+                            axis=1))
     return jnp.stack(outs, axis=1)
 
 
@@ -214,7 +239,8 @@ def apply_compiled_features(spec: CompiledFeatures, x):
     if spec.n_coordinations:
         parts.append(coordination_features(
             x, spec.coord_pairs, spec.coord_slices, spec.coord_params,
-            getattr(spec, "coord_boxes", None)))
+            getattr(spec, "coord_boxes", None),
+            getattr(spec, "coord_dmax", None) or None))
     if spec.n_position_atoms:
         parts.append(position_features(x, spec.position_idx))
     if not parts:

@@ -368,10 +368,11 @@ def _dihedral_rows(atoms, idx, use_angle_value):
     return [cos_phi / radius, sin_phi / radius]
 
 
-def _coordination_row(atoms, pairs, r0, nn, mm, box=None):
+def _coordination_row(atoms, pairs, r0, nn, mm, box=None, dmax=None):
     """One coordination feature on folded frames: sum of rational
     switching functions over its (static, baked-in) pair list, with
-    optional static-box minimum-image distances. Delegates the switching
+    optional static-box minimum-image distances and optional exact
+    ``d_max`` truncation. Delegates the switching
     math and the minimum image to the shared helpers in
     :mod:`molann_tpu.ops.features` (ONE implementation of the
     numerically critical geometric-sum formulation)."""
@@ -382,20 +383,22 @@ def _coordination_row(atoms, pairs, r0, nn, mm, box=None):
         d = _sub3(atoms[j], atoms[i])
         if box is not None:
             d = min_image_components(d, box)
-        s = switching_function(_norm3(d), r0, nn, mm)
+        s = switching_function(_norm3(d), r0, nn, mm, dmax)
         acc = s if acc is None else acc + s
     return acc
 
 
 def _coord_specs(spec: CompiledFeatures):
-    """Per-coordination-feature (pairs, r0, nn, mm, box) views of the
-    flat spec tables."""
+    """Per-coordination-feature (pairs, r0, nn, mm, box, dmax) views of
+    the flat spec tables."""
     boxes = getattr(spec, "coord_boxes", None) or (None,) * len(
         spec.coord_slices)
+    dmaxes = getattr(spec, "coord_dmax", None) or (None,) * len(
+        spec.coord_slices)
     return [
-        (spec.coord_pairs[start:start + npairs], r0, nn, mm, box)
-        for (start, npairs), (r0, nn, mm), box
-        in zip(spec.coord_slices, spec.coord_params, boxes)
+        (spec.coord_pairs[start:start + npairs], r0, nn, mm, box, dmax)
+        for (start, npairs), (r0, nn, mm), box, dmax
+        in zip(spec.coord_slices, spec.coord_params, boxes, dmaxes)
     ]
 
 
@@ -425,11 +428,12 @@ def _feature_blocks(spec: CompiledFeatures, align_idx):
                 atoms, idx, spec.use_angle_value
             ),
         ))
-    for pairs, r0, nn, mm, box in _coord_specs(spec):
+    for pairs, r0, nn, mm, box, dmax in _coord_specs(spec):
         blocks.append((
             1,
-            lambda atoms, ref, pairs=pairs, r0=r0, nn=nn, mm=mm, box=box: [
-                _coordination_row(atoms, pairs, r0, nn, mm, box)
+            lambda atoms, ref, pairs=pairs, r0=r0, nn=nn, mm=mm, box=box,
+            dmax=dmax: [
+                _coordination_row(atoms, pairs, r0, nn, mm, box, dmax)
             ],
         ))
     if spec.position_idx:
@@ -467,8 +471,8 @@ def _features_tiles(atoms, spec: CompiledFeatures, pos_atoms=None):
         rows.append(_bond_row(atoms, idx))
     for idx in spec.dihedral_idx:
         rows.extend(_dihedral_rows(atoms, idx, spec.use_angle_value))
-    for pairs, r0, nn, mm, box in _coord_specs(spec):
-        rows.append(_coordination_row(atoms, pairs, r0, nn, mm, box))
+    for pairs, r0, nn, mm, box, dmax in _coord_specs(spec):
+        rows.append(_coordination_row(atoms, pairs, r0, nn, mm, box, dmax))
     for a in spec.position_idx:
         rows.extend(pos_atoms[a])
 

@@ -215,6 +215,10 @@ class BlockedLayout:
             or (None,) * len(spec.coord_slices)
         )
         self.coord_npairs = tuple(npairs for _, npairs in spec.coord_slices)
+        self.coord_dmax = tuple(
+            getattr(spec, "coord_dmax", None)
+            or (None,) * len(spec.coord_slices)
+        )
         self.n_atoms = n
         self.use_angle_value = uav
         # Alignment only matters for position features (bond/angle/dihedral
@@ -594,7 +598,8 @@ def _chunk_walk(c_ref, off, npairs, body_fn, init):
     )
 
 
-def _coord_feature_sum(passes, box, r0, nn, mm, off, npairs, c_ref, x3):
+def _coord_feature_sum(passes, box, r0, nn, mm, dmax, off, npairs, c_ref,
+                       x3):
     """Switching sum of ONE chunked coordination feature:
     ``c_ref [mc, n] bf16 HBM ref (rows off..off+npairs are its pairs),
     x3 [3, n, T] -> [1, T]``.
@@ -617,7 +622,7 @@ def _coord_feature_sum(passes, box, r0, nn, mm, off, npairs, c_ref, x3):
 
     def body(i, Ck, acc):
         r, _ = _chunk_geometry(passes, box, Ck, x3)
-        s = switching_function(r, r0, nn, mm)
+        s = switching_function(r, r0, nn, mm, dmax)
         return acc + jnp.sum(s * _chunk_valid(i, npairs, s.dtype),
                              axis=0, keepdims=True)
 
@@ -625,8 +630,8 @@ def _coord_feature_sum(passes, box, r0, nn, mm, off, npairs, c_ref, x3):
                        jnp.zeros((1, x3.shape[2]), x3.dtype))
 
 
-def _coord_feature_sum_bwd(passes, box, r0, nn, mm, off, npairs, c_ref,
-                           x3, gy):
+def _coord_feature_sum_bwd(passes, box, r0, nn, mm, dmax, off, npairs,
+                           c_ref, x3, gy):
     """x-cotangent of :func:`_coord_feature_sum` given the row cotangent
     ``gy [1, T]``: recomputes each chunk's geometry (manual remat)
     before the analytic pullback — plain ops in the same streamed chunk
@@ -639,7 +644,7 @@ def _coord_feature_sum_bwd(passes, box, r0, nn, mm, off, npairs, c_ref,
         # pullback through them is the identity: gd on the shifted d IS
         # gd on the raw edge rows
         _, pull = jax.vjp(
-            lambda rr: switching_function(rr, r0, nn, mm), r
+            lambda rr: switching_function(rr, r0, nn, mm, dmax), r
         )
         (gr,) = pull(jnp.broadcast_to(gy, r.shape))
         # pad rows have r == 0: mask their cotangent and guard the
@@ -680,8 +685,8 @@ def _chunked_coord_rows(lay: BlockedLayout, passes, x_blk, c_ref):
             continue
         r0, nn, mm = lay.coord_params[k]
         rows[k] = _coord_feature_sum(
-            passes, lay.coord_boxes[k], r0, nn, mm, off,
-            lay.coord_npairs[k], c_ref, x3p,
+            passes, lay.coord_boxes[k], r0, nn, mm, lay.coord_dmax[k],
+            off, lay.coord_npairs[k], c_ref, x3p,
         )
     return rows
 
@@ -694,8 +699,8 @@ def _chunked_coord_grads(lay: BlockedLayout, passes, x_blk, c_ref, g_rows):
     for k, gy in g_rows.items():
         r0, nn, mm = lay.coord_params[k]
         upd = _coord_feature_sum_bwd(
-            passes, lay.coord_boxes[k], r0, nn, mm, lay.chunk_offs[k],
-            lay.coord_npairs[k], c_ref, x3p, gy,
+            passes, lay.coord_boxes[k], r0, nn, mm, lay.coord_dmax[k],
+            lay.chunk_offs[k], lay.coord_npairs[k], c_ref, x3p, gy,
         )
         gx = upd if gx is None else gx + upd
     return gx[:, : x_blk.shape[1], :]
@@ -787,7 +792,7 @@ def _feats_from_segs(segs, tensors, lay: BlockedLayout, activation, T,
                 d = min_image_components(d, box)
             r0, nn, mm = lay.coord_params[k]
             r = jnp.sqrt(d[0] * d[0] + d[1] * d[1] + d[2] * d[2])
-            s = switching_function(r, r0, nn, mm)
+            s = switching_function(r, r0, nn, mm, lay.coord_dmax[k])
             rows.append(jnp.sum(s, axis=0, keepdims=True))
         put(jnp.concatenate(rows, 0) if len(rows) > 1 else rows[0],
             lay.f_c)

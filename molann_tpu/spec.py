@@ -79,6 +79,10 @@ class CompiledFeatures:
     coord_boxes: tuple = ()    # per coordination feature: None or a static
     #                            lower-triangular 3x3 (tuple-of-tuples) for
     #                            minimum-image pair distances
+    coord_dmax: tuple = ()     # per coordination feature: None, or the
+    #                            stretch-truncation distance d_max (pairs
+    #                            beyond it contribute exactly 0 — the
+    #                            exact-culling radius for ops.neighbor)
 
     @property
     def n_angles(self):
@@ -122,6 +126,7 @@ def compile_features(feature_list, input_atom_indices, use_angle_value=False):
 
     angle_idx, bond_idx, dihedral_idx, position_idx = [], [], [], []
     coord_pairs, coord_slices, coord_params, coord_boxes = [], [], [], []
+    coord_dmax = []
     feature_dims = []
     # Per-feature (type_id, start) into the per-type intermediate blocks.
     placements = []
@@ -152,6 +157,8 @@ def compile_features(feature_list, input_atom_indices, use_angle_value=False):
             coord_pairs.extend(pairs)
             coord_params.append((float(r0), int(nn), int(mm)))
             coord_boxes.append(getattr(f, "pbc_box", None))
+            dm = getattr(f, "d_max", None)
+            coord_dmax.append(None if dm is None else float(dm))
         else:
             placements.append((3, len(position_idx) * 3, dim))
             position_idx.extend(local)
@@ -192,4 +199,5 @@ def compile_features(feature_list, input_atom_indices, use_angle_value=False):
         coord_slices=tuple(coord_slices),
         coord_params=tuple(coord_params),
         coord_boxes=tuple(coord_boxes),
+        coord_dmax=tuple(coord_dmax),
     )

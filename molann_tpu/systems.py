@@ -217,13 +217,22 @@ def lj_fluid(n_per_side: int = 5, spacing: float = 1.7, jitter: float = 0.05,
 
 
 def lj_fluid_model(n_per_side: int = 5, spacing: float = 1.7,
-                   hidden_dims=(8, 1), seed: int = 0, key=None):
+                   hidden_dims=(8, 1), seed: int = 0, key=None,
+                   d_max=True):
     """Condensed-phase flagship: two all-pairs coordination shells (first
     and second neighbor distance, minimum image under the periodic box)
     over an :func:`lj_fluid` → MLP. At the default size this is 125 atoms
     and 2 × 7750 switching-function pairs — far past the unrolled-kernel
     envelope, so ``mode="auto"`` dispatches the blocked edge-matrix
     formulation.
+
+    ``d_max=True`` (default) gives the shells PLUMED-style stretch-
+    truncation distances (2.0 and 2.8 spacings — just past each shell),
+    the standard condensed-phase practice that makes the features
+    finite-ranged and therefore EXACTLY cullable by
+    :func:`molann_tpu.ops.neighbor.cull_model`. ``d_max=False`` keeps
+    the untruncated rational tails (the pre-r4 behavior); a 2-tuple
+    sets explicit distances.
 
     All-pairs contact counts scale with the pair count (hundreds at this
     size), which would saturate a tanh MLP into a constant with exactly
@@ -236,11 +245,15 @@ def lj_fluid_model(n_per_side: int = 5, spacing: float = 1.7,
     from .models.ann import SequentialNN
 
     u, box = lj_fluid(n_per_side, spacing, seed=seed)
+    if d_max is True:
+        d_max = (2.0 * spacing, 2.8 * spacing)
+    elif d_max is False or d_max is None:
+        d_max = (None, None)
     feats = [
         Feature("shell1", "coordination", u.atoms, r0=1.35 * spacing,
-                pbc_box=box),
+                pbc_box=box, d_max=d_max[0]),
         Feature("shell2", "coordination", u.atoms, r0=2.2 * spacing,
-                nn=4, mm=8, pbc_box=box),
+                nn=4, mm=8, pbc_box=box, d_max=d_max[1]),
     ]
     flayer = FeatureLayer(feats, u.atoms)
     pp = PreprocessingANN(None, flayer)
