@@ -1,4 +1,4 @@
-from . import alignment, features, fused, fused_blocked  # noqa: F401
+from . import alignment, features, fused, fused_blocked, neighbor  # noqa: F401
 from .alignment import align_frames, rotation_eigh, rotation_qcp, rotation_svd
 from .features import (
     angle_features,
@@ -16,6 +16,14 @@ from .fused import (
     fused_train_grads,
 )
 from .fused_blocked import blocked_apply, blocked_cv_forces, blocked_train_grads
+from .neighbor import (
+    CullReport,
+    cull_model,
+    cull_spec,
+    max_displacement,
+    neighbor_pairs,
+    switching_cutoff,
+)
 
 __all__ = [
     "align_frames",
@@ -36,4 +44,10 @@ __all__ = [
     "blocked_apply",
     "blocked_cv_forces",
     "blocked_train_grads",
+    "CullReport",
+    "cull_model",
+    "cull_spec",
+    "max_displacement",
+    "neighbor_pairs",
+    "switching_cutoff",
 ]

@@ -90,6 +90,23 @@ def main():
             model, xx, yy, precision=p, mode="blocked"))
         timed(f"train_grads {prec}", tr, x, yt)
 
+    # neighbor-culled model (r4): same physics (exact d_max truncation),
+    # order-of-magnitude fewer pair rows through the same chunked kernels
+    from molann_tpu.ops.neighbor import cull_model
+
+    culled, rep = cull_model(model, u.atoms.positions, skin=0.8)
+    nb, na = sum(rep.n_pairs_before), sum(rep.n_pairs_after)
+    print(f"culled pair table: {nb} -> {na} "
+          f"({nb / max(na, 1):.1f}x fewer rows)")
+    fwdc = jax.jit(lambda xx: fused_model_forward(
+        culled, xx, mode="blocked"))
+    timed("fwd exact CULLED", fwdc, x)
+    cvc = jax.jit(lambda xx: fused_cv_forces(culled, xx, mode="blocked"))
+    timed("cv+forces exact CULLED", cvc, x)
+    trc = jax.jit(lambda xx, yy: fused_train_grads(
+        culled, xx, yy, mode="blocked"))
+    timed("train_grads auto CULLED", trc, x, yt)
+
     # XLA baseline at ITS feasible batch
     l_x = min(N_FRAMES, 8192)
     xs = x[:l_x]

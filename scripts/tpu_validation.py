@@ -802,6 +802,88 @@ def main():
     # shells' exact d_max truncation radii: identical physics (culled
     # pairs contribute exactly 0), order-of-magnitude fewer pair rows
     # (kept pairs are O(N) at fixed density; all-pairs is O(N^2)).
+    # try/except: the ALL-PAIRS baseline intentionally stresses HBM
+    # (its chunk matrix alone is ~10 GB at this size) — if the baseline
+    # itself cannot run, that is a FAIL line, not a dead validation run.
+    try:
+        _culled_coordination_section(check, rng, lj_fluid_model,
+                                     fused_cv_forces)
+    except Exception as e:  # noqa: BLE001
+        check("culled coordination section", False,
+              f"{type(e).__name__}: {str(e)[:140]}")
+
+    try:
+        _compaction_10k_section(check, rng, Feature, FeatureLayer,
+                                PreprocessingANN, MolANN,
+                                create_sequential_nn, synthetic_peptide,
+                                fused_cv_forces)
+    except Exception as e:  # noqa: BLE001
+        check("10k-atom compaction section", False,
+              f"{type(e).__name__}: {str(e)[:140]}")
+
+    # -- periodic boundaries ----------------------------------------------
+    from molann_tpu.pbc import guess_bonds, make_whole, unwrap_time, wrap
+
+    box = jnp.asarray(np.diag([8.0, 8.0, 8.0]).astype(np.float32))
+    bonds = guess_bonds(u)
+    walk = np.cumsum(rng.normal(scale=0.8, size=(64, 1, 3)), 0)
+    ptraj = np.asarray(
+        u.atoms.positions[None] + walk
+        + rng.normal(scale=0.03, size=(64, 22, 3)), np.float32)
+    wrapped = wrap(jnp.asarray(ptraj), box)
+    repaired = np.asarray(unwrap_time(
+        make_whole(wrapped, box, bonds=bonds), box))
+
+    def blmax(a):
+        return float(np.linalg.norm(
+            a[:, bonds[:, 0]] - a[:, bonds[:, 1]], axis=-1).max())
+
+    drift = repaired - ptraj
+    perr = float(np.abs(drift - drift[:1]).max())
+    check("PBC whole+nojump on TPU recovers the wrapped rigid walk",
+          blmax(np.asarray(wrapped)) > 4.0 and perr < 1e-4,
+          f"broken maxbond={blmax(np.asarray(wrapped)):.1f} "
+          f"path err={perr:.1e}")
+
+    # -- throughput --------------------------------------------------------
+    n = 1 << 23
+    # generated on device: host->device copies of GB-scale arrays over the
+    # remote tunnel take minutes and are not the thing being measured
+    xt = jax.jit(
+        lambda: jnp.asarray(u.atoms.positions.reshape(66, 1))
+        + 0.05 * jax.random.normal(jax.random.PRNGKey(0), (66, n))
+    )()
+    f = jax.jit(
+        lambda m, v: fused_cv_forces(m, v, tile=1024, transposed_input=True)
+    )
+
+    def run():
+        _, g = f(model, xt)
+        return float(g[0, 0])
+
+    run()
+    ts = []
+    for _ in range(6):
+        t0 = time.perf_counter()
+        run()
+        ts.append(time.perf_counter() - t0)
+    rate = n / min(ts)
+    check("throughput >= 10M frames/s/chip target", rate >= 1e7,
+          f"{rate/1e6:.0f}M frames/s")
+
+    print()
+    if FAILURES:
+        print(f"{len(FAILURES)} FAILURES: {FAILURES}")
+        return 1
+    print("ALL CHECKS PASSED")
+    return 0
+
+
+
+
+def _culled_coordination_section(check, rng, lj_fluid_model,
+                                 fused_cv_forces):
+    from molann_tpu.ops.fused import active_atom_indices  # noqa: F401
     from molann_tpu.ops.neighbor import cull_model, max_displacement
 
     ljm, lju, _ljbox = lj_fluid_model(12)
@@ -843,6 +925,18 @@ def main():
           f"all-pairs {r_full:.0f} f/s -> culled {r_cull:.0f} f/s "
           f"({r_cull / max(r_full, 1e-9):.1f}x; pairs {nb_}->{na_}, "
           f"compile(all-pairs incl.)={tc_full:.0f}s)")
+
+
+
+def _compaction_10k_section(check, rng, Feature, FeatureLayer,
+                            PreprocessingANN, MolANN,
+                            create_sequential_nn, synthetic_peptide,
+                            fused_cv_forces):
+    import time
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from molann_tpu.ops.fused import active_atom_indices
 
     # -- 10k-atom sparse system: blocked + compaction at scale (r4 #4) -----
     # Solvated-protein shape: 10,000 atoms, ~200 CV-active. The blocked
@@ -908,63 +1002,6 @@ def main():
     check("10k-atom compact serving rate measured",
           rate10 > 0, f"{rate10/1e3:.1f}K frames/s (auto tile, "
           f"{len(pfeats)} features, {len(pact)} active atoms)")
-
-    # -- periodic boundaries ----------------------------------------------
-    from molann_tpu.pbc import guess_bonds, make_whole, unwrap_time, wrap
-
-    box = jnp.asarray(np.diag([8.0, 8.0, 8.0]).astype(np.float32))
-    bonds = guess_bonds(u)
-    walk = np.cumsum(rng.normal(scale=0.8, size=(64, 1, 3)), 0)
-    ptraj = np.asarray(
-        u.atoms.positions[None] + walk
-        + rng.normal(scale=0.03, size=(64, 22, 3)), np.float32)
-    wrapped = wrap(jnp.asarray(ptraj), box)
-    repaired = np.asarray(unwrap_time(
-        make_whole(wrapped, box, bonds=bonds), box))
-
-    def blmax(a):
-        return float(np.linalg.norm(
-            a[:, bonds[:, 0]] - a[:, bonds[:, 1]], axis=-1).max())
-
-    drift = repaired - ptraj
-    perr = float(np.abs(drift - drift[:1]).max())
-    check("PBC whole+nojump on TPU recovers the wrapped rigid walk",
-          blmax(np.asarray(wrapped)) > 4.0 and perr < 1e-4,
-          f"broken maxbond={blmax(np.asarray(wrapped)):.1f} "
-          f"path err={perr:.1e}")
-
-    # -- throughput --------------------------------------------------------
-    n = 1 << 23
-    # generated on device: host->device copies of GB-scale arrays over the
-    # remote tunnel take minutes and are not the thing being measured
-    xt = jax.jit(
-        lambda: jnp.asarray(u.atoms.positions.reshape(66, 1))
-        + 0.05 * jax.random.normal(jax.random.PRNGKey(0), (66, n))
-    )()
-    f = jax.jit(
-        lambda m, v: fused_cv_forces(m, v, tile=1024, transposed_input=True)
-    )
-
-    def run():
-        _, g = f(model, xt)
-        return float(g[0, 0])
-
-    run()
-    ts = []
-    for _ in range(6):
-        t0 = time.perf_counter()
-        run()
-        ts.append(time.perf_counter() - t0)
-    rate = n / min(ts)
-    check("throughput >= 10M frames/s/chip target", rate >= 1e7,
-          f"{rate/1e6:.0f}M frames/s")
-
-    print()
-    if FAILURES:
-        print(f"{len(FAILURES)} FAILURES: {FAILURES}")
-        return 1
-    print("ALL CHECKS PASSED")
-    return 0
 
 
 if __name__ == "__main__":
