@@ -55,6 +55,7 @@ __all__ = [
     "fused_train_grads",
     "select_mode",
     "active_atom_indices",
+    "model_chunk_matrix",
     "qcp_rotation",
 ]
 
@@ -93,6 +94,26 @@ def model_select_mode(model) -> str:
 
     spec, _, _, _, _ = _extract_model(model, jnp.float32)
     return select_mode(spec, spec.n_input_atoms)
+
+
+def model_chunk_matrix(model):
+    """The chunked-coordination pair matrix of a model as a bf16 numpy
+    array, or None when no feature is chunked. For condensed-phase pair
+    counts, pass it THROUGH your jit boundary into
+    ``fused_cv_forces(..., c_mat=...)`` / ``fused_train_grads(...,
+    c_mat=...)`` so the (potentially multi-GB) table rides as one device
+    buffer instead of an HLO constant per executable::
+
+        C = jax.device_put(model_chunk_matrix(model))
+        f = jax.jit(lambda m, v, c: fused_cv_forces(m, v, c_mat=c))
+        y, g = f(model, x, C)
+    """
+    import jax.numpy as jnp
+
+    spec, align_idx, _, _, _ = _extract_model(model, jnp.float32)
+    from .fused_blocked import chunk_matrix
+
+    return chunk_matrix(spec, align_idx)
 
 
 def active_atom_indices(model):
@@ -962,7 +983,7 @@ def _grads_like(model, gparams, gref):
 
 def fused_train_grads(model, x, y_target, *, tile=None, interpret=False,
                       transposed_input=False, mode="auto",
-                      precision="auto", train_ref=False):
+                      precision="auto", train_ref=False, c_mat=None):
     """MSE loss AND its parameter/ref gradients in one fused kernel.
 
     The single-kernel training path: one HBM read of the trajectory batch,
@@ -994,7 +1015,7 @@ def fused_train_grads(model, x, y_target, *, tile=None, interpret=False,
         loss, gparams, gref = blocked_train_grads(
             spec, align_idx, activation, params, ref_x, x, y_target,
             tile=tile, interpret=interpret, precision=precision,
-            train_ref=train_ref,
+            train_ref=train_ref, c_mat=c_mat,
         )
         return loss, _grads_like(model, gparams, gref)
     if tile is None:
@@ -1197,7 +1218,7 @@ def _cv_forces_kernel(spec, align_idx, activation, n_atoms, component,
 def fused_cv_forces(model, x, *, component=None, tile=None,
                     transposed_input=False, transposed_outputs=False,
                     remat=False, interpret=False, mode="auto",
-                    precision="exact", compact_grads=False):
+                    precision="exact", compact_grads=False, c_mat=None):
     """The production serving op for biased MD: CV values AND their
     coordinate gradients in ONE kernel (single HBM read of the
     trajectory, no cotangent round-trip, no parameter-gradient state).
@@ -1236,11 +1257,16 @@ def fused_cv_forces(model, x, *, component=None, tile=None,
             spec, align_idx, activation, params, ref_x, x,
             component=component, tile=tile, interpret=interpret,
             out_layout=out_layout, precision=precision,
-            compact_grads=compact_grads,
+            compact_grads=compact_grads, c_mat=c_mat,
         )
     if compact_grads:
         raise ValueError(
             "compact_grads requires the blocked formulation "
+            "(mode='blocked'; auto selected 'unrolled' for this system)"
+        )
+    if c_mat is not None:
+        raise ValueError(
+            "c_mat applies to the blocked formulation only "
             "(mode='blocked'; auto selected 'unrolled' for this system)"
         )
     if tile is None:

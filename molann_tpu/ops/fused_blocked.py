@@ -982,7 +982,7 @@ def _blk_train_kernel(lay, activation, passes, inv_count, l_total,
 
 def blocked_train_grads(spec, align_idx, activation, params, ref_x, x,
                         y_target, *, tile=None, interpret=False,
-                        precision="exact", train_ref=False):
+                        precision="exact", train_ref=False, c_mat=None):
     """Blocked single-kernel MSE training grads. x in any
     :func:`_to_cmajor` layout; y_target ``[l, d_out]`` or ``[d_out, l]``.
     Returns ``(loss, gparams, gref)`` in the kernel param convention.
@@ -1016,7 +1016,7 @@ def blocked_train_grads(spec, align_idx, activation, params, ref_x, x,
         pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
     ] + [_full_spec(t) for t in diff_tensors]
     passes = _PRECISION_PASSES[precision]
-    cmat = _c_operand(lay)
+    cmat = _c_operand(lay, c_mat)
     outs = pl.pallas_call(
         functools.partial(
             _blk_train_kernel, lay, activation, passes, inv_count, l,
@@ -1207,12 +1207,44 @@ def _check_tile(tile, interpret):
         )
 
 
-def _c_operand(lay):
+def _c_operand(lay, c_mat=None):
     """The bf16 chunk matrix of the chunked coordination features as a
-    kernel operand tuple (empty when every feature is resident in D)."""
+    kernel operand tuple (empty when every feature is resident in D).
+
+    By default the matrix is closure-captured — under the caller's
+    ``jit`` it becomes an HLO CONSTANT baked into the executable, which
+    is fine at demo scale (MBs) but bakes gigabytes into the module for
+    condensed-phase pair counts (and a remote-compile service will
+    reject the upload outright). Passing ``c_mat`` — the array from
+    :func:`chunk_matrix`, routed through the caller's jit boundary as a
+    REAL argument — keeps the executable small and the matrix a single
+    HBM buffer."""
     if not lay.mc:
+        if c_mat is not None:
+            raise ValueError(
+                "c_mat given but this model has no chunked coordination "
+                "features")
         return ()
+    if c_mat is not None:
+        want = (lay.mc, lay.c_cols)
+        if tuple(c_mat.shape) != want or c_mat.dtype != jnp.bfloat16:
+            raise ValueError(
+                f"c_mat must be bf16 {want} (use chunk_matrix(model)); "
+                f"got {c_mat.dtype} {tuple(c_mat.shape)}")
+        return (c_mat,)
     return (jnp.asarray(lay.C, dtype=jnp.bfloat16),)
+
+
+def chunk_matrix(spec, align_idx):
+    """The chunk matrix of a spec's chunked coordination features as a
+    bf16 numpy array (``None`` when everything is resident in D). Pass
+    it through your ``jit`` boundary into ``c_mat=`` of the cv-forces /
+    train-grads entry points so multi-GB pair tables ride as one device
+    buffer instead of an HLO constant per executable."""
+    lay = blocked_layout(spec, align_idx)
+    if not lay.mc:
+        return None
+    return lay.C.astype(jnp.bfloat16)  # ml_dtypes bf16 via numpy astype
 
 
 def _blk_fwd_impl(spec, align_idx, activation, tile, interpret,
@@ -1348,7 +1380,7 @@ blocked_apply.defvjp(_blocked_fwd, _blocked_bwd)
 def blocked_cv_forces(spec, align_idx, activation, params, ref_x, x, *,
                       component=None, tile=None, interpret=False,
                       out_layout=None, precision="exact",
-                      compact_grads=False):
+                      compact_grads=False, c_mat=None):
     """Single-kernel CV values + coordinate gradients, blocked formulation.
 
     Accepts any layout :func:`_to_cmajor` understands; the fastest is
@@ -1389,7 +1421,7 @@ def blocked_cv_forces(spec, align_idx, activation, params, ref_x, x, *,
             component = int(lay.perm_b[component])
 
     passes = _PRECISION_PASSES[precision]
-    cmat = _c_operand(lay)
+    cmat = _c_operand(lay, c_mat)
     y, gx = pl.pallas_call(
         functools.partial(
             _blk_cv_forces_kernel, lay, activation, passes, component),

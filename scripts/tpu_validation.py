@@ -798,7 +798,7 @@ def main():
           "bound; device rate: scripts/condensed_perf_probe.py)")
 
     # -- neighbor-culled coordination at scale (r4 ask #2) -----------------
-    # 1728 atoms, 2 x 1.49M all-pairs rows vs the cell-list cull at the
+    # 1000 atoms, 2 x 499,500 all-pairs rows vs the cell-list cull at the
     # shells' exact d_max truncation radii: identical physics (culled
     # pairs contribute exactly 0), order-of-magnitude fewer pair rows
     # (kept pairs are O(N) at fixed density; all-pairs is O(N^2)).
@@ -883,19 +883,34 @@ def main():
 
 def _culled_coordination_section(check, rng, lj_fluid_model,
                                  fused_cv_forces):
-    from molann_tpu.ops.fused import active_atom_indices  # noqa: F401
+    from molann_tpu.ops.fused import model_chunk_matrix
     from molann_tpu.ops.neighbor import cull_model, max_displacement
 
-    ljm, lju, _ljbox = lj_fluid_model(12)
+    # 10^3 atoms: the largest size whose BACKWARD working set fits the
+    # auto_tile VMEM budget with every atom CV-active (at 12^3 the
+    # [3, 1728, T] x-carry pushes past the 128-frame minimum tile — the
+    # guard refuses with the documented XLA-path escape; an adaptive
+    # _COORD_CHUNK would extend the envelope, ROADMAP note).
+    ljm, lju, _ljbox = lj_fluid_model(10)
     ljref = lju.atoms.positions
     lj_n = len(lju.atoms)
     xlj = jnp.asarray(
-        ljref[None] + 0.10 * rng.normal(size=(256, lj_n, 3)), jnp.float32)
+        ljref[None] + 0.05 * rng.normal(size=(256, lj_n, 3)), jnp.float32)
     md = max_displacement(ljref, np.asarray(xlj))
     ljc, ljrep = cull_model(ljm, ljref, skin=2 * md + 0.05)
     nb_, na_ = sum(ljrep.n_pairs_before), sum(ljrep.n_pairs_after)
-    fwd_full = jax.jit(lambda m, v: fused_cv_forces(m, v, mode="blocked"))
-    fwd_cull = jax.jit(lambda m, v: fused_cv_forces(m, v, mode="blocked"))
+    # the pair tables ride the jit boundary as REAL device buffers
+    # (model_chunk_matrix + c_mat=): at these pair counts the default
+    # closure capture would bake a multi-GB HLO constant into the
+    # module (this environment's remote-compile service rejects the
+    # upload outright, and a real host would duplicate it per
+    # executable).
+    c_full = jax.device_put(model_chunk_matrix(ljm))
+    c_cull = jax.device_put(model_chunk_matrix(ljc))
+    fwd = jax.jit(lambda m, v, c: fused_cv_forces(m, v, mode="blocked",
+                                                  c_mat=c))
+    fwd_full = lambda m, v: fwd(m, v, c_full)  # noqa: E731
+    fwd_cull = lambda m, v: fwd(m, v, c_cull)  # noqa: E731
     t0 = time.perf_counter()
     yfull, gfull = fwd_full(ljm, xlj)
     _ = float(gfull[0, 0, 0])

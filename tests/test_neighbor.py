@@ -215,3 +215,48 @@ def test_max_displacement_monitor(rng):
     x2 = ref.copy()
     x2[3] += [L, 0, 0]
     assert max_displacement(ref, x2, box=np.diag([L, L, L])) < 1e-5
+
+
+def test_chunk_matrix_operand_path(lj, rng):
+    """model_chunk_matrix + c_mat= reproduces the closure-constant path
+    exactly — the route that keeps multi-GB pair tables out of the HLO
+    (they ride the jit boundary as ONE device buffer)."""
+    import jax
+
+    from molann_tpu.ops.fused import (fused_cv_forces, fused_train_grads,
+                                      model_chunk_matrix)
+
+    model, u, box = lj
+    C = model_chunk_matrix(model)
+    assert C is not None and C.dtype == jnp.bfloat16
+    x = jnp.asarray(u.atoms.positions[None]
+                    + 0.1 * rng.normal(size=(4,) + u.atoms.positions.shape)
+                    ).astype(jnp.float32)
+    f = jax.jit(lambda m, v, c: fused_cv_forces(
+        m, v, mode="blocked", interpret=True, c_mat=c))
+    y1, g1 = f(model, x, jax.device_put(C))
+    y0, g0 = fused_cv_forces(model, x, mode="blocked", interpret=True)
+    np.testing.assert_array_equal(np.asarray(y1), np.asarray(y0))
+    np.testing.assert_array_equal(np.asarray(g1), np.asarray(g0))
+
+    yt = jnp.asarray(rng.normal(size=(4, 1)).astype(np.float32))
+    l1, gr1 = fused_train_grads(model, x, yt, mode="blocked",
+                                interpret=True, c_mat=jax.device_put(C))
+    l0, gr0 = fused_train_grads(model, x, yt, mode="blocked",
+                                interpret=True)
+    assert float(l1) == float(l0)
+    for a, b in zip(jax.tree_util.tree_leaves(gr1),
+                    jax.tree_util.tree_leaves(gr0)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # wrong shape/dtype and wrong-mode errors are loud
+    with pytest.raises(ValueError, match="c_mat"):
+        fused_cv_forces(model, x, mode="blocked", interpret=True,
+                        c_mat=jnp.zeros((3, 3), jnp.bfloat16))
+    from molann_tpu.systems import alanine_model
+
+    am, au = alanine_model()
+    xa = jnp.asarray(au.atoms.positions[None])
+    with pytest.raises(ValueError, match="blocked"):
+        fused_cv_forces(am, xa, mode="unrolled", interpret=True,
+                        c_mat=jnp.zeros((3, 3), jnp.bfloat16))
