@@ -164,11 +164,14 @@ _PRECISION_PASSES = {"exact": 3, "tf32": 2, "bf16": 1}
 # Coordination features with more pairs than this move their edge rows
 # OUT of the resident matrix D into the separate chunk matrix C: their
 # rows only feed a per-feature switching SUM, so the kernels can stream
-# them _COORD_CHUNK rows at a time with per-chunk rematerialization —
+# them ``lay.chunk`` rows at a time with per-chunk rematerialization —
 # scoped VMEM stays O(chunk x tile) no matter how many pairs a
 # condensed-phase contact CV has. (Resident-in-D, a 15504-pair layout
 # measured 98 MB of scoped VMEM against the 16 MB limit.)
 _COORD_RESIDENT_MAX = 512
+# Largest streaming chunk (rows per DMA). The per-layout chunk size
+# (BlockedLayout.chunk) shrinks from this when the active-atom width is
+# large — see the selection loop in BlockedLayout.__init__.
 _COORD_CHUNK = 512
 
 
@@ -296,21 +299,12 @@ class BlockedLayout:
             npairs <= _COORD_RESIDENT_MAX for npairs in self.coord_npairs
         )
         self.o_c = []
-        self.chunk_offs = []
-        mc = 0
         for npairs, res in zip(self.coord_npairs, self.coord_resident):
             if res:
                 self.o_c.append(o)
-                self.chunk_offs.append(None)
                 o = up8(o + npairs)
             else:
-                # each chunked feature's block is padded to a multiple of
-                # _COORD_CHUNK (zero rows, masked in-kernel) so the
-                # fori_loop walks fixed-size chunk-aligned slices
                 self.o_c.append(None)
-                self.chunk_offs.append(mc)
-                mc += -(-npairs // _COORD_CHUNK) * _COORD_CHUNK
-        self.mc = mc
         self.o_al = o
         o = up8(o + self.n_align)
         self.o_pos = o
@@ -319,6 +313,57 @@ class BlockedLayout:
         # features) would leave D with zero rows — Mosaic rejects
         # zero-size operands, so keep one all-zero sublane block
         self.m = max(o, 8)
+
+        # Mosaic DMA slices must be lane-aligned: the chunk matrix's
+        # column count pads to a multiple of 128 (zero columns; the
+        # kernels pad x to match, so the padding is inert)
+        self.c_cols = -(-self.n_active // 128) * 128
+
+        # Per-layout streaming chunk size. 512 rows keeps each chunk DMA
+        # big enough to hide under the chunk matmuls, but the two bf16
+        # scratch slots (2 x chunk x c_cols) and the per-chunk
+        # intermediates scale with the active-atom width: at
+        # condensed-phase widths (every atom CV-active) a 512-row chunk
+        # pushes the BACKWARD working set past auto_tile's 128-frame
+        # minimum tile. Shrink per layout: the largest of 512/256/128
+        # whose backward working set (the binding case — forward is
+        # strictly smaller) still admits tile=128, using the SAME
+        # calibrated cost model as auto_tile (see the `if lay.mc` block
+        # there — measured against Mosaic scoped-allocation totals on
+        # the 10^3-atom all-active layout), with a nominal 128-wide MLP
+        # output standing in for the d_out auto_tile sees at call time.
+        # Narrow layouts (the 125-atom LJ demo) keep 512, so the
+        # recorded rates stand; 10^3-atom all-active layouts land at
+        # 128 and fit (512 measured 18.08 MB scoped vs the 16 MB
+        # limit); ~12^3 and beyond genuinely exceed VMEM at any chunk —
+        # auto_tile then refuses the backward with the XLA-path escape
+        # (the fused FORWARD still fits well past that).
+        chunk = _COORD_CHUNK
+        if not all(self.coord_resident):
+            budget = 15_990_784
+            base_cols = (3 * self.n_active * 2 + 3 * self.m * 5
+                         + spec.out_dim * 3 + 128 + 3 * self.c_cols * 7)
+            while chunk > 128:
+                cols = base_cols + 3 * chunk * 3
+                fixed = (4 * self.m * self.n_active
+                         + 4 * chunk * self.c_cols)
+                if (budget - fixed) // (4 * cols) >= 128:
+                    break
+                chunk //= 2
+        self.chunk = chunk
+
+        # each chunked feature's block in C is padded to a multiple of
+        # the chunk size (zero rows, masked in-kernel) so the fori_loop
+        # walks fixed-size chunk-aligned slices
+        self.chunk_offs = []
+        mc = 0
+        for npairs, res in zip(self.coord_npairs, self.coord_resident):
+            if res:
+                self.chunk_offs.append(None)
+            else:
+                self.chunk_offs.append(mc)
+                mc += -(-npairs // chunk) * chunk
+        self.mc = mc
 
         D = np.zeros((self.m, self.n_active), dtype=np.float32)
         for k, (a0, a1, a2) in enumerate(spec.angle_idx):
@@ -336,10 +381,6 @@ class BlockedLayout:
             D[self.o_d23 + k, c(a1)] -= 1.0
             D[self.o_d34 + k, c(a3)] += 1.0
             D[self.o_d34 + k, c(a2)] -= 1.0
-        # Mosaic DMA slices must be lane-aligned: the chunk matrix's
-        # column count pads to a multiple of 128 (zero columns; the
-        # kernels pad x to match, so the padding is inert)
-        self.c_cols = -(-self.n_active // 128) * 128
         C = np.zeros((mc, self.c_cols), dtype=np.float32) if mc else None
         for kf, (start, npairs) in enumerate(spec.coord_slices):
             tgt, base = ((D, self.o_c[kf]) if self.coord_resident[kf]
@@ -432,31 +473,42 @@ def auto_tile(lay: BlockedLayout, d_out: int, *, backward: bool,
         cols = 3 * lay.n_active * 2 + 3 * lay.m * 5 + lay.out_dim * 3 + d_out
     fixed = lay.D.size * 2 * 2  # D + DT resident (bf16)
     if lay.mc:
-        # chunked coordination: one chunk of pair rows live at a time
-        # (x3 components, ~2 copies forward / ~5 with the remat
-        # backward) plus the two bf16 DMA scratch slots — the chunk
-        # matrix itself STAYS IN HBM (pl.ANY operand, streamed). The
-        # lane-padded x copy (_pad_cols, [3, c_cols, T] f32) and the
-        # backward's gx carry (same shape) scale with tile, so they are
-        # columns; the scratch slots are chunk-sized, so fixed. Both use
-        # c_cols (the 128-lane-padded column count), NOT n_active — at
-        # n_active just past a lane boundary the difference is ~2x.
-        chunk = min(_COORD_CHUNK, max(
-            npairs for npairs, res in zip(lay.coord_npairs,
-                                          lay.coord_resident) if not res))
-        cols += 3 * chunk * (5 if backward else 2)
-        cols += 3 * lay.c_cols * (2 if backward else 1)
-        fixed += 2 * _COORD_CHUNK * lay.c_cols * 2
+        # chunked coordination. The model here is CALIBRATED against
+        # Mosaic's reported scoped-allocation totals on the 10^3-atom
+        # all-active LJ layout (c_cols=1024, backward/cv+forces kernel,
+        # tile=128): chunk=512 measured 18.08 MB, chunk=256 16.05 MB,
+        # chunk=128 compiled and ran (~15.0 MB by the 8.1 KB/row
+        # slope). Terms: two bf16 DMA scratch slots (chunk x c_cols,
+        # fixed — the chunk matrix itself STAYS IN HBM as a pl.ANY
+        # operand); ~3 live [chunk, T] f32 intermediates per component
+        # in the walk body; and ~7 tile-scaled copies of the
+        # [3, c_cols, T] f32 arrays in the backward (the _pad_cols x
+        # copy, the double-buffered gx fori_loop carry, and Mosaic's
+        # relayout/scheduling copies — measured, not derived). Both use
+        # c_cols (the 128-lane-padded column count), NOT n_active.
+        cols += 3 * lay.chunk * (3 if backward else 2)
+        cols += 3 * lay.c_cols * (7 if backward else 3)
+        fixed += 2 * lay.chunk * lay.c_cols * 2
+        if backward and budget_bytes == 14 * 1024 * 1024:
+            # the chunked-backward model above predicts measured scoped
+            # totals within ~0.4 MB (vs the ~10% slack of the rough
+            # resident model), so its default budget sits 0.5 MiB under
+            # the 16 MiB hard limit instead of 2 MiB
+            budget_bytes = 15_990_784
     tile = (budget_bytes - fixed) // (4 * cols)
     if tile < 128:
         raise ValueError(
-            f"blocked kernel working set does not fit VMEM: the "
-            f"[{lay.m}, {lay.n_active}] edge matrix alone needs "
-            f"{fixed / 2**20:.1f} MB of the {budget_bytes / 2**20:.0f} MB "
-            f"budget. This system/feature-set is past the fused envelope "
-            f"— use the XLA path (model(x) / jax.grad), or restrict the "
-            f"feature set so active-atom compaction engages "
-            f"(active_atom_indices(model))."
+            f"blocked kernel working set does not fit VMEM: the fixed "
+            f"allocations (the [{lay.m}, {lay.n_active}] edge matrix"
+            + (f" + 2 x [{lay.chunk}, {lay.c_cols}] chunk scratch"
+               if lay.mc else "")
+            + f") need {fixed / 2**20:.1f} MB of the "
+            f"{budget_bytes / 2**20:.0f} MB budget, and the per-frame "
+            f"working set ({4 * cols} B/frame) does not admit the "
+            f"128-frame minimum tile. This system/feature-set is past "
+            f"the fused envelope — use the XLA path (model(x) / "
+            f"jax.grad), or restrict the feature set so active-atom "
+            f"compaction engages (active_atom_indices(model))."
         )
     # round DOWN to a power of two: non-power-of-two tiles measured ~20%
     # slower (e.g. peptide(60) fwd: 23.0M at 256, 18.2M at 384, 23.3M at
@@ -547,17 +599,17 @@ def _chunk_geometry(passes, box, Ck, x3):
     return r, d
 
 
-def _chunk_valid(i, npairs, dtype):
-    """[_COORD_CHUNK, 1] mask of the real (non-pad) rows of chunk i."""
-    row = jax.lax.broadcasted_iota(jnp.int32, (_COORD_CHUNK, 1), 0)
-    return (i * _COORD_CHUNK + row < npairs).astype(dtype)
+def _chunk_valid(i, npairs, dtype, chunk):
+    """[chunk, 1] mask of the real (non-pad) rows of chunk i."""
+    row = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
+    return (i * chunk + row < npairs).astype(dtype)
 
 
-def _chunk_walk(c_ref, off, npairs, body_fn, init):
+def _chunk_walk(c_ref, off, npairs, body_fn, init, chunk):
     """Double-buffered walk over ONE chunked feature's pair rows.
 
     ``c_ref`` lives in HBM (``pl.ANY`` operand — the chunk matrix never
-    occupies VMEM as a whole): two ``[_COORD_CHUNK, n]`` bf16 scratch
+    occupies VMEM as a whole): two ``[chunk, n]`` bf16 scratch
     slots alternate, the NEXT chunk's DMA starting before the current
     chunk computes, so the copy rides under the matmuls (at kernel
     shapes the chunk DMA is ~5 us against ~100 us of chunk compute).
@@ -565,12 +617,12 @@ def _chunk_walk(c_ref, off, npairs, body_fn, init):
     ``fori_loop`` — one chunk's intermediates live at a time, which is
     what keeps scoped VMEM bounded for ANY pair count.
     """
-    n_chunks = -(-npairs // _COORD_CHUNK)
+    n_chunks = -(-npairs // chunk)
 
     def scoped(scratch, sem):
         def dma(slot, i):
             return pltpu.make_async_copy(
-                c_ref.at[pl.ds(off + i * _COORD_CHUNK, _COORD_CHUNK), :],
+                c_ref.at[pl.ds(off + i * chunk, chunk), :],
                 scratch.at[slot],
                 sem.at[slot],
             )
@@ -592,14 +644,14 @@ def _chunk_walk(c_ref, off, npairs, body_fn, init):
 
     return pl.run_scoped(
         scoped,
-        scratch=pltpu.VMEM((2, _COORD_CHUNK, c_ref.shape[1]),
+        scratch=pltpu.VMEM((2, chunk, c_ref.shape[1]),
                            jnp.bfloat16),
         sem=pltpu.SemaphoreType.DMA((2,)),
     )
 
 
 def _coord_feature_sum(passes, box, r0, nn, mm, dmax, off, npairs, c_ref,
-                       x3):
+                       x3, chunk):
     """Switching sum of ONE chunked coordination feature:
     ``c_ref [mc, n] bf16 HBM ref (rows off..off+npairs are its pairs),
     x3 [3, n, T] -> [1, T]``.
@@ -623,15 +675,15 @@ def _coord_feature_sum(passes, box, r0, nn, mm, dmax, off, npairs, c_ref,
     def body(i, Ck, acc):
         r, _ = _chunk_geometry(passes, box, Ck, x3)
         s = switching_function(r, r0, nn, mm, dmax)
-        return acc + jnp.sum(s * _chunk_valid(i, npairs, s.dtype),
+        return acc + jnp.sum(s * _chunk_valid(i, npairs, s.dtype, chunk),
                              axis=0, keepdims=True)
 
     return _chunk_walk(c_ref, off, npairs, body,
-                       jnp.zeros((1, x3.shape[2]), x3.dtype))
+                       jnp.zeros((1, x3.shape[2]), x3.dtype), chunk)
 
 
 def _coord_feature_sum_bwd(passes, box, r0, nn, mm, dmax, off, npairs,
-                           c_ref, x3, gy):
+                           c_ref, x3, gy, chunk):
     """x-cotangent of :func:`_coord_feature_sum` given the row cotangent
     ``gy [1, T]``: recomputes each chunk's geometry (manual remat)
     before the analytic pullback — plain ops in the same streamed chunk
@@ -649,7 +701,7 @@ def _coord_feature_sum_bwd(passes, box, r0, nn, mm, dmax, off, npairs,
         (gr,) = pull(jnp.broadcast_to(gy, r.shape))
         # pad rows have r == 0: mask their cotangent and guard the
         # division (real pairs are distinct atoms, r > 0)
-        scale = gr * _chunk_valid(i, npairs, r.dtype) / jnp.maximum(
+        scale = gr * _chunk_valid(i, npairs, r.dtype, chunk) / jnp.maximum(
             r, jnp.asarray(1e-20, r.dtype)
         )
         upd = jnp.stack(
@@ -658,7 +710,7 @@ def _coord_feature_sum_bwd(passes, box, r0, nn, mm, dmax, off, npairs,
         )
         return gx + upd
 
-    return _chunk_walk(c_ref, off, npairs, body, jnp.zeros_like(x3))
+    return _chunk_walk(c_ref, off, npairs, body, jnp.zeros_like(x3), chunk)
 
 
 def _pad_cols(lay: BlockedLayout, x_blk):
@@ -686,7 +738,7 @@ def _chunked_coord_rows(lay: BlockedLayout, passes, x_blk, c_ref):
         r0, nn, mm = lay.coord_params[k]
         rows[k] = _coord_feature_sum(
             passes, lay.coord_boxes[k], r0, nn, mm, lay.coord_dmax[k],
-            off, lay.coord_npairs[k], c_ref, x3p,
+            off, lay.coord_npairs[k], c_ref, x3p, lay.chunk,
         )
     return rows
 
@@ -701,6 +753,7 @@ def _chunked_coord_grads(lay: BlockedLayout, passes, x_blk, c_ref, g_rows):
         upd = _coord_feature_sum_bwd(
             passes, lay.coord_boxes[k], r0, nn, mm, lay.coord_dmax[k],
             lay.chunk_offs[k], lay.coord_npairs[k], c_ref, x3p, gy,
+            lay.chunk,
         )
         gx = upd if gx is None else gx + upd
     return gx[:, : x_blk.shape[1], :]

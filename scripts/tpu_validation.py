@@ -886,11 +886,10 @@ def _culled_coordination_section(check, rng, lj_fluid_model,
     from molann_tpu.ops.fused import model_chunk_matrix
     from molann_tpu.ops.neighbor import cull_model, max_displacement
 
-    # 10^3 atoms: the largest size whose BACKWARD working set fits the
-    # auto_tile VMEM budget with every atom CV-active (at 12^3 the
-    # [3, 1728, T] x-carry pushes past the 128-frame minimum tile — the
-    # guard refuses with the documented XLA-path escape; an adaptive
-    # _COORD_CHUNK would extend the envelope, ROADMAP note).
+    # 10^3 atoms for the full-vs-culled comparison: the largest size
+    # whose ALL-PAIRS chunk matrix is still a reasonable device buffer
+    # (999,424 x 1024 bf16 ~ 2.0 GB; at 12^3 it would be 10.7 GB —
+    # the culled 12^3 system is exercised separately below).
     ljm, lju, _ljbox = lj_fluid_model(10)
     ljref = lju.atoms.positions
     lj_n = len(lju.atoms)
@@ -940,6 +939,62 @@ def _culled_coordination_section(check, rng, lj_fluid_model,
           f"all-pairs {r_full:.0f} f/s -> culled {r_cull:.0f} f/s "
           f"({r_cull / max(r_full, 1e-9):.1f}x; pairs {nb_}->{na_}, "
           f"compile(all-pairs incl.)={tc_full:.0f}s)")
+
+    # -- adaptive streaming chunk (r4 roadmap #1) ----------------------
+    # At this width (every atom CV-active, c_cols=1024) the FIXED
+    # 512-row streaming chunk measured 18.08 MB of scoped VMEM against
+    # the 16 MB limit in the cv+forces kernel; the per-layout adaptive
+    # chunk (BlockedLayout.chunk, calibrated against those measured
+    # totals) lands at 128 rows, which compiles and runs — the
+    # full-vs-culled parity and speedup above EXECUTED through it.
+    from molann_tpu.ops.fused_blocked import auto_tile, blocked_layout
+    lay10 = blocked_layout(
+        ljm.preprocessing_layer.feature_layer._spec, None)
+    check("adaptive chunk engages at 10^3 all-active width",
+          lay10.chunk == 128,
+          f"n_atoms={lj_n} c_cols={lay10.c_cols} chunk={lay10.chunk}")
+
+    # -- 12^3 = 1728 atoms: past the backward envelope, forward fits --
+    # The backward's [3, c_cols, T] copies alone exceed VMEM at ANY
+    # chunk size here, so auto_tile refuses cv+forces with the
+    # documented XLA-path escape — but the fused FORWARD (CV serving
+    # without forces) still fits. The all-pairs chunk matrix at this
+    # size would be 10.7 GB, so the on-HW run uses the CULLED model
+    # (the production configuration for this regime).
+    from molann_tpu.ops.fused import fused_model_forward
+    m12, u12, _b12 = lj_fluid_model(12)
+    ref12 = u12.atoms.positions
+    x12 = jnp.asarray(
+        ref12[None] + 0.05 * rng.normal(size=(256, len(u12.atoms), 3)),
+        jnp.float32)
+    md12 = max_displacement(ref12, np.asarray(x12))
+    c12, rep12 = cull_model(m12, ref12, skin=2 * md12 + 0.05)
+    lay12 = blocked_layout(
+        c12.preprocessing_layer.feature_layer._spec, None)
+    try:
+        auto_tile(lay12, 1, backward=True)
+        bwd_refused = False
+    except ValueError:
+        bwd_refused = True
+    c12_mat = jax.device_put(model_chunk_matrix(c12))
+    ffwd = jax.jit(lambda m, v, c: fused_model_forward(
+        m, v, mode="blocked", c_mat=c))
+    t0 = time.perf_counter()
+    y12 = ffwd(c12, x12, c12_mat)
+    _ = float(y12[0, 0])
+    tc12 = time.perf_counter() - t0
+    y_x = np.asarray(c12(x12[:16]))
+    verr12 = float(jnp.abs(y12[:16] - y_x).max()) / max(
+        float(np.abs(y_x).max()), 1e-9)
+    t0 = time.perf_counter()
+    outs = [ffwd(c12, x12, c12_mat) for _ in range(2)]
+    for o in outs:
+        _ = float(o[0, 0])
+    r12 = 2 * x12.shape[0] / (time.perf_counter() - t0)
+    check("12^3 culled blocked FORWARD == XLA; backward refuses to XLA",
+          verr12 < 5e-4 and bwd_refused and rep12.exact == (True, True),
+          f"rel v={verr12:.2e} rate={r12:.0f} f/s chunk={lay12.chunk} "
+          f"pairs={sum(rep12.n_pairs_after)} compile={tc12:.0f}s")
 
 
 

@@ -157,7 +157,8 @@ def test_chunked_pair_path(rng):
     lay = blocked_layout(pp.feature_layer._spec, None)
     assert lay.coord_resident == (False, True)
     assert lay.coord_npairs[0] > _COORD_RESIDENT_MAX
-    assert lay.mc % _COORD_CHUNK == 0 and lay.mc >= lay.coord_npairs[0]
+    assert lay.mc % lay.chunk == 0 and lay.mc >= lay.coord_npairs[0]
+    assert lay.chunk == _COORD_CHUNK  # narrow layout keeps the 512 max
 
     x = jnp.asarray(
         (u.atoms.positions[None]
@@ -193,6 +194,79 @@ def test_chunked_pair_path(rng):
         scale = max(float(jnp.abs(b).max()), 1e-9)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-5 * scale)
+
+
+def test_adaptive_chunk_selection():
+    """Wide all-active layouts shrink the streaming chunk (512 -> 128)
+    so the backward working set keeps fitting auto_tile's 128-frame
+    minimum tile (r4 roadmap #1). The cost model is calibrated against
+    Mosaic scoped-allocation totals measured on hardware at the
+    10^3-atom layout: 512-row chunks measured 18.08 MB against the
+    16 MB limit, 128-row chunks compiled and ran. At 12^3 the backward
+    genuinely exceeds VMEM at ANY chunk (the [3, c_cols, T] copies
+    alone overflow), so auto_tile refuses with the XLA-path escape —
+    while the fused FORWARD still fits."""
+    from molann_tpu.feature import Feature
+    from molann_tpu.models.ann import FeatureLayer, PreprocessingANN
+    from molann_tpu.ops.fused_blocked import auto_tile, blocked_layout
+    from molann_tpu.systems import lj_fluid
+
+    u, box = lj_fluid(10)  # 1000 atoms, every one CV-active
+    feats = [Feature("c", "coordination", u.atoms, r0=1.35 * 1.7,
+                     pbc_box=box, d_max=2.0 * 1.7)]
+    pp = PreprocessingANN(None, FeatureLayer(feats, u.atoms))
+    lay = blocked_layout(pp.feature_layer._spec, None)
+    assert lay.chunk == 128  # the empirically-fitting choice on HW
+    assert lay.mc % lay.chunk == 0
+    # the selection criterion: backward admits the minimum tile
+    assert auto_tile(lay, 1, backward=True) >= 128
+
+    u2, box2 = lj_fluid(12)  # 1728 atoms: past the backward envelope
+    feats2 = [Feature("c", "coordination", u2.atoms, r0=1.35 * 1.7,
+                      pbc_box=box2, d_max=2.0 * 1.7)]
+    pp2 = PreprocessingANN(None, FeatureLayer(feats2, u2.atoms))
+    lay2 = blocked_layout(pp2.feature_layer._spec, None)
+    assert lay2.chunk == 128
+    assert auto_tile(lay2, 1, backward=False) >= 128  # forward fits
+    with pytest.raises(ValueError, match="XLA path"):
+        auto_tile(lay2, 1, backward=True)
+
+
+def test_small_chunk_parity(rng, monkeypatch):
+    """Numerical parity of the streamed walk at a non-default chunk size:
+    force the 128-row chunk on a small system (multiple chunks + masked
+    tail) and check forward and coordinate gradients against XLA."""
+    import molann_tpu.ops.fused_blocked as fb
+    from molann_tpu.feature import Feature
+    from molann_tpu.models.ann import FeatureLayer, PreprocessingANN
+    from molann_tpu.ops.fused import fused_cv_forces, fused_model_forward
+
+    monkeypatch.setattr(fb, "_COORD_CHUNK", 128)
+    fb.blocked_layout.cache_clear()
+    try:
+        u, box = lj_fluid(4)  # 64 atoms -> 2016 pairs -> 16 chunks of 128
+        feats = [Feature("c", "coordination", u.atoms, r0=1.35 * 1.7,
+                         pbc_box=box)]
+        pp = PreprocessingANN(None, FeatureLayer(feats, u.atoms))
+        lay = fb.blocked_layout(pp.feature_layer._spec, None)
+        assert lay.chunk == 128 and lay.mc == 2048
+        x = jnp.asarray(
+            (u.atoms.positions[None]
+             + 0.2 * rng.normal(size=(4, 64, 3))).astype(np.float32)
+        )
+        y_j = np.asarray(pp(x))
+        y_b = fused_model_forward(pp, x, tile=32, interpret=True,
+                                  mode="blocked")
+        np.testing.assert_allclose(np.asarray(y_b), y_j,
+                                   atol=2e-5 * np.abs(y_j).max())
+        _, g = fused_cv_forces(pp, x, tile=32, interpret=True,
+                               mode="blocked", component=0)
+        gj = np.asarray(jax.grad(lambda xx: jnp.sum(pp(xx)[:, 0]))(x))
+        assert np.abs(gj).max() > 0.01
+        np.testing.assert_allclose(np.asarray(g), gj,
+                                   atol=5e-6 * max(np.abs(gj).max(), 1.0))
+    finally:
+        fb.blocked_layout.cache_clear()
 
 
 def test_fluid_model_not_saturated(rng):
