@@ -78,6 +78,90 @@ def _model_dims(model):
     return model_dims(model)
 
 
+def _load_ref_positions(path, traj, n_atoms):
+    """Reference coordinates ``[n_atoms, 3]`` for neighbor culling: an
+    explicit ``--cull-ref`` file (.npy array, or any topology format the
+    front-end reads — PDB/GRO/XYZ), else the trajectory's first frame."""
+    if path:
+        low = str(path).lower()
+        if low.endswith(".npy"):
+            ref = np.load(path)
+            ref = ref[0] if ref.ndim == 3 else ref
+        else:
+            from ..topology import Universe
+
+            ref = Universe(path).atoms.positions
+    else:
+        from ..io.reader import open_frame_reader
+
+        read, n_frames, na = open_frame_reader(traj)
+        if n_frames < 1:
+            raise SystemExit(f"error: {traj} has no frames to cull against")
+        ref = read(0, 1)[0]
+    ref = np.asarray(ref, dtype=np.float32)
+    if ref.shape != (n_atoms, 3):
+        raise SystemExit(
+            f"error: cull reference has shape {ref.shape}; the model "
+            f"takes [{n_atoms}, 3]")
+    return ref
+
+
+def _apply_cull(args, model, traj=None):
+    """Apply the ``--cull`` CLI flags to a loaded model and resolve the
+    chunk-matrix jit-boundary operand.
+
+    Returns ``(model, c_mat, report)``: the (possibly culled) model, the
+    device-resident chunk matrix to pass as ``c_mat=`` into the blocked
+    fused entry points (None when nothing is chunked — e.g. after a cull
+    shrank every pair table to residency), and the
+    :class:`~molann_tpu.ops.neighbor.CullReport` (None without
+    ``--cull``). The c_mat routing is automatic for every blocked-mode
+    model: without it the pair table is baked into each executable as an
+    HLO constant (multi-GB at condensed-phase pair counts) and
+    re-uploaded per eager call."""
+    report = None
+    if getattr(args, "cull", False):
+        from ..ops.neighbor import cull_model
+
+        n_atoms = _model_dims(model)[0]
+        ref = _load_ref_positions(getattr(args, "cull_ref", None),
+                                  traj if traj is not None
+                                  else getattr(args, "traj", None), n_atoms)
+        model, report = cull_model(
+            model, ref, tol=getattr(args, "cull_tol", 1e-6),
+            skin=getattr(args, "skin", 1.0))
+        print(report)
+    c_mat = None
+    from ..ops.fused import model_chunk_matrix, model_select_mode
+
+    if model_select_mode(model) == "blocked":
+        C = model_chunk_matrix(model)
+        if C is not None:
+            import jax
+
+            c_mat = jax.device_put(C)
+    return model, c_mat, report
+
+
+def add_cull_args(sp):
+    """The shared ``--cull`` option group (evaluate/forces/export/sample)."""
+    sp.add_argument("--cull", action="store_true",
+                    help="cull coordination pair tables to r_cut+skin at "
+                         "the reference frame (exact for d_max-truncated "
+                         "features; see molann_tpu.ops.neighbor)")
+    sp.add_argument("--cull-ref", default=None, metavar="FILE",
+                    help="reference coordinates for --cull (.npy or a "
+                         "topology file; default: the trajectory's first "
+                         "frame)")
+    sp.add_argument("--skin", type=float, default=1.0,
+                    help="cull skin: the result is valid while no atom "
+                         "moves more than skin/2 from the reference "
+                         "(default 1.0)")
+    sp.add_argument("--cull-tol", type=float, default=1e-6,
+                    help="per-pair switching tolerance defining r_cut for "
+                         "features without d_max (default 1e-6)")
+
+
 def _traj_dims(path):
     """(n_frames, floats_per_frame) of a .npy/.dcd/.trr/.xtc/.nc trajectory."""
     from ..io.reader import open_frame_reader

@@ -11,7 +11,8 @@ import sys
 
 import numpy as np
 
-from ._common import _check_traj, _load_model, _model_dims
+from ._common import (_apply_cull, _check_traj, _load_model, _model_dims,
+                      add_cull_args)
 
 def cmd_info(args):
     model = _load_model(args.model)
@@ -45,6 +46,9 @@ def _evaluate(args, want_forces):
     model = _load_model(args.model)
     n_atoms, d_out = _model_dims(model)
     n_frames = _check_traj(args.traj, n_atoms)
+    # --cull + automatic chunk-matrix operand routing: condensed-phase
+    # models never bake their pair table into the executable
+    model, c_mat, _ = _apply_cull(args, model)
 
     if getattr(args, "devices", 0):
         # multi-device: stream through the mesh serving path
@@ -71,6 +75,7 @@ def _evaluate(args, want_forces):
                 component=getattr(args, "component", None),
                 cvs_out=y_out, grads_out=g_out.reshape(-1, n_atoms, 3),
                 grads_transform=np.negative,  # force convention, in-flight
+                c_mat=c_mat,
             )
             g_out.flush()
         else:
@@ -78,7 +83,7 @@ def _evaluate(args, want_forces):
                 model, args.traj, mesh=mesh,
                 batch_size=bs, tile=args.tile,
                 interpret=args.interpret, backend=args.backend,
-                cvs_out=y_out,
+                cvs_out=y_out, c_mat=c_mat,
             )
         y_out.flush()
         print(f"wrote {args.out}: {y_out.shape} ({ndev} devices)")
@@ -125,7 +130,7 @@ def _evaluate(args, want_forces):
                 y, g = fused_cv_forces(
                     model, x, component=component,
                     tile=args.tile, interpret=args.interpret,
-                    compact_grads=True,
+                    compact_grads=True, c_mat=c_mat,
                 )  # g: [3, n_active, l]
                 blk = g_out[n_done : n_done + xb.shape[0]].reshape(
                     -1, n_atoms, 3
@@ -143,6 +148,7 @@ def _evaluate(args, want_forces):
                 y, g = fused_cv_forces(
                     model, x, component=component,
                     tile=args.tile, interpret=args.interpret,
+                    c_mat=c_mat,
                 )
             else:
                 x3 = x.reshape(x.shape[0], -1, 3)
@@ -156,7 +162,8 @@ def _evaluate(args, want_forces):
         else:
             if use_fused:
                 y = fused_model_forward(
-                    model, x, tile=args.tile, interpret=args.interpret
+                    model, x, tile=args.tile, interpret=args.interpret,
+                    c_mat=c_mat,
                 )
             else:
                 y = model(x.reshape(x.shape[0], -1, 3))
@@ -291,6 +298,7 @@ def register(sub):
                             help="shard batches over N devices via the mesh "
                                  "serving path")
             sp.add_argument("--verbose", action="store_true")
+            add_cull_args(sp)
 
         pe = sub.add_parser("evaluate", help="evaluate CV values over a trajectory")
         add_eval_args(pe)

@@ -86,6 +86,8 @@ def cmd_sample(args):
             energy, model, x0, n_steps=args.steps, dt=args.dt,
             kT=args.kT, key=key, sigma=args.sigma, stride=args.stride,
             barrier=args.bias_barrier, gamma=args.bias_gamma,
+            adaptive=args.opes_adaptive,
+            max_kernels=args.opes_max_kernels,
         )
     elif args.bias == "steered":
         if args.s0 is None or args.s1 is None:
@@ -372,6 +374,14 @@ def register(sub):
                              "depth; the one physical input)")
         ps.add_argument("--bias-gamma", type=float, default=None,
                         help="OPES bias factor (default: barrier/kT)")
+        ps.add_argument("--opes-adaptive", action="store_true",
+                        help="OPES: PLUMED bandwidth-shrink + moment-"
+                             "preserving kernel compression (long runs "
+                             "keep refining the bias in a bounded kernel "
+                             "list)")
+        ps.add_argument("--opes-max-kernels", type=int, default=None,
+                        help="adaptive OPES: kernel-list slot bound "
+                             "(default min(walkers x periods, 512))")
         ps.add_argument("--s0", default=None, help="steered start CV (comma)")
         ps.add_argument("--s1", default=None, help="steered end CV (comma)")
         ps.add_argument("--k-spring", type=float, default=10.0)

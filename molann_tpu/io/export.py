@@ -26,10 +26,18 @@ __all__ = ["export_stablehlo", "export_bundle", "read_bundle",
 #: nbytes, module bytes.
 BUNDLE_MAGIC = b"MOLANNB1"
 
+#: Optional trailing chunk-matrix section of a bundle: 8-byte magic,
+#: u64 LE rows, u64 LE cols, rows*cols*2 bytes of bf16 row-major data.
+#: Present iff the bundle's modules take ``(x, c_mat)`` — the
+#: jit-boundary operand route that keeps condensed-phase pair tables
+#: out of the compiled modules. Readers that predate it stop after the
+#: entry list, so the section is backward-compatible.
+CMAT_MAGIC = b"MOLANNCM"
+
 
 def export_stablehlo(model, n_atoms, path=None, *, with_gradient=False,
                      batch_size=None, platforms=None, raw_mlir=False,
-                     fused=False, tile=None):
+                     fused=False, tile=None, c_mat="auto"):
     """Serialize ``model``'s forward as a StableHLO artifact.
 
     :param model: any callable layer (MolANN, PreprocessingANN, ...)
@@ -53,8 +61,21 @@ def export_stablehlo(model, n_atoms, path=None, *, with_gradient=False,
         ``fused_cv_forces`` pair (CVs, coordinate gradients). Lowering
         is host-side: exporting works from a CPU-only process.
     :param tile: fused-kernel frame tile (default 2048)
+    :param c_mat: chunked-coordination handling for ``fused=True``.
+        ``"auto"`` (default): when the model's blocked layout chunks a
+        coordination pair table
+        (:func:`molann_tpu.ops.fused.model_chunk_matrix`), the exported
+        module takes TWO inputs ``(x [l, n, 3] f32, c_mat [mc, cc]
+        bf16)`` instead of baking the (potentially multi-GB) table in
+        as an HLO constant; callers then feed the matrix as the second
+        argument (the bundle format carries it — see
+        :func:`export_bundle`). Pass ``None`` to force single-input
+        (inlined-constant) modules, or an explicit bf16 array.
+        ``export_stablehlo`` returns only the module bytes; use
+        :func:`molann_tpu.ops.fused.model_chunk_matrix` for the array.
     :returns: the serialized bytes
     """
+    cmat_arr = None
     if fused:
         if batch_size is None:
             raise ValueError("fused=True requires a fixed batch_size")
@@ -64,24 +85,36 @@ def export_stablehlo(model, n_atoms, path=None, *, with_gradient=False,
             _extract_model,
             fused_cv_forces,
             fused_model_forward,
+            model_chunk_matrix,
             select_mode,
         )
 
         spec_, _, _, _, _ = _extract_model(model, jnp.float32)
-        if select_mode(spec_, spec_.n_input_atoms) == "blocked":
+        blocked = select_mode(spec_, spec_.n_input_atoms) == "blocked"
+        if blocked:
             # blocked kernels auto-size their (much smaller) tiles from
             # the VMEM model — forcing the unrolled default would OOM
             ftile = tile
+            if isinstance(c_mat, str) and c_mat == "auto":
+                cmat_arr = model_chunk_matrix(model)
+            elif c_mat is not None:
+                cmat_arr = jnp.asarray(c_mat, jnp.bfloat16)
         elif tile is None:
             # don't pad small serving batches up to the full default tile
             ftile = max(1024, min(2048, -(-batch_size // 1024) * 1024))
         else:
             ftile = tile
 
-        def fn(x):
-            if with_gradient:
-                return fused_cv_forces(model, x, tile=ftile)
-            return fused_model_forward(model, x, tile=ftile)
+        if cmat_arr is not None:
+            def fn(x, c):
+                if with_gradient:
+                    return fused_cv_forces(model, x, tile=ftile, c_mat=c)
+                return fused_model_forward(model, x, tile=ftile, c_mat=c)
+        else:
+            def fn(x):
+                if with_gradient:
+                    return fused_cv_forces(model, x, tile=ftile)
+                return fused_model_forward(model, x, tile=ftile)
     else:
         def fn(x):
             if with_gradient:
@@ -99,7 +132,11 @@ def export_stablehlo(model, n_atoms, path=None, *, with_gradient=False,
     kwargs = {}
     if platforms is not None:
         kwargs["platforms"] = tuple(platforms)
-    exported = jax_export.export(jax.jit(fn), **kwargs)(x_spec)
+    if cmat_arr is not None:
+        c_spec = jax.ShapeDtypeStruct(cmat_arr.shape, jnp.bfloat16)
+        exported = jax_export.export(jax.jit(fn), **kwargs)(x_spec, c_spec)
+    else:
+        exported = jax_export.export(jax.jit(fn), **kwargs)(x_spec)
     if raw_mlir:
         # the bare StableHLO module bytecode — what PJRT_Client_Compile
         # (format "mlir") consumes directly, with no jax.export framing.
@@ -135,16 +172,29 @@ def export_bundle(model, n_atoms, path=None, *, batch_sizes=(4096, 1024),
     ROADMAP #3).
 
     Format: ``b"MOLANNB1"``, u32 LE count, then per entry u64 LE batch,
-    u64 LE byte count, module bytes. Returns the serialized bytes.
+    u64 LE byte count, module bytes. When ``fused=True`` and the model
+    chunks a coordination pair table, every module takes ``(x, c_mat)``
+    and the matrix rides a trailing ``b"MOLANNCM"`` section (u64 rows,
+    u64 cols, bf16 row-major data) that the C++ container feeds back as
+    the second execute argument — the table is uploaded to each device
+    ONCE instead of being baked into every bucket's module. Returns the
+    serialized bytes.
     """
     sizes = sorted({int(b) for b in batch_sizes}, reverse=True)
     if not sizes or sizes[-1] <= 0:
         raise ValueError(f"batch_sizes must be positive, got {batch_sizes}")
+    cmat_arr = None
+    if fused:
+        from ..ops.fused import model_chunk_matrix, model_select_mode
+
+        if model_select_mode(model) == "blocked":
+            cmat_arr = model_chunk_matrix(model)
     entries = []
     for b in sizes:
         blob = export_stablehlo(
             model, n_atoms, with_gradient=with_gradient, batch_size=b,
             platforms=platforms, raw_mlir=True, fused=fused, tile=tile,
+            c_mat=cmat_arr,
         )
         entries.append((b, blob))
     out = bytearray(BUNDLE_MAGIC)
@@ -152,6 +202,13 @@ def export_bundle(model, n_atoms, path=None, *, batch_sizes=(4096, 1024),
     for b, blob in entries:
         out += struct.pack("<QQ", b, len(blob))
         out += blob
+    if cmat_arr is not None:
+        import numpy as np
+
+        rows, cols = cmat_arr.shape
+        out += CMAT_MAGIC
+        out += struct.pack("<QQ", rows, cols)
+        out += np.asarray(cmat_arr).view(np.uint16).astype("<u2").tobytes()
     out = bytes(out)
     if path is not None:
         with open(path, "wb") as fh:
@@ -159,10 +216,12 @@ def export_bundle(model, n_atoms, path=None, *, batch_sizes=(4096, 1024),
     return out
 
 
-def read_bundle(path_or_bytes):
+def read_bundle(path_or_bytes, *, with_cmat=False):
     """Parse a bundle: returns ``[(batch_size, module_bytes), ...]``
     (largest batch first) — the python-side mirror of the container's
-    loader, used by tests and tooling."""
+    loader, used by tests and tooling. With ``with_cmat=True`` returns
+    ``(entries, c_mat)`` where ``c_mat`` is the trailing chunk-matrix
+    section as a bf16 numpy array (None when absent)."""
     if isinstance(path_or_bytes, (bytes, bytearray)):
         raw = bytes(path_or_bytes)
     else:
@@ -182,7 +241,23 @@ def read_bundle(path_or_bytes):
             raise ValueError("truncated artifact bundle")
         out.append((int(b), raw[off:off + n]))
         off += n
-    return sorted(out, key=lambda e: -e[0])
+    cmat = None
+    if raw[off:off + 8] == CMAT_MAGIC:
+        if off + 24 > len(raw):
+            raise ValueError("truncated chunk-matrix section")
+        rows, cols = struct.unpack_from("<QQ", raw, off + 8)
+        off += 24
+        n = rows * cols * 2
+        if off + n > len(raw):
+            raise ValueError("truncated chunk-matrix section")
+        import numpy as np
+
+        cmat = (np.frombuffer(raw, dtype="<u2", count=rows * cols,
+                              offset=off)
+                .reshape(rows, cols)
+                .view(jnp.bfloat16))
+    out = sorted(out, key=lambda e: -e[0])
+    return (out, cmat) if with_cmat else out
 
 
 def load_stablehlo(path_or_bytes):

@@ -848,7 +848,8 @@ def resolve_precision(precision: str, *, training: bool) -> str:
 
 
 def fused_model_forward(model, x, *, tile=None, bwd_tile=None,
-                        interpret=False, mode="auto", precision="exact"):
+                        interpret=False, mode="auto", precision="exact",
+                        c_mat=None):
     """Run a ``MolANN`` (or ``PreprocessingANN``/``FeatureLayer``) through
     the fused Pallas path. Equivalent to ``model(x)`` to float32 tolerance
     (parity-tested); one kernel per frame tile instead of an XLA op graph.
@@ -862,6 +863,12 @@ def fused_model_forward(model, x, *, tile=None, bwd_tile=None,
     see docs/design.md for the error budget; the unrolled kernel has no
     matmuls and ignores it. ``"auto"`` = the shipped policy
     (:func:`resolve_precision`): exact on this serving path.
+    c_mat (blocked mode): the chunk matrix from
+    :func:`model_chunk_matrix` routed through the caller's jit boundary
+    as a REAL operand, keeping condensed-phase pair tables (GBs) out of
+    the compiled module — the forward-only serving route for systems
+    past the fused backward envelope. Treated as a constant under
+    differentiation.
     """
     precision = resolve_precision(precision, training=False)
     spec, align_idx, ref_x, params, activation = _extract_model(model, x.dtype)
@@ -873,7 +880,12 @@ def fused_model_forward(model, x, *, tile=None, bwd_tile=None,
 
         return blocked_apply(
             spec, align_idx, activation, (tile, bwd_tile), interpret,
-            precision, params, ref_x, x
+            precision, params, ref_x, x, c_mat
+        )
+    if c_mat is not None:
+        raise ValueError(
+            "c_mat applies to the blocked formulation only "
+            "(mode='blocked'; auto selected 'unrolled' for this system)"
         )
     if tile is None:
         tile = DEFAULT_TILE

@@ -319,6 +319,31 @@ class BlockedLayout:
         # kernels pad x to match, so the padding is inert)
         self.c_cols = -(-self.n_active // 128) * 128
 
+        # Padded blocked feature-row plan (same 8-alignment rationale —
+        # computed BEFORE the streaming-chunk choice below so the chunk
+        # model can use the worst-case kernel output width the layout
+        # can see): [angles | bonds | dih_cos | dih_sin (or phi) |
+        # pos_x | pos_y | pos_z], each block starting on a sublane
+        # boundary; pad rows are zeros in the kernel (and zero columns
+        # of the folded W1).
+        f = 0
+        self.f_ang = f
+        f = up8(f + na)
+        self.f_b = f
+        f = up8(f + nb)
+        self.f_d = f  # cos block (or phi when use_angle_value)
+        f = up8(f + nd)
+        if not uav:
+            self.f_dsin = f
+            f = up8(f + nd)
+        self.f_c = f  # one row per coordination feature
+        f = up8(f + nc) if nc else f
+        self.f_pos = f  # 3 component blocks, each aligned
+        pos_blk = up8(npos)
+        f += 3 * pos_blk if npos else 0
+        self.pos_blk = pos_blk
+        self.d_pad = max(f, 8)
+
         # Per-layout streaming chunk size. 512 rows keeps each chunk DMA
         # big enough to hide under the chunk matmuls, but the two bf16
         # scratch slots (2 x chunk x c_cols) and the per-chunk
@@ -330,19 +355,23 @@ class BlockedLayout:
         # strictly smaller) still admits tile=128, using the SAME
         # calibrated cost model as auto_tile (see the `if lay.mc` block
         # there — measured against Mosaic scoped-allocation totals on
-        # the 10^3-atom all-active layout), with a nominal 128-wide MLP
-        # output standing in for the d_out auto_tile sees at call time.
-        # Narrow layouts (the 125-atom LJ demo) keep 512, so the
-        # recorded rates stand; 10^3-atom all-active layouts land at
-        # 128 and fit (512 measured 18.08 MB scoped vs the 16 MB
-        # limit); ~12^3 and beyond genuinely exceed VMEM at any chunk —
-        # auto_tile then refuses the backward with the XLA-path escape
-        # (the fused FORWARD still fits well past that).
+        # the 10^3-atom all-active layout), with the worst-case kernel
+        # output width this layout can see (a no-MLP head writes d_pad
+        # rows; MLP heads are almost always <= 128 for CV nets) standing
+        # in for the d_out auto_tile sees at call time. Narrow layouts
+        # (the 125-atom LJ demo) keep 512, so the recorded rates stand;
+        # 10^3-atom all-active layouts land at 128 and fit (512 measured
+        # 18.08 MB scoped vs the 16 MB limit); ~12^3 and beyond
+        # genuinely exceed VMEM at any chunk — auto_tile then refuses
+        # the backward with the XLA-path escape (the fused FORWARD
+        # still fits well past that).
         chunk = _COORD_CHUNK
         if not all(self.coord_resident):
             budget = 15_990_784
+            d_worst = max(128, self.d_pad)
             base_cols = (3 * self.n_active * 2 + 3 * self.m * 5
-                         + spec.out_dim * 3 + 128 + 3 * self.c_cols * 7)
+                         + spec.out_dim * 3 + d_worst
+                         + 3 * self.c_cols * 7)
             while chunk > 128:
                 cols = base_cols + 3 * chunk * 3
                 fixed = (4 * self.m * self.n_active
@@ -401,28 +430,6 @@ class BlockedLayout:
             D[self.o_pos + k, c(a)] += 1.0
         self.D = D
 
-        # Padded blocked feature-row plan (same 8-alignment rationale):
-        # [angles | bonds | dih_cos | dih_sin (or phi) | pos_x | pos_y |
-        # pos_z], each block starting on a sublane boundary; pad rows are
-        # zeros in the kernel (and zero columns of the folded W1).
-        f = 0
-        self.f_ang = f
-        f = up8(f + na)
-        self.f_b = f
-        f = up8(f + nb)
-        self.f_d = f  # cos block (or phi when use_angle_value)
-        f = up8(f + nd)
-        if not uav:
-            self.f_dsin = f
-            f = up8(f + nd)
-        self.f_c = f  # one row per coordination feature
-        f = up8(f + nc) if nc else f
-        self.f_pos = f  # 3 component blocks, each aligned
-        pos_blk = up8(npos)
-        f += 3 * pos_blk if npos else 0
-        self.pos_blk = pos_blk
-        self.d_pad = max(f, 8)
-
         # blocked PADDED row index for each spec-intermediate row
         d = spec.out_dim
         s2b = np.empty(d, dtype=np.int64)
@@ -456,7 +463,7 @@ def blocked_layout(spec: CompiledFeatures, align_idx) -> BlockedLayout:
 
 
 def auto_tile(lay: BlockedLayout, d_out: int, *, backward: bool,
-              budget_bytes: int = 14 * 1024 * 1024) -> int:
+              budget_bytes=None) -> int:
     """Largest lane-aligned tile whose working set fits a VMEM budget.
 
     Rough model (f32 columns per frame): the x block (3n) + edge matrix
@@ -467,7 +474,15 @@ def auto_tile(lay: BlockedLayout, d_out: int, *, backward: bool,
     leaves headroom under the 16 MB VMEM for Mosaic's own scratch.
     Measured on peptide(60): tile=256 is also the throughput sweet spot
     (14.0M f/s vs 13.4M at 128 and 11.1M at 384).
+
+    budget_bytes: ``None`` (the default) resolves per path — 14 MiB for
+    the resident model, 15,990,784 B for the chunked backward whose
+    calibrated model is accurate to ~0.4 MB; an explicit value is
+    honored as given.
     """
+    explicit_budget = budget_bytes is not None
+    if not explicit_budget:
+        budget_bytes = 14 * 1024 * 1024
     cols = 3 * lay.n_active + 3 * lay.m * 2 + lay.out_dim + d_out
     if backward:
         cols = 3 * lay.n_active * 2 + 3 * lay.m * 5 + lay.out_dim * 3 + d_out
@@ -489,7 +504,7 @@ def auto_tile(lay: BlockedLayout, d_out: int, *, backward: bool,
         cols += 3 * lay.chunk * (3 if backward else 2)
         cols += 3 * lay.c_cols * (7 if backward else 3)
         fixed += 2 * lay.chunk * lay.c_cols * 2
-        if backward and budget_bytes == 14 * 1024 * 1024:
+        if backward and not explicit_budget:
             # the chunked-backward model above predicts measured scoped
             # totals within ~0.4 MB (vs the ~10% slack of the rough
             # resident model), so its default budget sits 0.5 MiB under
@@ -1301,7 +1316,7 @@ def chunk_matrix(spec, align_idx):
 
 
 def _blk_fwd_impl(spec, align_idx, activation, tile, interpret,
-                  params, ref_x, x, precision="exact"):
+                  params, ref_x, x, precision="exact", c_mat=None):
     passes = _PRECISION_PASSES[precision]
     lay = blocked_layout(spec, align_idx)
     if tile is None:
@@ -1315,7 +1330,7 @@ def _blk_fwd_impl(spec, align_idx, activation, tile, interpret,
     tensors = _blk_tensors(lay, params, ref_x)
     d_out = _head_dim(lay, params)
 
-    cmat = _c_operand(lay)
+    cmat = _c_operand(lay, c_mat)
     y = pl.pallas_call(
         functools.partial(_blk_fwd_kernel, lay, activation, passes),
         grid=(l_p // tile,),
@@ -1341,7 +1356,7 @@ def _head_dim(lay, params):
 
 
 def _blk_bwd_impl(spec, align_idx, activation, tile, interpret,
-                  params, ref_x, x, gy, precision="exact"):
+                  params, ref_x, x, gy, precision="exact", c_mat=None):
     passes = _PRECISION_PASSES[precision]
     lay = blocked_layout(spec, align_idx)
     if tile is None:
@@ -1369,7 +1384,7 @@ def _blk_bwd_impl(spec, align_idx, activation, tile, interpret,
         jax.ShapeDtypeStruct(t.shape, t.dtype) for t in tensors
     ]
     out_specs = [_x_spec(lay.n_active, tile)] + [_full_spec(t) for t in tensors]
-    cmat = _c_operand(lay)
+    cmat = _c_operand(lay, c_mat)
     outs = pl.pallas_call(
         functools.partial(_blk_bwd_kernel, lay, activation, passes),
         grid=(l_p // tile,),
@@ -1394,37 +1409,43 @@ def _blk_bwd_impl(spec, align_idx, activation, tile, interpret,
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5))
 def blocked_apply(spec, align_idx, activation, tiles, interpret, precision,
-                  params, ref_x, x):
+                  params, ref_x, x, c_mat=None):
     """Blocked fused forward: ``x -> [l, d_out]``.
 
     Same contract as :func:`molann_tpu.ops.fused.fused_apply` (params as
     transposed ``(Wt [d_out, d_in], b [d_out, 1])`` tuples, ref_x
     ``[n_align, 3]``) but with O(1) kernel op count — use for systems past
     the unrolled path's compile-time envelope. ``tiles`` entries may be
-    None to auto-size from the VMEM model.
+    None to auto-size from the VMEM model. ``c_mat``: the chunk matrix
+    of chunked coordination features as a jit-boundary operand (see
+    :func:`chunk_matrix`) instead of a closure-captured HLO constant —
+    required at condensed-phase pair counts where the baked constant is
+    multi-GB. Treated as a constant by differentiation (zero cotangent).
     """
     return _blk_fwd_impl(
         spec, align_idx, activation, tiles[0], interpret, params, ref_x, x,
-        precision,
+        precision, c_mat,
     )
 
 
 def _blocked_fwd(spec, align_idx, activation, tiles, interpret, precision,
-                 params, ref_x, x):
+                 params, ref_x, x, c_mat=None):
     y = _blk_fwd_impl(
         spec, align_idx, activation, tiles[0], interpret, params, ref_x, x,
-        precision,
+        precision, c_mat,
     )
-    return y, (params, ref_x, x)
+    return y, (params, ref_x, x, c_mat)
 
 
 def _blocked_bwd(spec, align_idx, activation, tiles, interpret, precision,
                  res, gy):
-    params, ref_x, x = res
-    return _blk_bwd_impl(
+    params, ref_x, x, c_mat = res
+    gparams, gref, gx = _blk_bwd_impl(
         spec, align_idx, activation, tiles[1], interpret, params, ref_x,
-        x, gy, precision,
+        x, gy, precision, c_mat,
     )
+    gc = None if c_mat is None else jnp.zeros_like(c_mat)
+    return gparams, gref, gx, gc
 
 
 blocked_apply.defvjp(_blocked_fwd, _blocked_bwd)

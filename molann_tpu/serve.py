@@ -35,7 +35,7 @@ __all__ = ["make_serving_fn", "evaluate_trajectory"]
 
 def make_serving_fn(model, mesh=None, *, forces=True, mode="auto",
                     tile=None, interpret=False, precision="exact",
-                    component=None):
+                    component=None, c_mat=None):
     """Build a jitted ``fn(x [l, n, 3]) -> cvs [l, d]`` (or
     ``(cvs, grads)`` with ``forces=True``) sharded over ``mesh``.
 
@@ -49,47 +49,59 @@ def make_serving_fn(model, mesh=None, *, forces=True, mode="auto",
     compiled Mosaic kernels — it falls back to the plain-XLA model +
     ``jax.grad`` path (same policy as the single-device CLI), where
     ``mode``/``tile``/``precision`` do not apply.
+
+    ``c_mat``: chunk matrix of a blocked model's chunked coordination
+    features (:func:`molann_tpu.ops.fused.model_chunk_matrix`), closed
+    over here but marked as a jit operand via ``device_put`` — the
+    returned fn still takes ``(model, x)``. It is replicated across the
+    mesh (every shard reads the same pair table).
     """
     if mesh is None:
         mesh = data_mesh()
+    if c_mat is not None:
+        c_mat = jax.device_put(jnp.asarray(c_mat, jnp.bfloat16))
 
     use_fused = interpret or jax.default_backend() in ("tpu", "axon")
     if use_fused:
-        def per_shard(m, x):
+        def per_shard(m, x, c):
             if forces:
                 return fused_cv_forces(
                     m, x, component=component, tile=tile,
                     interpret=interpret, mode=mode, precision=precision,
+                    c_mat=c,
                 )
             return fused_model_forward(
                 m, x, tile=tile, interpret=interpret, mode=mode,
-                precision=precision,
+                precision=precision, c_mat=c,
             )
     else:
         from .train.forces import coordinate_gradients
 
-        def per_shard(m, x):
+        def per_shard(m, x, c):
             if forces:
                 return m(x), coordinate_gradients(m, x, component)
             return m(x)
 
     if np.prod(list(mesh.shape.values())) == 1:
-        return jax.jit(per_shard)
+        jitted = jax.jit(per_shard)
+        return lambda m, x: jitted(m, x, c_mat)
 
     mapped = jax.shard_map(
         per_shard, mesh=mesh,
-        in_specs=(P(), P(DATA_AXIS)),
+        in_specs=(P(), P(DATA_AXIS), P()),
         out_specs=(P(DATA_AXIS), P(DATA_AXIS)) if forces else P(DATA_AXIS),
         check_vma=False,
     )
-    return jax.jit(mapped)
+    jitted = jax.jit(mapped)
+    return lambda m, x: jitted(m, x, c_mat)
 
 
 def evaluate_trajectory(model, traj, *, mesh=None, batch_size=None,
                         forces=False, mode="auto", tile=None,
                         interpret=False, precision="exact",
                         component=None, cvs_out=None, grads_out=None,
-                        grads_transform=None, backend="auto"):
+                        grads_transform=None, backend="auto",
+                        c_mat="auto"):
     """Stream a trajectory through the fused serving path over all mesh
     devices; returns ``cvs [n_frames, d]`` (and ``grads [n_frames, n,
     3]`` with ``forces=True``) as numpy arrays.
@@ -111,6 +123,10 @@ def evaluate_trajectory(model, traj, *, mesh=None, batch_size=None,
     ``backend``: trajectory reader choice forwarded to
     :func:`molann_tpu.io.reader.open_frame_reader` ('auto'/'native'/
     'numpy').
+    ``c_mat``: ``"auto"`` (default) resolves the chunk matrix of a
+    blocked model with chunked coordination features automatically so
+    condensed-phase pair tables ride as ONE device buffer instead of an
+    HLO constant; pass an explicit array, or ``None`` to disable.
     """
     from .io.reader import open_frame_reader
     from .models.ann import model_dims
@@ -125,9 +141,15 @@ def evaluate_trajectory(model, traj, *, mesh=None, batch_size=None,
         batch_size = min(-(-n_frames // quantum) * quantum, 65536)
     batch_size = max(quantum, (batch_size // quantum) * quantum)
 
+    if isinstance(c_mat, str) and c_mat == "auto":
+        from .ops.fused import model_chunk_matrix, model_select_mode
+
+        c_mat = (model_chunk_matrix(model)
+                 if model_select_mode(model) == "blocked" else None)
     fn = make_serving_fn(
         model, mesh, forces=forces, mode=mode, tile=tile,
         interpret=interpret, precision=precision, component=component,
+        c_mat=c_mat,
     )
 
     if cvs_out is None:

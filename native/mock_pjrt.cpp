@@ -13,6 +13,12 @@
 //                    col 1 = the frame's first float
 //   out 1  [B, n, 3] = -0.5 * input     (gradient-shaped)
 //
+// A second execute argument (the bundle's chunk matrix, bf16 —
+// serve_pjrt feeds it when the artifact carries a MOLANNCM section)
+// is accepted and folded into out 0 col 0 as "+ sum of all chunk
+// matrix entries", so tests can assert the table actually reached the
+// device function.
+//
 // Both are trivially recomputable in numpy, so a test can check that
 // batches routed across N devices and reassembled by the container are
 // EXACTLY the per-frame function of the input — order, tail padding,
@@ -144,23 +150,33 @@ PJRT_Error* Exe_NumOutputs(PJRT_Executable_NumOutputs_Args* a) {
 
 PJRT_Error* Client_BufferFromHostBuffer(
     PJRT_Client_BufferFromHostBuffer_Args* a) {
-  if (a->type != PJRT_Buffer_Type_F32) {
-    return err("mock plugin only supports F32 buffers");
-  }
   auto* b = new PJRT_Buffer;
   b->dims.assign(a->dims, a->dims + a->num_dims);
   int64_t count = 1;
   for (int64_t d : b->dims) count *= d;
-  b->data.assign(static_cast<const float*>(a->data),
-                 static_cast<const float*>(a->data) + count);
+  if (a->type == PJRT_Buffer_Type_F32) {
+    b->data.assign(static_cast<const float*>(a->data),
+                   static_cast<const float*>(a->data) + count);
+  } else if (a->type == PJRT_Buffer_Type_BF16) {
+    // widen bf16 -> f32 on upload (bf16 is the f32 high half)
+    b->data.resize(count);
+    const uint16_t* src = static_cast<const uint16_t*>(a->data);
+    for (int64_t k = 0; k < count; k++) {
+      uint32_t bits = static_cast<uint32_t>(src[k]) << 16;
+      std::memcpy(&b->data[k], &bits, 4);
+    }
+  } else {
+    delete b;
+    return err("mock plugin only supports F32/BF16 buffers");
+  }
   a->buffer = b;
   a->done_with_host_buffer = new PJRT_Event;
   return nullptr;
 }
 
 PJRT_Error* LE_Execute(PJRT_LoadedExecutable_Execute_Args* a) {
-  if (a->num_devices != 1 || a->num_args != 1) {
-    return err("mock plugin expects num_devices == num_args == 1");
+  if (a->num_devices != 1 || (a->num_args != 1 && a->num_args != 2)) {
+    return err("mock plugin expects num_devices == 1, num_args in {1,2}");
   }
   PJRT_Client* c = a->executable->client;
   int dev_id = 0;
@@ -177,6 +193,13 @@ PJRT_Error* LE_Execute(PJRT_LoadedExecutable_Execute_Args* a) {
   const int64_t B = in->dims[0];
   const int64_t fpf = in->dims[1] * in->dims[2];
 
+  double cmat_sum = 0;
+  if (a->num_args == 2) {
+    const PJRT_Buffer* cm = a->argument_lists[0][1];
+    if (cm == nullptr) return err("mock: null chunk-matrix argument");
+    for (float v : cm->data) cmat_sum += v;
+  }
+
   auto* cv = new PJRT_Buffer;
   cv->dims = {B, 2};
   cv->data.resize(B * 2);
@@ -184,7 +207,7 @@ PJRT_Error* LE_Execute(PJRT_LoadedExecutable_Execute_Args* a) {
     const float* row = in->data.data() + f * fpf;
     double s = 0;
     for (int64_t k = 0; k < fpf; k++) s += row[k];
-    cv->data[f * 2 + 0] = static_cast<float>(s);
+    cv->data[f * 2 + 0] = static_cast<float>(s + cmat_sum);
     cv->data[f * 2 + 1] = row[0];
   }
   a->output_lists[0][0] = cv;

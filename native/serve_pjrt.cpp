@@ -131,10 +131,24 @@ struct Artifact {
 
 // Bundle container (molann_tpu.io.export.export_bundle):
 //   8-byte magic "MOLANNB1", u32 LE count,
-//   then per entry: u64 LE batch, u64 LE nbytes, nbytes module bytes.
+//   then per entry: u64 LE batch, u64 LE nbytes, nbytes module bytes;
+//   then optionally "MOLANNCM", u64 LE rows, u64 LE cols,
+//   rows*cols*2 bytes of bf16 row-major chunk-matrix data. When the
+//   section is present every module takes (x, c_mat) and the matrix is
+//   uploaded to each device ONCE and fed as the second execute
+//   argument — condensed-phase pair tables never inline into modules.
 constexpr char kBundleMagic[8] = {'M', 'O', 'L', 'A', 'N', 'N', 'B', '1'};
+constexpr char kCmatMagic[8] = {'M', 'O', 'L', 'A', 'N', 'N', 'C', 'M'};
 
-std::vector<Artifact> load_artifacts(const char* path, int64_t default_B) {
+// The bundle's optional chunk-matrix payload (bf16 raw bytes).
+struct CmatSection {
+  int64_t rows = 0, cols = 0;
+  std::vector<uint8_t> data;  // rows*cols*2 bytes, row-major bf16
+  bool present() const { return rows > 0; }
+};
+
+std::vector<Artifact> load_artifacts(const char* path, int64_t default_B,
+                                     CmatSection* cmat) {
   std::vector<uint8_t> raw = read_file(path);
   std::vector<Artifact> out;
   if (raw.size() >= 12 &&
@@ -157,6 +171,21 @@ std::vector<Artifact> load_artifacts(const char* path, int64_t default_B) {
       off += nbytes;
     }
     if (out.empty()) die("empty artifact bundle");
+    if (cmat && off + 24 <= raw.size() &&
+        std::memcmp(raw.data() + off, kCmatMagic, sizeof(kCmatMagic)) == 0) {
+      uint64_t rows = 0, cols = 0;
+      std::memcpy(&rows, raw.data() + off + 8, 8);
+      std::memcpy(&cols, raw.data() + off + 16, 8);
+      off += 24;
+      const uint64_t nbytes = rows * cols * 2;
+      if (rows == 0 || cols == 0 || off + nbytes > raw.size()) {
+        die("corrupt chunk-matrix section");
+      }
+      cmat->rows = static_cast<int64_t>(rows);
+      cmat->cols = static_cast<int64_t>(cols);
+      cmat->data.assign(raw.begin() + off, raw.begin() + off + nbytes);
+      off += nbytes;
+    }
   } else {
     out.push_back({default_B, std::move(raw)});
   }
@@ -195,15 +224,21 @@ void destroy_buffer(PJRT_Buffer* b) {
   check(g_api->PJRT_Buffer_Destroy(&bd), "Buffer_Destroy");
 }
 
-// Submit one execute of `c` on `device` with input `in`; returns the
-// output buffers + completion event via out-params.
+// Submit one execute of `c` on `device` with input `in` (plus the
+// optional resident chunk-matrix buffer `cmat` as a second argument);
+// returns the output buffers + completion event via out-params.
 PJRT_Event* submit_execute(const Compiled& c, PJRT_Device* device,
                            bool portable, PJRT_Buffer* in,
-                           std::vector<PJRT_Buffer*>* outs) {
+                           std::vector<PJRT_Buffer*>* outs,
+                           PJRT_Buffer* cmat = nullptr) {
   outs->assign(c.num_outputs, nullptr);
   PJRT_ExecuteOptions eopts{};
   eopts.struct_size = PJRT_ExecuteOptions_STRUCT_SIZE;
-  PJRT_Buffer* const arg_list[1] = {in};
+  // the chunk matrix outlives every execute: keep the buffer donatable
+  // only for the trajectory input (argument 0 is consumed per batch
+  // anyway; argument 1 must NOT be aliased/donated)
+  int64_t non_donatable[1] = {1};
+  PJRT_Buffer* const arg_list[2] = {in, cmat};
   PJRT_Buffer* const* const arg_lists[1] = {arg_list};
   PJRT_Buffer** const out_lists[1] = {outs->data()};
   PJRT_Event* done[1] = {nullptr};
@@ -213,7 +248,11 @@ PJRT_Event* submit_execute(const Compiled& c, PJRT_Device* device,
   ex.options = &eopts;
   ex.argument_lists = arg_lists;
   ex.num_devices = 1;
-  ex.num_args = 1;
+  ex.num_args = cmat ? 2 : 1;
+  if (cmat) {
+    eopts.non_donatable_input_indices = non_donatable;
+    eopts.num_non_donatable_input_indices = 1;
+  }
   ex.output_lists = out_lists;
   ex.device_complete_events = done;
   if (portable) ex.execute_device = device;
@@ -231,7 +270,7 @@ PJRT_Event* submit_execute(const Compiled& c, PJRT_Device* device,
 // execute; sync_s gets the single-execute wall (incl. RTT).
 double probe_device_rate(PJRT_Client* client, PJRT_Device* device,
                          bool portable, const Compiled& c, int64_t n_atoms,
-                         double* sync_s) {
+                         double* sync_s, PJRT_Buffer* cmat = nullptr) {
   std::vector<float> zeros(static_cast<size_t>(c.B) * n_atoms * 3, 0.0f);
   const int64_t dims[3] = {c.B, n_atoms, 3};
   PJRT_Client_BufferFromHostBuffer_Args hb{};
@@ -253,7 +292,7 @@ double probe_device_rate(PJRT_Client* client, PJRT_Device* device,
     std::vector<PJRT_Event*> done(k);
     const auto t0 = std::chrono::steady_clock::now();
     for (int i = 0; i < k; i++) {
-      done[i] = submit_execute(c, device, portable, in, &outs[i]);
+      done[i] = submit_execute(c, device, portable, in, &outs[i], cmat);
     }
     for (int i = 0; i < k; i++) await(done[i], "probe execution");
     const double dt = seconds_since(t0);
@@ -361,7 +400,9 @@ int main(int argc, char** argv) {
     copts.push_back(0x01);  // true
   }
 
-  std::vector<Artifact> artifacts = load_artifacts(argv[2], default_B);
+  CmatSection cmat_sec;
+  std::vector<Artifact> artifacts =
+      load_artifacts(argv[2], default_B, &cmat_sec);
   std::vector<Compiled> buckets;
   const auto t_compile0 = std::chrono::steady_clock::now();
   for (const Artifact& a : artifacts) {
@@ -410,6 +451,38 @@ int main(int argc, char** argv) {
                static_cast<long long>(n_frames),
                static_cast<long long>(n_atoms));
 
+  // --- chunk matrix: one resident bf16 buffer per device ---
+  // (modules of a CMAT bundle take (x, c_mat); the table is uploaded
+  // once here instead of being baked into every bucket's module)
+  std::vector<PJRT_Buffer*> cmat_bufs(n_dev, nullptr);
+  if (cmat_sec.present()) {
+    const int64_t cdims[2] = {cmat_sec.rows, cmat_sec.cols};
+    const auto t_cm0 = std::chrono::steady_clock::now();
+    for (size_t d = 0; d < n_dev; d++) {
+      PJRT_Client_BufferFromHostBuffer_Args hb{};
+      hb.struct_size = PJRT_Client_BufferFromHostBuffer_Args_STRUCT_SIZE;
+      hb.client = client;
+      hb.data = cmat_sec.data.data();
+      hb.type = PJRT_Buffer_Type_BF16;
+      hb.dims = cdims;
+      hb.num_dims = 2;
+      hb.host_buffer_semantics =
+          PJRT_HostBufferSemantics_kImmutableUntilTransferCompletes;
+      hb.device = ad.addressable_devices[d];
+      check(g_api->PJRT_Client_BufferFromHostBuffer(&hb),
+            "BufferFromHost(cmat)");
+      await(hb.done_with_host_buffer, "chunk matrix transfer");
+      cmat_bufs[d] = hb.buffer;
+    }
+    std::fprintf(stderr,
+                 "chunk matrix: [%lld, %lld] bf16 (%.1f MB) uploaded to "
+                 "%zu device(s) in %.3f s\n",
+                 static_cast<long long>(cmat_sec.rows),
+                 static_cast<long long>(cmat_sec.cols),
+                 cmat_sec.data.size() / 1048576.0, n_dev,
+                 seconds_since(t_cm0));
+  }
+
   // --- device-side throughput probe, per bucket (before serving) ---
   // SERVE_PJRT_PROBE=0 skips it (tests that pin exact per-device
   // execute counts; latency-critical one-shot serves).
@@ -419,7 +492,8 @@ int main(int argc, char** argv) {
   for (const Compiled& c : do_probe ? buckets : std::vector<Compiled>{}) {
     double sync_s = 0.0;
     const double slope_s = probe_device_rate(
-        client, ad.addressable_devices[0], portable, c, n_atoms, &sync_s);
+        client, ad.addressable_devices[0], portable, c, n_atoms, &sync_s,
+        cmat_bufs[0]);
     const double rate = slope_s > 0 ? c.B / slope_s / 1e6 : -1.0;
     std::fprintf(stderr,
                  "device-probe bucket B=%lld: %.2fM frames/s device "
@@ -580,7 +654,8 @@ int main(int argc, char** argv) {
     fl.t_submit = std::chrono::steady_clock::now();
     // portable executables (n_dev > 1) are dispatched per device; with
     // one device the compile-time placement stands, as before
-    fl.done = submit_execute(*s.c, device, n_dev > 1, fl.in, &fl.outs);
+    fl.done = submit_execute(*s.c, device, n_dev > 1, fl.in, &fl.outs,
+                             cmat_bufs[bi % n_dev]);
     if (!any_submitted) {
       t_first_submit = fl.t_submit;
       any_submitted = true;
@@ -627,6 +702,9 @@ int main(int argc, char** argv) {
   }
 
   tl_close(ldr);
+  for (PJRT_Buffer* b : cmat_bufs) {
+    if (b) destroy_buffer(b);
+  }
   // destroy executables BEFORE the client: a relay-backed plugin can
   // hold the device lease while any loaded executable is alive, which
   // wedges the next process's Client_Create for the lease TTL

@@ -162,6 +162,76 @@ def test_forces_compact_path_sparse_system(tmp_path):
     )
 
 
+def test_forces_cull_condensed_system(tmp_path, capsys):
+    """VERDICT r4 #5: the CLI round-trip on a condensed-phase system —
+    'forces --cull' culls the coordination pair tables at the reference
+    frame (CullReport printed), routes the chunk matrix as a
+    jit-boundary operand automatically, and the culled forces match the
+    all-pairs XLA model within the cull's documented tolerance."""
+    import jax
+    import jax.numpy as jnp
+
+    from molann_tpu.io import save_model
+    from molann_tpu.ops.fused import model_chunk_matrix, model_select_mode
+    from molann_tpu.systems import lj_fluid_model
+
+    model, u, _ = lj_fluid_model(4)  # 64 atoms, all-pairs coordination
+    n = len(u.atoms)
+    assert model_select_mode(model) == "blocked"
+    assert model_chunk_matrix(model) is not None  # chunked -> c_mat route
+    save_model(str(tmp_path / "lj.npz"), model)
+    rng = np.random.default_rng(5)
+    frames = (u.atoms.positions[None]
+              + 0.02 * rng.normal(size=(8, n, 3))).astype(np.float32)
+    np.save(tmp_path / "traj.npy", frames)
+    rc = main([
+        "forces", str(tmp_path / "lj.npz"), str(tmp_path / "traj.npy"),
+        "--out", str(tmp_path / "y.npy"),
+        "--forces-out", str(tmp_path / "f.npy"),
+        "--interpret", "--batch-size", "8", "--tile", "128",
+        "--cull", "--skin", "1.0",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "CullReport[" in out  # the report reached the user
+    y = np.load(tmp_path / "y.npy")
+    f = np.load(tmp_path / "f.npy").reshape(8, n, 3)
+    y_ref = np.asarray(model(jnp.asarray(frames)))  # all-pairs XLA
+    g_ref = np.asarray(
+        jax.grad(lambda v: jnp.sum(model(v)))(jnp.asarray(frames)))
+    assert np.abs(y - y_ref).max() / max(np.abs(y_ref).max(), 1e-9) < 5e-4
+    assert (np.abs(f + g_ref).max() / max(np.abs(g_ref).max(), 1e-9)
+            < 2e-3)
+
+
+def test_sample_cli_opes_adaptive(workdir):
+    """--opes-adaptive reaches opes_langevin(adaptive=True): bounded
+    kernel list with bandwidth shrink + merge compression."""
+    if not (workdir / "model.npz").exists():  # self-contained under -k
+        assert main([
+            "build", str(workdir / "system.pdb"),
+            str(workdir / "features.txt"),
+            "--section", "Output", "--align", "bynum 1 2 5",
+            "--mlp", "5", "2", "--out", str(workdir / "model.npz"),
+        ]) == 0
+    out = workdir / "opes_ad.npy"
+    bias_out = workdir / "opes_ad_kernels.npz"
+    rc = main(["sample", str(workdir / "model.npz"),
+               str(workdir / "system.pdb"),
+               "--bias", "opes", "--opes-adaptive",
+               "--opes-max-kernels", "16",
+               "--steps", "1000", "--walkers", "2",
+               "--bias-barrier", "8", "--out", str(out),
+               "--bias-out", str(bias_out)])
+    assert rc == 0
+    frames = np.load(out)
+    assert frames.shape[1:] == (22, 3) and np.isfinite(frames).all()
+    dep = np.load(bias_out)
+    # the adaptive run keeps at most max_kernels slots (vs 40 deposits
+    # in the non-adaptive run at these settings)
+    assert "opes" in dep and dep["centers"].shape[0] <= 16
+
+
 def test_export_bundle_cli(workdir):
     from molann_tpu.io.export import read_bundle
 

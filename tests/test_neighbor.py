@@ -239,6 +239,23 @@ def test_chunk_matrix_operand_path(lj, rng):
     np.testing.assert_array_equal(np.asarray(y1), np.asarray(y0))
     np.testing.assert_array_equal(np.asarray(g1), np.asarray(g0))
 
+    # the FORWARD entry point too (the only fused route past the backward
+    # envelope, where forward-only serving must not bake the table)
+    from molann_tpu.ops.fused import fused_model_forward
+
+    ff = jax.jit(lambda m, v, c: fused_model_forward(
+        m, v, mode="blocked", interpret=True, c_mat=c))
+    yf1 = ff(model, x, jax.device_put(C))
+    yf0 = fused_model_forward(model, x, mode="blocked", interpret=True)
+    np.testing.assert_array_equal(np.asarray(yf1), np.asarray(yf0))
+    # autodiff through the forward still works with the operand route
+    gf1 = jax.grad(lambda v: jnp.sum(fused_model_forward(
+        model, v, mode="blocked", interpret=True,
+        c_mat=jax.device_put(C))))(x)
+    gf0 = jax.grad(lambda v: jnp.sum(fused_model_forward(
+        model, v, mode="blocked", interpret=True)))(x)
+    np.testing.assert_array_equal(np.asarray(gf1), np.asarray(gf0))
+
     yt = jnp.asarray(rng.normal(size=(4, 1)).astype(np.float32))
     l1, gr1 = fused_train_grads(model, x, yt, mode="blocked",
                                 interpret=True, c_mat=jax.device_put(C))
@@ -260,3 +277,9 @@ def test_chunk_matrix_operand_path(lj, rng):
     with pytest.raises(ValueError, match="blocked"):
         fused_cv_forces(am, xa, mode="unrolled", interpret=True,
                         c_mat=jnp.zeros((3, 3), jnp.bfloat16))
+    with pytest.raises(ValueError, match="blocked"):
+        fused_model_forward(am, xa, mode="unrolled", interpret=True,
+                            c_mat=jnp.zeros((3, 3), jnp.bfloat16))
+    with pytest.raises(ValueError, match="c_mat"):
+        fused_model_forward(model, x, mode="blocked", interpret=True,
+                            c_mat=jnp.zeros((3, 3), jnp.bfloat16))

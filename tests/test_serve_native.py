@@ -220,6 +220,72 @@ def test_corrupt_bundle_rejected(tmp_path, serve_bin, mock_plugin, frames):
     assert "bundle" in proc.stderr
 
 
+def _bundle_with_cmat(buckets, cmat_bf16):
+    """A mock bundle carrying the trailing MOLANNCM chunk-matrix
+    section (bf16 row-major raw data)."""
+    out = bytearray(_bundle(buckets))
+    rows, cols = cmat_bf16.shape
+    out += b"MOLANNCM" + struct.pack("<QQ", rows, cols)
+    out += np.asarray(cmat_bf16).view(np.uint16).astype("<u2").tobytes()
+    return bytes(out)
+
+
+def test_cmat_bundle_container(tmp_path, serve_bin, mock_plugin, frames):
+    """Bundles with a chunk-matrix section: the container uploads the
+    bf16 table once per device and feeds it as the second execute
+    argument (mock folds sum(C) into output col 0), across multi-device
+    round-robin and bucket scheduling."""
+    import ml_dtypes
+
+    C = (np.arange(24, dtype=np.float32).reshape(4, 6) / 8.0).astype(
+        ml_dtypes.bfloat16)
+    out, err = _run(serve_bin, mock_plugin, str(tmp_path),
+                    _bundle_with_cmat([256, 64], C), frames, devices=3)
+    assert "chunk matrix: [4, 6] bf16" in err
+    n = frames.shape[0]
+    flat = frames.reshape(n, -1)
+    got = np.load(out)
+    csum = float(C.astype(np.float64).sum())
+    np.testing.assert_allclose(
+        got[:, 0], flat.sum(1, dtype=np.float64) + csum, rtol=1e-5)
+    np.testing.assert_array_equal(got[:, 1], flat[:, 0])
+    np.testing.assert_array_equal(
+        np.load(out.replace(".npy", ".grad.npy")), -0.5 * flat)
+    counts = [int(c) for c in re.findall(r"dev\d+=(\d+)", err)]
+    assert len(counts) == 3 and sum(counts) > 0
+
+
+def test_cmat_bundle_python_roundtrip(tmp_path, rng):
+    """export_bundle of a chunked condensed-phase model writes the
+    MOLANNCM section and two-input modules; read_bundle(with_cmat=True)
+    recovers the exact chunk matrix."""
+    import jax.numpy as jnp
+
+    from molann_tpu.io.export import export_bundle, read_bundle
+    from molann_tpu.ops.fused import model_chunk_matrix
+    from molann_tpu.systems import lj_fluid_model
+
+    model, u, _ = lj_fluid_model(5)
+    C = model_chunk_matrix(model)
+    assert C is not None  # the flagship condensed model IS chunked
+    path = tmp_path / "chunked.bundle"
+    export_bundle(model, len(u.atoms), str(path), batch_sizes=[128],
+                  fused=True)
+    entries, got = read_bundle(str(path), with_cmat=True)
+    assert [b for b, _ in entries] == [128]
+    assert got is not None and got.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(got).view(np.uint16), np.asarray(C).view(np.uint16))
+    # a cmat-less bundle still parses, with None
+    from molann_tpu.systems import alanine_model
+
+    am, _ = alanine_model()
+    p2 = tmp_path / "plain.bundle"
+    export_bundle(am, 22, str(p2), batch_sizes=[16], platforms=("cpu",))
+    entries2, got2 = read_bundle(str(p2), with_cmat=True)
+    assert got2 is None and [b for b, _ in entries2] == [16]
+
+
 def test_export_bundle_roundtrip(tmp_path, rng):
     """Python-side bundle writer/parser (molann_tpu.io.export): real
     StableHLO modules for two buckets, parseable by read_bundle and
