@@ -369,12 +369,17 @@ class BlockedLayout:
         if not all(self.coord_resident):
             budget = 15_990_784
             d_worst = max(128, self.d_pad)
-            base_cols = (3 * self.n_active * 2 + 3 * self.m * 5
-                         + spec.out_dim * 3 + d_worst
-                         + 3 * self.c_cols * 7)
-            while chunk > 128:
+            # the shared calibrated backward model (_mc_bwd_cols):
+            # single-buffered HBM x/gx + in-place gx accumulation.
+            # Floor 32: sub-128 chunks trade DMA efficiency for
+            # envelope — the 12^3 all-active regime runs at 128, and 32
+            # keeps a margin beyond it before the XLA-escape refusal.
+            base_cols = _mc_bwd_cols(
+                self.c_cols, self.n_active, self.m, spec.out_dim, d_worst,
+                0, self.c_cols)
+            while chunk > 32:
                 cols = base_cols + 3 * chunk * 3
-                fixed = (4 * self.m * self.n_active
+                fixed = (4 * self.m * self.c_cols
                          + 4 * chunk * self.c_cols)
                 if (budget - fixed) // (4 * cols) >= 128:
                     break
@@ -394,7 +399,14 @@ class BlockedLayout:
                 mc += -(-npairs // chunk) * chunk
         self.mc = mc
 
-        D = np.zeros((self.m, self.n_active), dtype=np.float32)
+        # Chunked layouts take their x block PRE-PADDED to the chunk
+        # matrix's lane-aligned column count (wrappers pad once outside
+        # the kernel; D grows matching zero columns) — the in-kernel
+        # [3, c_cols, T] pad copy was ~2.6 MB of scoped VMEM at
+        # condensed widths. x_cols is the kernel-side x width.
+        self.x_cols = self.c_cols if mc else self.n_active
+
+        D = np.zeros((self.m, self.x_cols), dtype=np.float32)
         for k, (a0, a1, a2) in enumerate(spec.angle_idx):
             D[self.o_r21 + k, c(a0)] += 1.0  # r21 = x[a0] - x[a1]
             D[self.o_r21 + k, c(a1)] -= 1.0
@@ -462,6 +474,33 @@ def blocked_layout(spec: CompiledFeatures, align_idx) -> BlockedLayout:
     return BlockedLayout(spec, align_idx)
 
 
+def _mc_bwd_cols(x_cols, n_active, m, out_dim, d_out, chunk, c_cols):
+    """f32 columns-per-frame of the chunked backward/cv+forces kernels —
+    the ONE calibrated VMEM cost model, shared by :func:`auto_tile` and
+    the layout's streaming-chunk selection so the two cannot drift.
+
+    Terms (r5 kernel structure — single-buffered HBM x/gx via in-kernel
+    DMA, in-place gx accumulation):
+      - ``3 * x_cols * 2``: the x VMEM scratch plus its read
+        materialization in the tile math
+      - ``3 * n_active``: the gx accumulation scratch (single-buffered)
+      - ``3 * m * 5``: edge rows through forward + vjp
+      - ``out_dim * 3 + d_out``: feature rows / head output + residuals
+      - ``3 * chunk * 3``: per-chunk walk intermediates (r, d, scale)
+      - ``3 * c_cols * 2``: the pullback matmul temp and the
+        read-modify-write temps of the in-place accumulation
+    Calibration history: the r4 structure (windowed I/O + functional
+    carry) measured 16.23 MB at the 12^3 all-active layout, 17.84 MB
+    with grid double-buffering — refused; this structure's model puts
+    12^3 at ~15.3 MB under the 15,990,784-byte budget (verified
+    compiling + running on HW, tile=128/chunk=128)."""
+    return (3 * x_cols * 2
+            + 3 * n_active
+            + 3 * m * 5 + out_dim * 3 + d_out
+            + 3 * chunk * 3
+            + 3 * c_cols * 2)
+
+
 def auto_tile(lay: BlockedLayout, d_out: int, *, backward: bool,
               budget_bytes=None) -> int:
     """Largest lane-aligned tile whose working set fits a VMEM budget.
@@ -483,30 +522,27 @@ def auto_tile(lay: BlockedLayout, d_out: int, *, backward: bool,
     explicit_budget = budget_bytes is not None
     if not explicit_budget:
         budget_bytes = 14 * 1024 * 1024
-    cols = 3 * lay.n_active + 3 * lay.m * 2 + lay.out_dim + d_out
+    cols = 3 * lay.x_cols + 3 * lay.m * 2 + lay.out_dim + d_out
     if backward:
-        cols = 3 * lay.n_active * 2 + 3 * lay.m * 5 + lay.out_dim * 3 + d_out
+        cols = 3 * lay.x_cols * 2 + 3 * lay.m * 5 + lay.out_dim * 3 + d_out
     fixed = lay.D.size * 2 * 2  # D + DT resident (bf16)
     if lay.mc:
-        # chunked coordination. The model here is CALIBRATED against
-        # Mosaic's reported scoped-allocation totals on the 10^3-atom
-        # all-active LJ layout (c_cols=1024, backward/cv+forces kernel,
-        # tile=128): chunk=512 measured 18.08 MB, chunk=256 16.05 MB,
-        # chunk=128 compiled and ran (~15.0 MB by the 8.1 KB/row
-        # slope). Terms: two bf16 DMA scratch slots (chunk x c_cols,
-        # fixed — the chunk matrix itself STAYS IN HBM as a pl.ANY
-        # operand); ~3 live [chunk, T] f32 intermediates per component
-        # in the walk body; and ~7 tile-scaled copies of the
-        # [3, c_cols, T] f32 arrays in the backward (the _pad_cols x
-        # copy, the double-buffered gx fori_loop carry, and Mosaic's
-        # relayout/scheduling copies — measured, not derived). Both use
-        # c_cols (the 128-lane-padded column count), NOT n_active.
-        cols += 3 * lay.chunk * (3 if backward else 2)
-        cols += 3 * lay.c_cols * (7 if backward else 3)
+        # chunked coordination — see _mc_bwd_cols for the calibrated
+        # backward model (single-buffered HBM x/gx + in-place gx
+        # accumulation). Forward keeps the windowed-x model: the x
+        # window double-buffers (3*x_cols*2 would be exact; the spare
+        # 3*c_cols*3 term absorbs it plus walk margin). Fixed terms:
+        # two bf16 DMA scratch slots (chunk x c_cols — the chunk matrix
+        # itself STAYS IN HBM as a pl.ANY operand) and the widened D.
+        if backward:
+            cols = _mc_bwd_cols(lay.x_cols, lay.n_active, lay.m,
+                                lay.out_dim, d_out, lay.chunk, lay.c_cols)
+        else:
+            cols += 3 * lay.chunk * 2 + 3 * lay.c_cols * 3
         fixed += 2 * lay.chunk * lay.c_cols * 2
         if backward and not explicit_budget:
-            # the chunked-backward model above predicts measured scoped
-            # totals within ~0.4 MB (vs the ~10% slack of the rough
+            # the chunked-backward model predicts measured scoped
+            # totals within ~0.5 MB (vs the ~10% slack of the rough
             # resident model), so its default budget sits 0.5 MiB under
             # the 16 MiB hard limit instead of 2 MiB
             budget_bytes = 15_990_784
@@ -698,14 +734,25 @@ def _coord_feature_sum(passes, box, r0, nn, mm, dmax, off, npairs, c_ref,
 
 
 def _coord_feature_sum_bwd(passes, box, r0, nn, mm, dmax, off, npairs,
-                           c_ref, x3, gy, chunk):
+                           c_ref, x3, gy, chunk, out_ref, n_keep):
     """x-cotangent of :func:`_coord_feature_sum` given the row cotangent
     ``gy [1, T]``: recomputes each chunk's geometry (manual remat)
     before the analytic pullback — plain ops in the same streamed chunk
-    walk, nothing saved between chunks."""
+    walk, nothing saved between chunks.
+
+    The cotangent ACCUMULATES IN PLACE into ``out_ref[:, :n_keep, :]``
+    (the kernel's VMEM-resident gx output block, pre-seeded with the
+    resident-edge contribution) rather than through a functional
+    ``[3, c_cols, T]`` fori_loop carry: the carry's double-buffered
+    copies plus the stack/add temps were the VMEM-binding term at
+    condensed widths (auto_tile's r4 model charged ~7 tile-scaled
+    copies of ``[3, c_cols, T]``; the in-place walk leaves the padded x
+    and one per-component ``[c_cols, T]`` matmul temp — measured ~3).
+    This is what moves the fused cv+forces envelope past the 12^3-atom
+    all-active wall (r4 VERDICT #4)."""
     from .features import switching_function
 
-    def body(i, Ck, gx):
+    def body(i, Ck, carry):
         r, d = _chunk_geometry(passes, box, Ck, x3)  # remat
         # minimum-image shifts are piecewise constant (round()), so the
         # pullback through them is the identity: gd on the shifted d IS
@@ -719,13 +766,14 @@ def _coord_feature_sum_bwd(passes, box, r0, nn, mm, dmax, off, npairs,
         scale = gr * _chunk_valid(i, npairs, r.dtype, chunk) / jnp.maximum(
             r, jnp.asarray(1e-20, r.dtype)
         )
-        upd = jnp.stack(
-            [_split3_mm_t(Ck, scale * d[j], passes) for j in range(3)],
-            axis=0,
-        )
-        return gx + upd
+        # per component: one [c_cols, T] temp at a time (no 3-stack)
+        for j in range(3):
+            upd = _split3_mm_t(Ck, scale * d[j], passes)
+            out_ref[j, :, :] = out_ref[j, :, :] + upd[:n_keep]
+        return carry
 
-    return _chunk_walk(c_ref, off, npairs, body, jnp.zeros_like(x3), chunk)
+    _chunk_walk(c_ref, off, npairs, body,
+                jnp.zeros((), x3.dtype), chunk)
 
 
 def _pad_cols(lay: BlockedLayout, x_blk):
@@ -758,20 +806,21 @@ def _chunked_coord_rows(lay: BlockedLayout, passes, x_blk, c_ref):
     return rows
 
 
-def _chunked_coord_grads(lay: BlockedLayout, passes, x_blk, c_ref, g_rows):
-    """x-cotangent ``[3, n, T]`` of the chunked coordination rows given
-    their cotangents ``g_rows {feature_index: [1, T]}``."""
-    gx = None
+def _chunked_coord_grads(lay: BlockedLayout, passes, x_blk, c_ref, g_rows,
+                         gx_ref):
+    """Accumulate the x-cotangent of the chunked coordination rows into
+    the kernel's gx output block ``gx_ref [3, n_active, T]`` (already
+    seeded with the resident-edge contribution), given the row
+    cotangents ``g_rows {feature_index: [1, T]}``. In-place — see
+    :func:`_coord_feature_sum_bwd` for why."""
     x3p = _pad_cols(lay, x_blk)
     for k, gy in g_rows.items():
         r0, nn, mm = lay.coord_params[k]
-        upd = _coord_feature_sum_bwd(
+        _coord_feature_sum_bwd(
             passes, lay.coord_boxes[k], r0, nn, mm, lay.coord_dmax[k],
             lay.chunk_offs[k], lay.coord_npairs[k], c_ref, x3p, gy,
-            lay.chunk,
+            lay.chunk, gx_ref, lay.n_active,
         )
-        gx = upd if gx is None else gx + upd
-    return gx[:, : x_blk.shape[1], :]
 
 
 def _feats_from_segs(segs, tensors, lay: BlockedLayout, activation, T,
@@ -938,53 +987,85 @@ def _blk_fwd_kernel(lay, activation, passes, x_ref, d_ref, dt_ref, *rest):
 
 def _blk_bwd_kernel(lay, activation, passes, x_ref, gy_ref, d_ref, dt_ref,
                     *rest):
-    # rest = ([c_ref], *tensor_in_refs, gx_ref, *gtensor_out_refs)
+    # rest = ([c_ref], *tensor_in_refs, gx_ref, *gtensor_out_refs
+    #         [, xs, gxs, sem_in, sem_out])   (scratch when lay.mc)
     if lay.mc:
         c_ref, *rest = rest
+        *rest, xs, gxs, sem_in, sem_out = rest
     n_t = (len(rest) - 1) // 2
     tensor_in = [r[:] for r in rest[:n_t]]
     gx_ref = rest[n_t]
     gtensor_refs = rest[n_t + 1 :]
     D, DT = d_ref[:], dt_ref[:]
-    x_blk = x_ref[:]
-    T = x_blk.shape[2]
 
-    # Differentiate w.r.t. the SEGMENTS (explicit vjp arguments), not x:
-    # autodiff through the slices would pad each segment cotangent back to
-    # full height and add them (one pad + one add per segment per
-    # component); instead the disjoint segment grads concatenate into gE
-    # and one transposed edge matmul per component yields gx. The chunked
-    # coordination rows DO differentiate w.r.t. x directly (their edge
-    # rows never materialize as segments); their x-cotangent adds on.
-    E = [_split3_mm(D, x_blk[i], passes) for i in range(3)]
-    segs = _slice_segments(E, lay)
+    def tile_math(x_blk, gx_out):
+        # Differentiate w.r.t. the SEGMENTS (explicit vjp arguments),
+        # not x: autodiff through the slices would pad each segment
+        # cotangent back to full height and add them (one pad + one add
+        # per segment per component); instead the disjoint segment
+        # grads concatenate into gE and one transposed edge matmul per
+        # component yields gx. The chunked coordination rows DO
+        # differentiate w.r.t. x directly (their edge rows never
+        # materialize as segments); their x-cotangent accumulates into
+        # gx_out in place.
+        T = x_blk.shape[2]
+        E = [_split3_mm(D, x_blk[i], passes) for i in range(3)]
+        segs = _slice_segments(E, lay)
+
+        if lay.mc:
+            # chunked coordination rows enter the vjp as ARGUMENTS
+            # (tiny [1, T] rows); their cotangents drive the explicit
+            # manual-remat backward loop for the x contribution
+            coord_rows = _chunked_coord_rows(lay, passes, x_blk, c_ref)
+
+            def f(sg, cr, tensors):
+                return _feats_from_segs(sg, tensors, lay, activation, T,
+                                        x_blk.dtype, coord_rows=cr)
+
+            _, vjp = jax.vjp(f, segs, coord_rows, tensor_in)
+            gsegs, g_rows, gtensors = vjp(gy_ref[:])
+        else:
+            def f(sg, tensors):
+                return _feats_from_segs(sg, tensors, lay, activation, T,
+                                        x_blk.dtype)
+
+            _, vjp = jax.vjp(f, segs, tensor_in)
+            gsegs, gtensors = vjp(gy_ref[:])
+            g_rows = None
+        gE = _assemble_gE(gsegs, lay, T, x_blk.dtype)
+        gx_out[:] = jnp.stack(
+            [_split3_mm(DT, gE[i], passes)[: lay.n_active]
+             for i in range(3)],
+            axis=0,
+        )
+        if g_rows:
+            # chunked pullback accumulates straight into gx_out
+            _chunked_coord_grads(lay, passes, x_blk, c_ref, g_rows,
+                                 gx_out)
+        return gtensors
 
     if lay.mc:
-        # chunked coordination rows enter the vjp as ARGUMENTS (tiny
-        # [1, T] rows); their cotangents drive the explicit manual-remat
-        # backward loop for the x contribution
-        coord_rows = _chunked_coord_rows(lay, passes, x_blk, c_ref)
-
-        def f(sg, cr, tensors):
-            return _feats_from_segs(sg, tensors, lay, activation, T,
-                                    x_blk.dtype, coord_rows=cr)
-
-        _, vjp = jax.vjp(f, segs, coord_rows, tensor_in)
-        gsegs, g_rows, gtensors = vjp(gy_ref[:])
-        gx2 = _chunked_coord_grads(lay, passes, x_blk, c_ref, g_rows)
+        # Condensed widths: x and gx ride as HBM (pl.ANY) operands with
+        # ONE single-buffered VMEM scratch each (kernel-level
+        # scratch_shapes) — the standard blocked I/O double-buffers
+        # both windows across grid steps, which at c_cols ~ 1800 is
+        # ~11 MB of the 16 MB VMEM on its own (measured 17.84 MB total
+        # at 12^3 with windowed I/O vs the model's ~15.3 MB here). The
+        # tile DMAs are microseconds against the chunk-walk matmuls, so
+        # the lost overlap is noise.
+        T = gy_ref.shape[1]
+        i = pl.program_id(0)
+        cp = pltpu.make_async_copy(
+            x_ref.at[:, :, pl.ds(i * T, T)], xs, sem_in)
+        cp.start()
+        cp.wait()
+        gtensors = tile_math(xs[:], gxs)
+        co = pltpu.make_async_copy(
+            gxs, gx_ref.at[:, :, pl.ds(i * T, T)], sem_out)
+        co.start()
+        co.wait()
     else:
-        def f(sg, tensors):
-            return _feats_from_segs(sg, tensors, lay, activation, T,
-                                    x_blk.dtype)
-
-        _, vjp = jax.vjp(f, segs, tensor_in)
-        gsegs, gtensors = vjp(gy_ref[:])
-        gx2 = None
-    gE = _assemble_gE(gsegs, lay, T, x_blk.dtype)
-    gx = jnp.stack(
-        [_split3_mm(DT, gE[i], passes) for i in range(3)], axis=0
-    )
-    gx_ref[:] = gx if gx2 is None else gx + gx2
+        gtensors = tile_math(x_ref[:], gx_ref)
 
     is_first = pl.program_id(0) == 0
     for ref, g in zip(gtensor_refs, gtensors):
@@ -1091,7 +1172,7 @@ def blocked_train_grads(spec, align_idx, activation, params, ref_x, x,
             train_ref),
         grid=(l_p // tile,),
         in_specs=[
-            _x_spec(lay.n_active, tile),
+            _x_spec(lay.x_cols, tile),
             pl.BlockSpec((d_out, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             _full_spec(D),
@@ -1112,53 +1193,78 @@ def blocked_train_grads(spec, align_idx, activation, params, ref_x, x,
 
 def _blk_cv_forces_kernel(lay, activation, passes, component, x_ref, d_ref,
                           dt_ref, *rest):
-    # rest = ([c_ref], *tensor_refs, y_ref, gx_ref)
+    # rest = ([c_ref], *tensor_refs, y_ref, gx_ref
+    #         [, xs, gxs, sem_in, sem_out])   (scratch when lay.mc)
     if lay.mc:
         c_ref, *rest = rest
+        *rest, xs, gxs, sem_in, sem_out = rest
     n_t = len(rest) - 2
     tensors = [r[:] for r in rest[:n_t]]
     y_ref, gx_ref = rest[n_t], rest[n_t + 1]
     D, DT = d_ref[:], dt_ref[:]
-    x_blk = x_ref[:]
-    T = x_blk.shape[2]
 
-    # segment-argument vjp + concat assembly (see _blk_bwd_kernel)
-    E = [_split3_mm(D, x_blk[i], passes) for i in range(3)]
-    segs = _slice_segments(E, lay)
+    def tile_math(x_blk, gx_out):
+        # segment-argument vjp + concat assembly (see _blk_bwd_kernel)
+        T = x_blk.shape[2]
+        E = [_split3_mm(D, x_blk[i], passes) for i in range(3)]
+        segs = _slice_segments(E, lay)
+
+        if lay.mc:
+            # rows as vjp arguments + explicit backward loop
+            # (_blk_bwd_kernel)
+            coord_rows = _chunked_coord_rows(lay, passes, x_blk, c_ref)
+
+            def f(sg, cr):
+                return _feats_from_segs(sg, tensors, lay, activation, T,
+                                        x_blk.dtype, coord_rows=cr)
+
+            y, vjp = jax.vjp(f, segs, coord_rows)
+        else:
+            def f(sg):
+                return _feats_from_segs(
+                    sg, tensors, lay, activation, T, x_blk.dtype
+                )
+
+            y, vjp = jax.vjp(f, segs)
+        if component is None:
+            ct = jnp.ones_like(y)
+        else:
+            row = jax.lax.broadcasted_iota(jnp.int32, y.shape, 0)
+            ct = (row == component).astype(y.dtype)
+        if lay.mc:
+            gsegs, g_rows = vjp(ct)
+        else:
+            (gsegs,) = vjp(ct)
+            g_rows = None
+        gE = _assemble_gE(gsegs, lay, T, x_blk.dtype)
+        y_ref[:] = y
+        gx_out[:] = jnp.stack(
+            [_split3_mm(DT, gE[i], passes)[: lay.n_active]
+             for i in range(3)],
+            axis=0,
+        )
+        if g_rows:
+            # chunked pullback accumulates straight into gx_out
+            _chunked_coord_grads(lay, passes, x_blk, c_ref, g_rows,
+                                 gx_out)
 
     if lay.mc:
-        # rows as vjp arguments + explicit backward loop (_blk_bwd_kernel)
-        coord_rows = _chunked_coord_rows(lay, passes, x_blk, c_ref)
-
-        def f(sg, cr):
-            return _feats_from_segs(sg, tensors, lay, activation, T,
-                                    x_blk.dtype, coord_rows=cr)
-
-        y, vjp = jax.vjp(f, segs, coord_rows)
+        # single-buffered HBM x/gx via manual DMA through kernel-level
+        # scratch — see _blk_bwd_kernel for the VMEM accounting that
+        # forces this at condensed widths
+        T = y_ref.shape[1]
+        i = pl.program_id(0)
+        cp = pltpu.make_async_copy(
+            x_ref.at[:, :, pl.ds(i * T, T)], xs, sem_in)
+        cp.start()
+        cp.wait()
+        tile_math(xs[:], gxs)
+        co = pltpu.make_async_copy(
+            gxs, gx_ref.at[:, :, pl.ds(i * T, T)], sem_out)
+        co.start()
+        co.wait()
     else:
-        def f(sg):
-            return _feats_from_segs(
-                sg, tensors, lay, activation, T, x_blk.dtype
-            )
-
-        y, vjp = jax.vjp(f, segs)
-    if component is None:
-        ct = jnp.ones_like(y)
-    else:
-        row = jax.lax.broadcasted_iota(jnp.int32, y.shape, 0)
-        ct = (row == component).astype(y.dtype)
-    if lay.mc:
-        gsegs, g_rows = vjp(ct)
-        gx2 = _chunked_coord_grads(lay, passes, x_blk, c_ref, g_rows)
-    else:
-        (gsegs,) = vjp(ct)
-        gx2 = None
-    gE = _assemble_gE(gsegs, lay, T, x_blk.dtype)
-    y_ref[:] = y
-    gx = jnp.stack(
-        [_split3_mm(DT, gE[i], passes) for i in range(3)], axis=0
-    )
-    gx_ref[:] = gx if gx2 is None else gx + gx2
+        tile_math(x_ref[:], gx_ref)
 
 
 # ---------------------------------------------------------------------------
@@ -1206,10 +1312,15 @@ def _pad_frames(xc, tile):
 
 
 def _compact(xc, lay):
-    """Gather the active-atom rows (XLA gather, outside the kernel)."""
-    if lay.active_idx is None:
-        return xc
-    return xc[:, jnp.asarray(lay.active_idx), :]
+    """Gather the active-atom rows (XLA gather, outside the kernel),
+    then pad to the kernel's x width: chunked layouts take x pre-padded
+    to the chunk matrix's lane-aligned column count (lay.x_cols), so
+    the kernels never make the [3, c_cols, T] pad copy in VMEM."""
+    if lay.active_idx is not None:
+        xc = xc[:, jnp.asarray(lay.active_idx), :]
+    if lay.x_cols != xc.shape[1]:
+        xc = jnp.pad(xc, ((0, 0), (0, lay.x_cols - xc.shape[1]), (0, 0)))
+    return xc
 
 
 def _scatter_gx(gx_active, lay, dtype):
@@ -1315,6 +1426,20 @@ def chunk_matrix(spec, align_idx):
     return lay.C.astype(jnp.bfloat16)  # ml_dtypes bf16 via numpy astype
 
 
+def _mc_scratch(lay, tile, dtype):
+    """Kernel-level scratch of the chunked backward/cv+forces kernels:
+    single-buffered x and gx VMEM slabs + their DMA semaphores (empty
+    for resident layouts, which use windowed I/O)."""
+    if not lay.mc:
+        return ()
+    return (
+        pltpu.VMEM((3, lay.x_cols, tile), dtype),
+        pltpu.VMEM((3, lay.n_active, tile), dtype),
+        pltpu.SemaphoreType.DMA,
+        pltpu.SemaphoreType.DMA,
+    )
+
+
 def _blk_fwd_impl(spec, align_idx, activation, tile, interpret,
                   params, ref_x, x, precision="exact", c_mat=None):
     passes = _PRECISION_PASSES[precision]
@@ -1334,7 +1459,7 @@ def _blk_fwd_impl(spec, align_idx, activation, tile, interpret,
     y = pl.pallas_call(
         functools.partial(_blk_fwd_kernel, lay, activation, passes),
         grid=(l_p // tile,),
-        in_specs=[_x_spec(lay.n_active, tile), _full_spec(D), _full_spec(DT)]
+        in_specs=[_x_spec(lay.x_cols, tile), _full_spec(D), _full_spec(DT)]
         + [pl.BlockSpec(memory_space=pl.ANY) for _ in cmat]
         + [_full_spec(t) for t in tensors],
         out_specs=pl.BlockSpec(
@@ -1383,13 +1508,21 @@ def _blk_bwd_impl(spec, align_idx, activation, tile, interpret,
     out_shapes = [jax.ShapeDtypeStruct((3, lay.n_active, l_p), x.dtype)] + [
         jax.ShapeDtypeStruct(t.shape, t.dtype) for t in tensors
     ]
-    out_specs = [_x_spec(lay.n_active, tile)] + [_full_spec(t) for t in tensors]
+    # chunked layouts: x and gx are HBM (pl.ANY) operands, DMA'd tile
+    # by tile inside the kernel through ONE VMEM scratch each — the
+    # windowed-I/O double buffers are the VMEM-binding term at
+    # condensed widths (see _blk_bwd_kernel)
+    x_in = (pl.BlockSpec(memory_space=pl.ANY) if lay.mc
+            else _x_spec(lay.x_cols, tile))
+    gx_out = (pl.BlockSpec(memory_space=pl.ANY) if lay.mc
+              else _x_spec(lay.n_active, tile))
+    out_specs = [gx_out] + [_full_spec(t) for t in tensors]
     cmat = _c_operand(lay, c_mat)
     outs = pl.pallas_call(
         functools.partial(_blk_bwd_kernel, lay, activation, passes),
         grid=(l_p // tile,),
         in_specs=[
-            _x_spec(lay.n_active, tile),
+            x_in,
             pl.BlockSpec((d_out, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             _full_spec(D),
@@ -1399,6 +1532,7 @@ def _blk_bwd_impl(spec, align_idx, activation, tile, interpret,
         + [_full_spec(t) for t in tensors],
         out_specs=out_specs,
         out_shape=out_shapes,
+        scratch_shapes=_mc_scratch(lay, tile, x.dtype),
         interpret=interpret,
     )(xc, gyt, D, DT, *cmat, *tensors)
     gxc, *gtensors = outs
@@ -1496,22 +1630,28 @@ def blocked_cv_forces(spec, align_idx, activation, params, ref_x, x, *,
 
     passes = _PRECISION_PASSES[precision]
     cmat = _c_operand(lay, c_mat)
+    # chunked layouts: HBM x/gx with in-kernel DMA (see _blk_bwd_impl)
+    x_in = (pl.BlockSpec(memory_space=pl.ANY) if lay.mc
+            else _x_spec(lay.x_cols, tile))
+    gx_out = (pl.BlockSpec(memory_space=pl.ANY) if lay.mc
+              else _x_spec(lay.n_active, tile))
     y, gx = pl.pallas_call(
         functools.partial(
             _blk_cv_forces_kernel, lay, activation, passes, component),
         grid=(l_p // tile,),
-        in_specs=[_x_spec(lay.n_active, tile), _full_spec(D), _full_spec(DT)]
+        in_specs=[x_in, _full_spec(D), _full_spec(DT)]
         + [pl.BlockSpec(memory_space=pl.ANY) for _ in cmat]
         + [_full_spec(t) for t in tensors],
         out_specs=[
             pl.BlockSpec((d_out, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            _x_spec(lay.n_active, tile),
+            gx_out,
         ],
         out_shape=[
             jax.ShapeDtypeStruct((d_out, l_p), x.dtype),
             jax.ShapeDtypeStruct((3, lay.n_active, l_p), x.dtype),
         ],
+        scratch_shapes=_mc_scratch(lay, tile, x.dtype),
         interpret=interpret,
     )(xc, D, DT, *cmat, *tensors)
     y = y[:, :l]

@@ -9,7 +9,14 @@ molann/ann.py:131-135,255-258).  MDAnalysis is not installed in this
 environment, so this module provides a standalone implementation of exactly
 that surface, plus the subset of the MDAnalysis selection language the
 reference exercises (``bynum``, ``index``, ``resid``, ``name``, ``type``,
-``resname``, ``all``, ``and``/``or``/``not``, parentheses, numeric ranges).
+``resname``, ``all``, ``and``/``or``/``not``, parentheses, numeric ranges)
+and the geometric/expansion/property keywords (``around``, ``sphzone``,
+``sphlayer``, ``point``, ``byres``, ``same ... as``, ``prop`` on
+x/y/z/mass) — periodic under the universe's box like MDAnalysis'
+``periodic=True`` default. Out of scope (fails loudly): bonded
+connectivity (``bonded``, fragments), ``segid``/chain keywords,
+``cyzone``/``cylayer``, and ``prop`` on charge (no charges in PDB
+topologies here).
 
 If real MDAnalysis objects are passed to the rest of the library they work
 unchanged — everything downstream is duck-typed on ``.ix`` / ``.positions`` /
@@ -510,6 +517,11 @@ class Universe:
 _KEYWORDS = {
     "and", "or", "not", "all", "bynum", "index", "resid", "name", "type",
     "resname", "protein", "backbone", "heavy", "hydrogen",
+    # geometric / expansion / property keywords (MDAnalysis User Guide,
+    # "Atom selection language": Geometric, Similarity-and-connectivity,
+    # and Index sections)
+    "around", "sphzone", "sphlayer", "point", "prop", "byres", "same",
+    "as", "abs",
 }
 
 # Standard residue names recognized by the `protein` keyword (the common
@@ -530,6 +542,19 @@ def _tokenize(selection: str) -> list[str]:
     return _TOKEN_RE.findall(selection)
 
 
+def _min_image_dist2(pos, ref, box):
+    """Squared distances ``[n, m]`` between every atom and every
+    reference point, minimum-imaged when the universe has a box
+    (MDAnalysis distance selections default to ``periodic=True``)."""
+    d = pos[:, None, :] - ref[None, :, :]  # [n, m, 3]
+    if box is not None:
+        from .ops.neighbor import _min_image
+
+        n, m, _ = d.shape
+        d = _min_image(d.reshape(n * m, 3), box).reshape(n, m, 3)
+    return (d * d).sum(-1)
+
+
 class _Parser:
     """Recursive-descent parser producing a boolean mask over all atoms.
 
@@ -538,9 +563,20 @@ class _Parser:
         and_expr := not_expr ('and' not_expr)*
         not_expr := 'not' not_expr | '(' expr ')' | primary
         primary  := 'all' | ('bynum'|'index'|'resid') range+ |
-                    ('name'|'type'|'resname') value+
+                    ('name'|'type'|'resname') value+ |
+                    'around' NUM expr | 'sphzone' NUM expr |
+                    'sphlayer' NUM NUM expr | 'point' NUM NUM NUM NUM |
+                    'byres' expr | 'same' ATTR 'as' expr |
+                    'prop' ['abs'] ('x'|'y'|'z'|'mass') OP NUM
         range    := INT | INT:INT | INT-INT        (bynum is 1-based,
                                                     index is 0-based)
+
+    The unary keywords (around/sphzone/sphlayer/byres/same) take the
+    ENTIRE expression to their right as operand — MDAnalysis gives them
+    the lowest precedence (core/selection.py: precedence 1, below
+    and/or at 3), so ``around 3.5 protein and name O`` means
+    ``around 3.5 (protein and name O)``; parenthesize to bound the
+    operand, exactly as the MDAnalysis User Guide recommends.
     """
 
     def __init__(self, tokens: list[str], universe: Universe):
@@ -633,10 +669,116 @@ class _Parser:
                 else:
                     mask |= field == v
             return mask
+        if tok == "around":
+            # 'around R sel: atoms within R of sel, EXCLUDING sel itself'
+            # (User Guide, Geometric); periodic when the universe has a
+            # box, matching the periodic=True default
+            r = self._number("around")
+            sel = self.expr()
+            if not sel.any():
+                return np.zeros(n, dtype=bool)
+            pos = self.u._positions.astype(np.float64)
+            d2 = _min_image_dist2(pos, pos[sel], self.u.box)
+            return (d2.min(axis=1) <= r * r) & ~sel
+        if tok == "sphzone":
+            # 'sphzone R sel: atoms within a sphere of radius R centered
+            # in the center of geometry of sel' (User Guide, Geometric)
+            r = self._number("sphzone")
+            return self._cog_shell("sphzone", 0.0, r)
+        if tok == "sphlayer":
+            # 'sphlayer r1 r2 sel: atoms within a spherical layer of
+            # inner radius r1 and outer radius r2 centered in the COG of
+            # sel' (User Guide, Geometric)
+            r1 = self._number("sphlayer")
+            r2 = self._number("sphlayer")
+            return self._cog_shell("sphlayer", r1, r2)
+        if tok == "point":
+            # 'point x y z R: atoms within R of the point (x, y, z)'
+            # (User Guide, Geometric)
+            vals = [self._number("point") for _ in range(4)]
+            x, y, z, r = vals
+            pos = self.u._positions.astype(np.float64)
+            d2 = _min_image_dist2(
+                pos, np.asarray([[x, y, z]], dtype=np.float64), self.u.box
+            )[:, 0]
+            return d2 <= r * r
+        if tok == "byres":
+            # 'byres sel: all atoms in the same (numbered) residue as
+            # any atom of sel' (User Guide, Similarity and connectivity)
+            sel = self.expr()
+            res = np.asarray(self.u._resids)
+            return np.isin(res, np.unique(res[sel]))
+        if tok == "same":
+            # 'same SUBKEYWORD as sel: atoms sharing the property with
+            # any atom of sel' (User Guide, Similarity and connectivity)
+            attr_tok = self.next()
+            fields = {
+                "resid": np.asarray(self.u._resids),
+                "resname": np.asarray(self.u._resnames),
+                "name": np.asarray(self.u._names),
+                "type": np.asarray(self.u._types),
+                "mass": np.asarray(
+                    [guess_atom_mass(t) for t in self.u._types]),
+            }
+            if attr_tok not in fields:
+                raise SelectionError(
+                    f"'same' supports {sorted(fields)}, got {attr_tok!r}")
+            if self.next() != "as":
+                raise SelectionError("'same' expects: same ATTR as SEL")
+            sel = self.expr()
+            field = fields[attr_tok]
+            return np.isin(field, np.unique(field[sel]))
+        if tok == "prop":
+            # 'prop [abs] PROPERTY OPERATOR VALUE' (User Guide,
+            # Selections based on atom properties); x/y/z/mass here
+            t = self.next()
+            use_abs = t == "abs"
+            if use_abs:
+                t = self.next()
+            if t in ("x", "y", "z"):
+                vals = self.u._positions[:, "xyz".index(t)].astype(
+                    np.float64)
+            elif t == "mass":
+                vals = np.asarray(
+                    [guess_atom_mass(tt) for tt in self.u._types])
+            else:
+                raise SelectionError(
+                    f"'prop' supports x/y/z/mass, got {t!r}")
+            if use_abs:
+                vals = np.abs(vals)
+            op = self.next()
+            ops = {
+                "<": np.less, "<=": np.less_equal, ">": np.greater,
+                ">=": np.greater_equal, "==": np.equal,
+                "!=": np.not_equal,
+            }
+            if op not in ops:
+                raise SelectionError(
+                    f"'prop' expects one of {sorted(ops)}, got {op!r}")
+            val = self._number("prop")
+            return ops[op](vals, val)
         raise SelectionError(
             f"unsupported selection keyword {tok!r}; supported subset: "
             f"{sorted(_KEYWORDS)}"
         )
+
+    def _number(self, kw: str) -> float:
+        tok = self.next()
+        try:
+            return float(tok)
+        except ValueError:
+            raise SelectionError(f"'{kw}' expects a number, got {tok!r}")
+
+    def _cog_shell(self, kw: str, r1: float, r2: float) -> np.ndarray:
+        """Spherical shell [r1, r2] around the center of geometry of the
+        operand selection (sphzone/sphlayer)."""
+        sel = self.expr()
+        if not sel.any():
+            raise SelectionError(f"'{kw}' reference selection is empty")
+        pos = self.u._positions.astype(np.float64)
+        cog = pos[sel].mean(axis=0)
+        d2 = _min_image_dist2(pos, cog[None, :], self.u.box)[:, 0]
+        return (d2 >= r1 * r1) & (d2 <= r2 * r2)
 
     def _collect_ranges(self, kw: str) -> list[tuple[int, int]]:
         out = []

@@ -961,27 +961,28 @@ def _culled_coordination_section(check, rng, lj_fluid_model,
     del c_full, c_cull, yfull, gfull, ycull, gcull, fwd_full, fwd_cull
     jax.clear_caches()
 
-    # -- adaptive streaming chunk (r4 roadmap #1) ----------------------
-    # At this width (every atom CV-active, c_cols=1024) the FIXED
-    # 512-row streaming chunk measured 18.08 MB of scoped VMEM against
-    # the 16 MB limit in the cv+forces kernel; the per-layout adaptive
-    # chunk (BlockedLayout.chunk, calibrated against those measured
-    # totals) lands at 128 rows, which compiles and runs — the
-    # full-vs-culled parity and speedup above EXECUTED through it.
+    # -- adaptive streaming chunk + r5 envelope ------------------------
+    # r4's kernel structure (functional gx carry through the chunk walk
+    # + windowed x/gx I/O) forced a 128-row chunk at this width and
+    # refused the 12^3 backward outright (16.23 MB scoped vs the 16 MB
+    # limit, measured). The r5 restructure — the pullback accumulates
+    # IN PLACE into the gx scratch and x/gx ride as HBM operands with
+    # single-buffered in-kernel DMA — restores the full 512-row chunk
+    # here and ADMITS the 12^3 backward (exercised below).
     from molann_tpu.ops.fused_blocked import auto_tile, blocked_layout
     lay10 = blocked_layout(
         ljm.preprocessing_layer.feature_layer._spec, None)
-    check("adaptive chunk engages at 10^3 all-active width",
-          lay10.chunk == 128,
+    check("10^3 all-active: full 512-row chunk, bwd tile admitted",
+          lay10.chunk == 512
+          and auto_tile(lay10, 1, backward=True) >= 128,
           f"n_atoms={lj_n} c_cols={lay10.c_cols} chunk={lay10.chunk}")
 
-    # -- 12^3 = 1728 atoms: past the backward envelope, forward fits --
-    # The backward's [3, c_cols, T] copies alone exceed VMEM at ANY
-    # chunk size here, so auto_tile refuses cv+forces with the
-    # documented XLA-path escape — but the fused FORWARD (CV serving
-    # without forces) still fits. The all-pairs chunk matrix at this
-    # size would be 10.7 GB, so the on-HW run uses the CULLED model
-    # (the production configuration for this regime).
+    # -- 12^3 = 1728 atoms: cv+forces now runs FUSED (r4 VERDICT #4) --
+    # The all-pairs chunk matrix at this size would be 10.7 GB, so the
+    # on-HW run uses the CULLED model (the production configuration
+    # for this regime). r4 refused the backward here with the XLA
+    # escape; the restructured kernels run it — value AND force parity
+    # against the all-pairs XLA model are checked on-chip.
     from molann_tpu.ops.fused import fused_model_forward
     m12, u12, _b12 = lj_fluid_model(12)
     ref12 = u12.atoms.positions
@@ -992,11 +993,7 @@ def _culled_coordination_section(check, rng, lj_fluid_model,
     c12, rep12 = cull_model(m12, ref12, skin=2 * md12 + 0.05)
     lay12 = blocked_layout(
         c12.preprocessing_layer.feature_layer._spec, None)
-    try:
-        auto_tile(lay12, 1, backward=True)
-        bwd_refused = False
-    except ValueError:
-        bwd_refused = True
+    bwd_tile12 = auto_tile(lay12, 1, backward=True)  # raises if refused
     c12_mat = jax.device_put(model_chunk_matrix(c12))
     ffwd = jax.jit(lambda m, v, c: fused_model_forward(
         m, v, mode="blocked", c_mat=c))
@@ -1007,16 +1004,46 @@ def _culled_coordination_section(check, rng, lj_fluid_model,
     y_x = np.asarray(c12(x12[:16]))
     verr12 = float(jnp.abs(y12[:16] - y_x).max()) / max(
         float(np.abs(y_x).max()), 1e-9)
-    t0 = time.perf_counter()
-    outs = [ffwd(c12, x12, c12_mat) for _ in range(2)]
-    for o in outs:
-        _ = float(o[0, 0])
-    r12 = 2 * x12.shape[0] / (time.perf_counter() - t0)
-    check("12^3 culled blocked FORWARD == XLA; backward refuses to XLA",
-          verr12 < 5e-4 and bwd_refused and rep12.exact == (True, True),
-          f"rel v={verr12:.2e} rate={r12:.0f} f/s chunk={lay12.chunk} "
+    check("12^3 culled blocked FORWARD == XLA (c_mat operand route)",
+          verr12 < 5e-4 and rep12.exact == (True, True),
+          f"rel v={verr12:.2e} chunk={lay12.chunk} "
           f"pairs={sum(rep12.n_pairs_after)} compile={tc12:.0f}s")
-    del c12_mat, y12, x12
+    del y12
+
+    fcv12 = jax.jit(lambda m, v, c: fused_cv_forces(
+        m, v, mode="blocked", c_mat=c))
+    t0 = time.perf_counter()
+    ycv, gcv = fcv12(c12, x12, c12_mat)
+    _ = float(gcv[0, 0, 0])
+    tcv12 = time.perf_counter() - t0
+    g_x = np.asarray(jax.jit(jax.grad(
+        lambda v: jnp.sum(c12(v))))(x12[:16]))
+    vcv = float(jnp.abs(ycv[:16] - y_x).max()) / max(
+        float(np.abs(y_x).max()), 1e-9)
+    gcv_err = float(jnp.abs(gcv[:16] - g_x).max()) / max(
+        float(np.abs(g_x).max()), 1e-9)
+    t0 = time.perf_counter()
+    acc = None
+    for _i in range(3):
+        gg = fcv12(c12, x12, c12_mat)[1][0, 0, 0]
+        acc = gg if acc is None else acc + gg
+    _ = float(acc)
+    rcv12 = 3 * x12.shape[0] / (time.perf_counter() - t0)
+    check("12^3 culled cv+FORCES fused parity (r5: bwd envelope moved)",
+          vcv < 5e-4 and gcv_err < 2e-3,
+          f"rel v={vcv:.2e} g={gcv_err:.2e} bwd_tile={bwd_tile12} "
+          f"rate={rcv12:.0f} f/s compile={tcv12:.0f}s")
+    # past the envelope the model still refuses with the XLA escape
+    # (a wide head stands in for ~13^3+ widths without their
+    # minutes-long all-pairs spec build)
+    try:
+        auto_tile(lay12, 4096, backward=True)
+        refused = False
+    except ValueError:
+        refused = True
+    check("envelope bound: auto_tile refuses past the r5 wall", refused,
+          "wide-head refusal -> XLA-path escape message")
+    del c12_mat, x12, ycv, gcv
     jax.clear_caches()
 
 

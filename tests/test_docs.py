@@ -87,3 +87,57 @@ def test_api_reference_current():
         capture_output=True, text=True, timeout=600,
     )
     assert proc.returncode == 0, proc.stdout + proc.stderr
+
+
+def test_docs_site_builds(tmp_path):
+    """scripts/build_docs_site.py renders every markdown page (guides +
+    generated API reference + README) as well-formed HTML with working
+    intra-site links — the rendered-site counterpart of the reference's
+    Sphinx/RTD build (reference docs/conf.py, .readthedocs.yaml)."""
+    import html.parser
+    import sys
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "scripts"))
+    try:
+        import build_docs_site
+    finally:
+        sys.path.pop(0)
+    out = tmp_path / "site"
+    written = build_docs_site.build_site(str(out))
+    # one page per docs/*.md + docs/api/*.md + the README index
+    assert "index.html" in written and "api_index.html" in written
+    assert len(written) >= 60
+
+    class Checker(html.parser.HTMLParser):
+        VOID = {"br", "hr", "img", "meta", "link", "input"}
+
+        def __init__(self):
+            super().__init__()
+            self.stack, self.errs = [], []
+
+        def handle_starttag(self, tag, attrs):
+            if tag not in self.VOID:
+                self.stack.append(tag)
+
+        def handle_endtag(self, tag):
+            if self.stack and self.stack[-1] == tag:
+                self.stack.pop()
+            else:
+                self.errs.append(tag)
+
+    for name in ("index.html", "quickstart.html", "api_index.html",
+                 "api_molann_tpu_ops_fused.html"):
+        text = (out / name).read_text()
+        c = Checker()
+        c.feed(text)
+        assert not c.errs and not c.stack, (name, c.errs[:3], c.stack[:3])
+        assert "<nav>" in text and "molann_tpu" in text
+    # every intra-site href resolves (md links were rewritten to .html)
+    for page in out.glob("*.html"):
+        for m in re.finditer(r'href="([^"#]+)"', page.read_text()):
+            h = m.group(1)
+            if h.startswith(("http:", "https:", "mailto:")):
+                continue
+            if h.endswith((".py", ".json", ".txt", ".md")):
+                continue
+            assert (out / h).exists(), (page.name, h)

@@ -206,19 +206,122 @@ def test_selection_error_is_raised_and_named(u):
     with pytest.raises(SelectionError):
         u.select_atoms("")
     with pytest.raises(SelectionError, match="supported subset"):
-        u.select_atoms("around 5 name CA")  # geometry keywords: not ours
+        u.select_atoms("cyzone 5 10 -10 name CA")  # cylinders: not ours
     with pytest.raises(SelectionError):
         u.select_atoms("name")  # value keyword without values
     with pytest.raises(SelectionError):
         u.select_atoms("(name CA")  # unbalanced parens
     with pytest.raises(SelectionError):
         u.select_atoms("bynum CA")  # non-numeric range
+    with pytest.raises(SelectionError, match="number"):
+        u.select_atoms("around CA name O")  # radius must be numeric
+    with pytest.raises(SelectionError, match="x/y/z/mass"):
+        u.select_atoms("prop charge > 1")  # no charges in PDB topologies
+    with pytest.raises(SelectionError, match="same"):
+        u.select_atoms("same segid as all")  # unsupported subkeyword
+    with pytest.raises(SelectionError):
+        u.select_atoms("same resid name CA")  # missing 'as'
+
+
+# --- geometric selections --------------------------------------------------
+# The fixture atoms sit on the x axis at x = ix (Angstrom), so every
+# distance below is exact.
+
+
+def test_around_excludes_the_reference(u):
+    """'around 3.5 protein: selects all atoms not belonging to protein
+    that are within 3.5 A of it' (User Guide, Geometric: around) — the
+    reference selection itself is EXCLUDED."""
+    assert ix(u, "around 1.5 name CB") == [3, 5]  # CB at x=4
+    assert ix(u, "around 1.0 resid 2") == [5, 9]  # resid 2 spans x=6..8
+
+
+def test_around_takes_the_whole_right_expression(u):
+    """Unary distance keywords have the LOWEST precedence in MDAnalysis
+    (core/selection.py: AroundSelection.precedence = 1, below and/or) —
+    'around 1.5 name CB or name O' is around(CB or O), so parenthesize
+    to bound the operand (the User Guide's own examples do)."""
+    assert ix(u, "around 1.5 name CB or name O") == [2, 5]
+    assert ix(u, "(around 1.5 name CB) or name O") == [3, 5]
+
+
+def test_sphzone_is_cog_centered(u):
+    """'sphzone 6.0 sel: atoms within a 6.0 A sphere centered in sel's
+    center of geometry' (User Guide, Geometric: sphzone) — reference
+    atoms are INCLUDED when inside the sphere."""
+    # CAs at x=1 and x=7 -> COG x=4
+    assert ix(u, "sphzone 2.0 name CA") == [2, 3, 4, 5, 6]
+    assert ix(u, "sphzone 3.0 name CA") == [1, 2, 3, 4, 5, 6, 7]
+
+
+def test_sphlayer_inner_and_outer_radius(u):
+    """'sphlayer 2.4 6.0 sel: atoms within a spherical layer of inner
+    radius 2.4 and outer 6.0 around sel's COG' (User Guide,
+    Geometric: sphlayer)."""
+    assert ix(u, "sphlayer 1 2 name CB") == [2, 3, 5, 6]  # COG x=4
+
+
+def test_point_selection(u):
+    """'point 5.0 5.0 5.0 3.5: atoms within 3.5 A of the point'
+    (User Guide, Geometric: point)."""
+    assert ix(u, "point 8.0 0.0 0.0 1.1") == [7, 8, 9]
+
+
+def test_around_is_periodic_with_a_box(tmp_path):
+    """Distance selections default to periodic=True: with box
+    dimensions set, 'around' wraps across the boundary (User Guide,
+    Geometric; select_atoms(periodic=...) API reference)."""
+    p = tmp_path / "box.pdb"
+    p.write_text(
+        "CRYST1   10.000   10.000   10.000  90.00  90.00  90.00 P 1\n"
+        "ATOM      1  A   UNK A   1       0.500   0.000   0.000"
+        "  1.00  0.00           C\n"
+        "ATOM      2  B   UNK A   2       9.500   0.000   0.000"
+        "  1.00  0.00           C\n"
+        "ATOM      3  C   UNK A   3       5.000   0.000   0.000"
+        "  1.00  0.00           C\n"
+        "END\n")
+    u2 = Universe(str(p))
+    assert u2.box is not None
+    # min-image distance A<->B is 1.0 (not 9.0)
+    assert u2.select_atoms("around 1.5 bynum 1").ix.tolist() == [1]
+
+
+# --- expansions / properties ----------------------------------------------
+
+
+def test_byres_expands_to_whole_residues(u):
+    """'byres sel: all atoms in the same residues as sel' (User Guide,
+    Similarity and connectivity: byres)."""
+    assert ix(u, "byres name CB") == [0, 1, 2, 3, 4, 5]
+    assert ix(u, "byres name CA") == list(range(9))
+
+
+def test_same_as_shares_the_attribute(u):
+    """'same subkeyword as sel' (User Guide, Similarity and
+    connectivity: same); resid/resname/name/type/mass supported."""
+    assert ix(u, "same resname as bynum 1") == [0, 1, 2, 3, 4, 5]
+    assert ix(u, "same type as name HB1") == [5, 8]
+    assert ix(u, "same name as bynum 2") == [1, 7]  # both CAs
+
+
+def test_prop_comparisons(u):
+    """'prop [abs] PROPERTY OPERATOR VALUE' (User Guide, Selections
+    based on atom properties); x/y/z are coordinates, mass the guessed
+    atomic mass."""
+    assert ix(u, "prop x > 6.5") == [7, 8, 9]
+    assert ix(u, "prop x <= 1") == [0, 1]
+    assert ix(u, "prop abs x < 0.5") == [0]
+    assert ix(u, "prop mass > 30") == [9]  # chlorine, 35.45 u
+    assert ix(u, "prop y == 0") == list(range(10))
+    # composes with booleans like any other primary
+    assert ix(u, "prop x > 6.5 and not hydrogen") == [7, 9]
 
 
 def test_documented_deviations_are_explicit():
     """The supported subset is exactly what topology.py documents —
-    geometry selections (around/sphzone/...), 'same ... as', 'byres',
-    and segid-based keywords are OUT of scope and fail loudly (above)
+    bonded-connectivity selections, segid/chain keywords, cylinder
+    zones, and 'prop charge' are OUT of scope and fail loudly (above)
     rather than silently mis-selecting. The module docstring carries
     the claim; this test pins the docstring so the matrix and the docs
     cannot drift apart."""
@@ -226,5 +329,10 @@ def test_documented_deviations_are_explicit():
 
     doc = topo.__doc__
     for kw in ("bynum", "index", "resid", "name", "type", "resname",
-               "and", "or", "not", "parentheses", "ranges"):
+               "and", "or", "not", "parentheses", "ranges",
+               "around", "sphzone", "sphlayer", "point", "byres",
+               "same", "prop"):
         assert kw in doc, f"topology docstring no longer documents {kw}"
+    for out in ("bonded", "segid", "cyzone", "charge"):
+        assert out in doc, (
+            f"topology docstring no longer names {out} as out of scope")

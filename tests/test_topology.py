@@ -71,7 +71,7 @@ def test_atom_identity_and_iteration(universe):
 
 def test_selection_errors(universe):
     with pytest.raises(SelectionError):
-        universe.select_atoms("around 5 resid 2")  # outside supported subset
+        universe.select_atoms("bonded name CA")  # outside supported subset
     with pytest.raises(SelectionError):
         universe.select_atoms("")
     with pytest.raises(SelectionError):
