@@ -38,6 +38,19 @@ def cmd_export(args):
         fused=args.fused,
     )
     print(f"wrote {args.out}")
+    if args.fused:
+        from ..ops.fused import model_chunk_matrix, model_select_mode
+
+        if (model_select_mode(model) == "blocked"
+                and model_chunk_matrix(model) is not None):
+            print(
+                "note: this model chunks a coordination pair table — the "
+                "fused module takes TWO inputs (x, c_mat) so the table is "
+                "not baked in. Feed model_chunk_matrix(model) as the "
+                "second argument, or export a --batch-sizes bundle, which "
+                "carries the matrix for the serving container "
+                "(native/serve_pjrt)."
+            )
     return 0
 
 

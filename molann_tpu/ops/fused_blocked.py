@@ -403,8 +403,13 @@ class BlockedLayout:
         # matrix's lane-aligned column count (wrappers pad once outside
         # the kernel; D grows matching zero columns) — the in-kernel
         # [3, c_cols, T] pad copy was ~2.6 MB of scoped VMEM at
-        # condensed widths. x_cols is the kernel-side x width.
+        # condensed widths. x_cols is the kernel-side x width. Their gx
+        # is written back by DMA, whose row slices must be
+        # sublane-aligned: the kernel-side gx width pads to a multiple
+        # of 8 (pad rows are exactly zero — they come from zero pad
+        # columns of C and D — and the wrappers slice them off).
         self.x_cols = self.c_cols if mc else self.n_active
+        self.gx_pad = up8(self.n_active) if mc else self.n_active
 
         D = np.zeros((self.m, self.x_cols), dtype=np.float32)
         for k, (a0, a1, a2) in enumerate(spec.angle_idx):
@@ -819,7 +824,7 @@ def _chunked_coord_grads(lay: BlockedLayout, passes, x_blk, c_ref, g_rows,
         _coord_feature_sum_bwd(
             passes, lay.coord_boxes[k], r0, nn, mm, lay.coord_dmax[k],
             lay.chunk_offs[k], lay.coord_npairs[k], c_ref, x3p, gy,
-            lay.chunk, gx_ref, lay.n_active,
+            lay.chunk, gx_ref, gx_ref.shape[1],
         )
 
 
@@ -1034,7 +1039,7 @@ def _blk_bwd_kernel(lay, activation, passes, x_ref, gy_ref, d_ref, dt_ref,
             g_rows = None
         gE = _assemble_gE(gsegs, lay, T, x_blk.dtype)
         gx_out[:] = jnp.stack(
-            [_split3_mm(DT, gE[i], passes)[: lay.n_active]
+            [_split3_mm(DT, gE[i], passes)[: gx_out.shape[1]]
              for i in range(3)],
             axis=0,
         )
@@ -1239,7 +1244,7 @@ def _blk_cv_forces_kernel(lay, activation, passes, component, x_ref, d_ref,
         gE = _assemble_gE(gsegs, lay, T, x_blk.dtype)
         y_ref[:] = y
         gx_out[:] = jnp.stack(
-            [_split3_mm(DT, gE[i], passes)[: lay.n_active]
+            [_split3_mm(DT, gE[i], passes)[: gx_out.shape[1]]
              for i in range(3)],
             axis=0,
         )
@@ -1434,7 +1439,7 @@ def _mc_scratch(lay, tile, dtype):
         return ()
     return (
         pltpu.VMEM((3, lay.x_cols, tile), dtype),
-        pltpu.VMEM((3, lay.n_active, tile), dtype),
+        pltpu.VMEM((3, lay.gx_pad, tile), dtype),
         pltpu.SemaphoreType.DMA,
         pltpu.SemaphoreType.DMA,
     )
@@ -1505,7 +1510,7 @@ def _blk_bwd_impl(spec, align_idx, activation, tile, interpret,
     if l_p != l:
         gyt = jnp.pad(gyt, ((0, 0), (0, l_p - l)))
 
-    out_shapes = [jax.ShapeDtypeStruct((3, lay.n_active, l_p), x.dtype)] + [
+    out_shapes = [jax.ShapeDtypeStruct((3, lay.gx_pad, l_p), x.dtype)] + [
         jax.ShapeDtypeStruct(t.shape, t.dtype) for t in tensors
     ]
     # chunked layouts: x and gx are HBM (pl.ANY) operands, DMA'd tile
@@ -1536,7 +1541,8 @@ def _blk_bwd_impl(spec, align_idx, activation, tile, interpret,
         interpret=interpret,
     )(xc, gyt, D, DT, *cmat, *tensors)
     gxc, *gtensors = outs
-    gx = _from_cmajor(_scatter_gx(gxc[:, :, :l], lay, x.dtype), tag)
+    gx = _from_cmajor(
+        _scatter_gx(gxc[:, : lay.n_active, :l], lay, x.dtype), tag)
     gparams, gref = _unfold_tensor_grads(lay, params, ref_x, gtensors)
     return gparams, gref, gx
 
@@ -1649,20 +1655,20 @@ def blocked_cv_forces(spec, align_idx, activation, params, ref_x, x, *,
         ],
         out_shape=[
             jax.ShapeDtypeStruct((d_out, l_p), x.dtype),
-            jax.ShapeDtypeStruct((3, lay.n_active, l_p), x.dtype),
+            jax.ShapeDtypeStruct((3, lay.gx_pad, l_p), x.dtype),
         ],
         scratch_shapes=_mc_scratch(lay, tile, x.dtype),
         interpret=interpret,
     )(xc, D, DT, *cmat, *tensors)
     y = y[:, :l]
     if compact_grads:
-        gx = gx[:, :, :l]
+        gx = gx[:, : lay.n_active, :l]
         if not params:
             y = y[jnp.asarray(lay.perm_b)]
         if out_layout in ("t", "cmajor"):
             return y, gx
         return y.T, gx
-    gx = _scatter_gx(gx[:, :, :l], lay, x.dtype)
+    gx = _scatter_gx(gx[:, : lay.n_active, :l], lay, x.dtype)
     if not params:
         y = y[jnp.asarray(lay.perm_b)]
     if out_layout == "cmajor":

@@ -1105,23 +1105,30 @@ def _compaction_10k_section(check, rng, Feature, FeatureLayer,
           pverr < 5e-4 and pgerr < 1e-3 and zeros10,
           f"rel v={pverr:.2e} g={pgerr:.2e} zeros={zeros10}")
 
-    # serving rate at a production batch (device-side readback)
+    # serving rate at a production batch (device-side readback). r4
+    # recorded 37.6K f/s from 3 dispatches of 1024 frames — at the
+    # tunnel's ~27 ms per-dispatch overhead that IS 1024/0.027: a
+    # dispatch-RTT measurement, not a kernel one (r4 VERDICT weak #5).
+    # Use a batch big enough to amortize dispatch and enough pipeline
+    # depth to overlap it; scripts/compact10k_probe.py carries the full
+    # component breakdown (front transpose+gather vs kernel).
     xp_big = jax.jit(
         lambda b: b[None]
-        + 0.05 * jax.random.normal(jax.random.PRNGKey(3), (1024, p_n, 3)))(
+        + 0.05 * jax.random.normal(jax.random.PRNGKey(3), (8192, p_n, 3)))(
         jnp.asarray(pu10.atoms.positions))
     fcomp = jax.jit(lambda m, v: fused_cv_forces(
         m, v, mode="blocked", compact_grads=True))
     o = fcomp(pmodel, xp_big)
     _ = float(o[1][0, 0, 0])
     t0 = time.perf_counter()
-    outs = [fcomp(pmodel, xp_big) for _ in range(3)]
+    outs = [fcomp(pmodel, xp_big) for _ in range(8)]
     for o in outs:
         _ = float(o[1][0, 0, 0])
-    rate10 = 3 * 1024 / (time.perf_counter() - t0)
-    check("10k-atom compact serving rate measured",
-          rate10 > 0, f"{rate10/1e3:.1f}K frames/s (auto tile, "
-          f"{len(pfeats)} features, {len(pact)} active atoms)")
+    rate10 = 8 * 8192 / (time.perf_counter() - t0)
+    check("10k-atom compact serving rate (amortized dispatch)",
+          rate10 > 2e5, f"{rate10/1e6:.2f}M frames/s (auto tile, "
+          f"{len(pfeats)} features, {len(pact)} active atoms, "
+          f"batch 8192 x depth 8)")
 
 
 if __name__ == "__main__":
