@@ -103,13 +103,13 @@ def main():
     print(f"front (transpose+gather) only:      {rf/1e3:10.1f}K f/s",
           flush=True)
 
-    # kernel from pre-compacted cmajor input (engine-native layout)
-    xc = jax.jit(lambda v: jnp.transpose(v, (2, 1, 0))[:, act_j, :])(xb)
-    jax.block_until_ready(xc)
-    fker = jax.jit(lambda m, v: fused_cv_forces(
-        m, v, mode="blocked", compact_grads=True))
-    rk = rate(fker, (model, xc), l, 8)
-    print(f"kernel from compact cmajor input:   {rk/1e3:10.1f}K f/s",
+    # full-width COMPONENT-MAJOR input [3, n, l] — the zero-copy layout
+    # (_to_cmajor accepts it directly): the front collapses to the
+    # 184-row gather, isolating kernel+gather from the transpose
+    xcm = jax.jit(lambda v: jnp.transpose(v, (2, 1, 0)))(xb)
+    jax.block_until_ready(xcm)
+    rk = rate(fcomp, (model, xcm), l, 8)
+    print(f"cmajor [3, n, l] input (no transpose): {rk/1e3:8.1f}K f/s",
           flush=True)
 
     # gather-free full pipeline one more time for the summary line
