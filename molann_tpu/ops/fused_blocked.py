@@ -173,6 +173,28 @@ _COORD_RESIDENT_MAX = 512
 # (BlockedLayout.chunk) shrinks from this when the active-atom width is
 # large — see the selection loop in BlockedLayout.__init__.
 _COORD_CHUNK = 512
+# Windowed chunk matrix (r5): each pair row of a full-width chunk
+# matrix spends c_cols bf16 MACs per pass on 2 useful entries. Bucketing
+# pairs by (i // W, j // W) makes every bucket's rows hit two STATIC
+# W-wide column windows, so the stream narrows to [rows, 2W] — the
+# per-pair-row cost becomes O(W), independent of system size
+# (c_cols/2W x fewer MACs and bytes: 2x at 10^3 atoms, 3.5x at 12^3,
+# ~16x at 20^3). Engaged when c_cols >= 4W (below that the full-width
+# stream is within 2x of optimal and stays the proven path).
+_WIN_W = 256
+
+
+def _window_groups(pairs, W):
+    """Bucket pair rows by ``(i // W, j // W)``: every pair of a bucket
+    reads atom columns inside the two static windows ``[bi*W, bi*W+W)``
+    and ``[bj*W, bj*W+W)``. Returns ``[(oi, oj, [(i, j), ...]), ...]``
+    sorted by bucket — the group list the windowed walks unroll over
+    (offsets are python ints, so every slice in the kernel is static)."""
+    groups = {}
+    for (i, j) in pairs:
+        groups.setdefault((i // W, j // W), []).append((i, j))
+    return [(bi * W, bj * W, plist)
+            for (bi, bj), plist in sorted(groups.items())]
 
 
 # ---------------------------------------------------------------------------
@@ -365,8 +387,47 @@ class BlockedLayout:
         # genuinely exceed VMEM at any chunk — auto_tile then refuses
         # the backward with the XLA-path escape (the fused FORWARD
         # still fits well past that).
+        # Windowed streaming (r5, see _WIN_W): at wide active widths the
+        # pair rows bucket into static (i-window, j-window) groups and
+        # the stream narrows to [rows, 2W]. Below the threshold the
+        # proven full-width stream stays. Tentative here — the plan
+        # build below can fall back when group padding would outweigh
+        # the narrow stream (sparse features scattered over many
+        # buckets).
+        self.chunked = not all(self.coord_resident)
+        self.windowed = self.chunked and self.c_cols >= 4 * _WIN_W
+        self.win_w = _WIN_W if self.windowed else 0
+
         chunk = _COORD_CHUNK
-        if not all(self.coord_resident):
+        self.w_groups = [None] * nc
+        mw = 0
+        if self.windowed:
+            W = self.win_w
+            full_rows = 0
+            for kf, (start, npairs) in enumerate(spec.coord_slices):
+                if self.coord_resident[kf]:
+                    continue
+                full_rows += -(-npairs // chunk) * chunk
+                cpairs = [(c(i), c(j)) for (i, j) in
+                          spec.coord_pairs[start : start + npairs]]
+                plans = []
+                for (oi, oj, plist) in _window_groups(cpairs, W):
+                    plans.append((mw, len(plist), oi, oj))
+                    mw += -(-len(plist) // chunk) * chunk
+                self.w_groups[kf] = tuple(plans)
+            # group-tail padding guard: a feature whose pairs scatter
+            # thinly over many buckets would pay more in chunk-padded
+            # pad rows than the narrow stream saves — stay full-width
+            # past 2x row inflation (the narrow stream wins c_cols/2W
+            # >= 2x on MACs and bytes, so 2x rows is the break-even)
+            if mw > 2 * full_rows:
+                self.windowed = False
+                self.win_w = 0
+                self.w_groups = [None] * nc
+                mw = 0
+        self.mw = mw
+
+        if self.chunked and not self.windowed:
             budget = 15_990_784
             d_worst = max(128, self.d_pad)
             # the shared calibrated backward model (_mc_bwd_cols):
@@ -374,6 +435,8 @@ class BlockedLayout:
             # Floor 32: sub-128 chunks trade DMA efficiency for
             # envelope — the 12^3 all-active regime runs at 128, and 32
             # keeps a margin beyond it before the XLA-escape refusal.
+            # (Windowed layouts keep the full 512-row chunk: their
+            # walk's scratch/intermediates scale with 2W, not c_cols.)
             base_cols = _mc_bwd_cols(
                 self.c_cols, self.n_active, self.m, spec.out_dim, d_worst,
                 0, self.c_cols)
@@ -388,28 +451,39 @@ class BlockedLayout:
 
         # each chunked feature's block in C is padded to a multiple of
         # the chunk size (zero rows, masked in-kernel) so the fori_loop
-        # walks fixed-size chunk-aligned slices
+        # walks fixed-size chunk-aligned slices. Windowed layouts put
+        # ALL their chunked rows in the windowed matrix instead
+        # (every pair fits its bucket's windows by construction).
         self.chunk_offs = []
         mc = 0
         for npairs, res in zip(self.coord_npairs, self.coord_resident):
-            if res:
+            if res or self.windowed:
                 self.chunk_offs.append(None)
             else:
                 self.chunk_offs.append(mc)
                 mc += -(-npairs // chunk) * chunk
         self.mc = mc
 
+        # (w_groups — the per-feature windowed group plans of
+        # (row_off, npairs, oi, oj) python ints the kernel walks unroll
+        # over — were built with the windowed decision above.)
+
         # Chunked layouts take their x block PRE-PADDED to the chunk
         # matrix's lane-aligned column count (wrappers pad once outside
         # the kernel; D grows matching zero columns) — the in-kernel
         # [3, c_cols, T] pad copy was ~2.6 MB of scoped VMEM at
-        # condensed widths. x_cols is the kernel-side x width. Their gx
-        # is written back by DMA, whose row slices must be
-        # sublane-aligned: the kernel-side gx width pads to a multiple
-        # of 8 (pad rows are exactly zero — they come from zero pad
-        # columns of C and D — and the wrappers slice them off).
-        self.x_cols = self.c_cols if mc else self.n_active
-        self.gx_pad = up8(self.n_active) if mc else self.n_active
+        # condensed widths. x_cols is the kernel-side x width (windowed
+        # layouts round it up to a multiple of W so the last bucket's
+        # window never reads past the padding). The gx writeback DMA's
+        # row slices must be sublane-aligned: the kernel-side gx width
+        # pads to a multiple of 8 (pad rows are exactly zero — they
+        # come from zero pad columns of C/CW and D — and the wrappers
+        # slice them off).
+        if self.windowed:
+            self.x_cols = -(-self.c_cols // self.win_w) * self.win_w
+        else:
+            self.x_cols = self.c_cols if self.chunked else self.n_active
+        self.gx_pad = up8(self.n_active) if self.chunked else self.n_active
 
         D = np.zeros((self.m, self.x_cols), dtype=np.float32)
         for k, (a0, a1, a2) in enumerate(spec.angle_idx):
@@ -428,15 +502,35 @@ class BlockedLayout:
             D[self.o_d34 + k, c(a3)] += 1.0
             D[self.o_d34 + k, c(a2)] -= 1.0
         C = np.zeros((mc, self.c_cols), dtype=np.float32) if mc else None
+        CW = np.zeros((mw, 2 * self.win_w), dtype=np.float32) if mw else None
         for kf, (start, npairs) in enumerate(spec.coord_slices):
-            tgt, base = ((D, self.o_c[kf]) if self.coord_resident[kf]
-                         else (C, self.chunk_offs[kf]))
-            for p, (i, j) in enumerate(
-                spec.coord_pairs[start : start + npairs]
-            ):
-                tgt[base + p, c(j)] += 1.0  # d = x[j] - x[i]
-                tgt[base + p, c(i)] -= 1.0
+            if self.coord_resident[kf]:
+                base = self.o_c[kf]
+                for p, (i, j) in enumerate(
+                    spec.coord_pairs[start : start + npairs]
+                ):
+                    D[base + p, c(j)] += 1.0  # d = x[j] - x[i]
+                    D[base + p, c(i)] -= 1.0
+            elif self.windowed:
+                # windowed rows: [-1 at i-oi | +1 at W + (j-oj)] so
+                # d = CW_chunk @ concat(x[oi:oi+W], x[oj:oj+W])
+                W = self.win_w
+                cpairs = [(c(i), c(j)) for (i, j) in
+                          spec.coord_pairs[start : start + npairs]]
+                for (row_off, np_g, oi, oj), (_, _, plist) in zip(
+                        self.w_groups[kf], _window_groups(cpairs, W)):
+                    for p, (i, j) in enumerate(plist):
+                        CW[row_off + p, i - oi] -= 1.0
+                        CW[row_off + p, W + (j - oj)] += 1.0
+            else:
+                base = self.chunk_offs[kf]
+                for p, (i, j) in enumerate(
+                    spec.coord_pairs[start : start + npairs]
+                ):
+                    C[base + p, c(j)] += 1.0  # d = x[j] - x[i]
+                    C[base + p, c(i)] -= 1.0
         self.C = C
+        self.CW = CW
         if self.has_align:
             # raw gathers only — the centroid subtraction happens in-kernel
             # so D stays exactly 0/+-1 (bf16-exact, enabling the 3-pass
@@ -498,7 +592,12 @@ def _mc_bwd_cols(x_cols, n_active, m, out_dim, d_out, chunk, c_cols):
     carry) measured 16.23 MB at the 12^3 all-active layout, 17.84 MB
     with grid double-buffering — refused; this structure's model puts
     12^3 at ~15.3 MB under the 15,990,784-byte budget (verified
-    compiling + running on HW, tile=128/chunk=128)."""
+    compiling + running on HW, tile=128/chunk=128). The last parameter
+    is the STREAM width: c_cols for full-width walks, 2W for windowed
+    ones (whose callers add 2 more stream-scaled copies for the
+    per-group xcat concats + window read-modify-write temps — the 12^3
+    windowed forward measured 18.65 MB at tile=256 without that term;
+    tile=128 runs)."""
     return (3 * x_cols * 2
             + 3 * n_active
             + 3 * m * 5 + out_dim * 3 + d_out
@@ -531,20 +630,24 @@ def auto_tile(lay: BlockedLayout, d_out: int, *, backward: bool,
     if backward:
         cols = 3 * lay.x_cols * 2 + 3 * lay.m * 5 + lay.out_dim * 3 + d_out
     fixed = lay.D.size * 2 * 2  # D + DT resident (bf16)
-    if lay.mc:
+    if lay.chunked:
         # chunked coordination — see _mc_bwd_cols for the calibrated
         # backward model (single-buffered HBM x/gx + in-place gx
-        # accumulation). Forward keeps the windowed-x model: the x
-        # window double-buffers (3*x_cols*2 would be exact; the spare
-        # 3*c_cols*3 term absorbs it plus walk margin). Fixed terms:
-        # two bf16 DMA scratch slots (chunk x c_cols — the chunk matrix
-        # itself STAYS IN HBM as a pl.ANY operand) and the widened D.
+        # accumulation). Fixed terms: two bf16 DMA scratch slots
+        # (chunk x stream-width — the streamed matrix itself STAYS IN
+        # HBM as a pl.ANY operand) and the widened D. Windowed layouts
+        # (lay.windowed) replace every c_cols-scaled walk term with
+        # 2W-scaled ones: the stream is [rows, 2W], the xcat/pullback
+        # temps are [2W, T], and the gx stores touch W-wide windows.
+        stream_w = 2 * lay.win_w if lay.windowed else lay.c_cols
+        win_extra = 3 * stream_w * 2 if lay.windowed else 0
         if backward:
             cols = _mc_bwd_cols(lay.x_cols, lay.n_active, lay.m,
-                                lay.out_dim, d_out, lay.chunk, lay.c_cols)
+                                lay.out_dim, d_out, lay.chunk, stream_w)
+            cols += win_extra
         else:
-            cols += 3 * lay.chunk * 2 + 3 * lay.c_cols * 3
-        fixed += 2 * lay.chunk * lay.c_cols * 2
+            cols += 3 * lay.chunk * 2 + 3 * stream_w * 3 + win_extra
+        fixed += 2 * lay.chunk * stream_w * 2
         if backward and not explicit_budget:
             # the chunked-backward model predicts measured scoped
             # totals within ~0.5 MB (vs the ~10% slack of the rough
@@ -556,8 +659,9 @@ def auto_tile(lay: BlockedLayout, d_out: int, *, backward: bool,
         raise ValueError(
             f"blocked kernel working set does not fit VMEM: the fixed "
             f"allocations (the [{lay.m}, {lay.n_active}] edge matrix"
-            + (f" + 2 x [{lay.chunk}, {lay.c_cols}] chunk scratch"
-               if lay.mc else "")
+            + (f" + 2 x [{lay.chunk}, "
+               f"{2 * lay.win_w if lay.windowed else lay.c_cols}] "
+               f"chunk scratch" if lay.chunked else "")
             + f") need {fixed / 2**20:.1f} MB of the "
             f"{budget_bytes / 2**20:.0f} MB budget, and the per-frame "
             f"working set ({4 * cols} B/frame) does not admit the "
@@ -781,6 +885,86 @@ def _coord_feature_sum_bwd(passes, box, r0, nn, mm, dmax, off, npairs,
                 jnp.zeros((), x3.dtype), chunk)
 
 
+def _windowed_feature_sum(passes, box, r0, nn, mm, dmax, groups, c_ref,
+                          x3, chunk, W):
+    """Switching sum of ONE windowed coordination feature: the group
+    loop is unrolled (static window offsets), each group streaming its
+    chunk-padded ``[rows, 2W]`` block of the windowed matrix through
+    :func:`_chunk_walk`. Per pair row this costs 2W MACs per pass
+    instead of c_cols — O(1) in system size."""
+    from .features import switching_function
+
+    T = x3.shape[2]
+    acc = jnp.zeros((1, T), x3.dtype)
+    for (row_off, npairs, oi, oj) in groups:
+        xcat = tuple(
+            jnp.concatenate(
+                [x3[i, oi : oi + W, :], x3[i, oj : oj + W, :]], axis=0)
+            for i in range(3)
+        )
+
+        def body(i, Ck, a, xcat=xcat, npairs=npairs):
+            d = tuple(_split3_mm(Ck, xcat[j], passes) for j in range(3))
+            if box is not None:
+                from .features import min_image_components
+
+                d = min_image_components(d, box)
+            r = jnp.sqrt(d[0] * d[0] + d[1] * d[1] + d[2] * d[2])
+            s = switching_function(r, r0, nn, mm, dmax)
+            return a + jnp.sum(
+                s * _chunk_valid(i, npairs, s.dtype, chunk),
+                axis=0, keepdims=True)
+
+        acc = _chunk_walk(c_ref, row_off, npairs, body, acc, chunk)
+    return acc
+
+
+def _windowed_feature_sum_bwd(passes, box, r0, nn, mm, dmax, groups, c_ref,
+                              x3, gy, chunk, W, out_ref, n_keep):
+    """x-cotangent of :func:`_windowed_feature_sum` (manual remat, same
+    group unroll), accumulated IN PLACE into
+    ``out_ref[:, :n_keep, :]`` — every store is a STATIC window slice.
+    Window tails past ``n_keep`` (x pad columns) carry exactly-zero
+    cotangents and are clipped."""
+    from .features import switching_function
+
+    for (row_off, npairs, oi, oj) in groups:
+        xcat = tuple(
+            jnp.concatenate(
+                [x3[i, oi : oi + W, :], x3[i, oj : oj + W, :]], axis=0)
+            for i in range(3)
+        )
+        wi = min(W, n_keep - oi)  # clip stores to the real gx rows
+        wj = min(W, n_keep - oj)
+
+        def body(i, Ck, carry, xcat=xcat, npairs=npairs, oi=oi, oj=oj,
+                 wi=wi, wj=wj):
+            d = tuple(_split3_mm(Ck, xcat[j], passes) for j in range(3))
+            if box is not None:
+                from .features import min_image_components
+
+                d = min_image_components(d, box)
+            r = jnp.sqrt(d[0] * d[0] + d[1] * d[1] + d[2] * d[2])
+            _, pull = jax.vjp(
+                lambda rr: switching_function(rr, r0, nn, mm, dmax), r
+            )
+            (gr,) = pull(jnp.broadcast_to(gy, r.shape))
+            scale = gr * _chunk_valid(i, npairs, r.dtype, chunk) \
+                / jnp.maximum(r, jnp.asarray(1e-20, r.dtype))
+            for j in range(3):
+                g2 = _split3_mm_t(Ck, scale * d[j], passes)  # [2W, T]
+                if wi > 0:
+                    out_ref[j, oi : oi + wi, :] = (
+                        out_ref[j, oi : oi + wi, :] + g2[:wi])
+                if wj > 0:
+                    out_ref[j, oj : oj + wj, :] = (
+                        out_ref[j, oj : oj + wj, :] + g2[W : W + wj])
+            return carry
+
+        _chunk_walk(c_ref, row_off, npairs, body,
+                    jnp.zeros((), x3.dtype), chunk)
+
+
 def _pad_cols(lay: BlockedLayout, x_blk):
     """Pad x to the chunk matrix's lane-aligned column count (the pad
     columns of C are zero, so the extra rows are inert)."""
@@ -793,21 +977,29 @@ def _pad_cols(lay: BlockedLayout, x_blk):
 def _chunked_coord_rows(lay: BlockedLayout, passes, x_blk, c_ref):
     """Switching sums of the chunked (large-pair-count) coordination
     features: ``-> {feature_index: [1, T]}`` — see
-    :func:`_coord_feature_sum`. ``c_ref`` is the C matrix HBM REF
-    (chunks stream per loop step, never materialized whole). NOT
-    differentiable — kernels treat the rows as vjp arguments and push
-    the row cotangents through :func:`_chunked_coord_grads`."""
+    :func:`_coord_feature_sum` / :func:`_windowed_feature_sum`.
+    ``c_ref`` is the streamed-matrix HBM REF (full-width C, or the
+    windowed CW when ``lay.windowed``; chunks stream per loop step,
+    never materialized whole). NOT differentiable — kernels treat the
+    rows as vjp arguments and push the row cotangents through
+    :func:`_chunked_coord_grads`."""
     rows = {}
     x3p = _pad_cols(lay, x_blk)
     for k in range(lay.nc):
-        off = lay.chunk_offs[k]
-        if off is None:
+        if lay.coord_resident[k]:
             continue
         r0, nn, mm = lay.coord_params[k]
-        rows[k] = _coord_feature_sum(
-            passes, lay.coord_boxes[k], r0, nn, mm, lay.coord_dmax[k],
-            off, lay.coord_npairs[k], c_ref, x3p, lay.chunk,
-        )
+        if lay.windowed:
+            rows[k] = _windowed_feature_sum(
+                passes, lay.coord_boxes[k], r0, nn, mm, lay.coord_dmax[k],
+                lay.w_groups[k], c_ref, x3p, lay.chunk, lay.win_w,
+            )
+        else:
+            rows[k] = _coord_feature_sum(
+                passes, lay.coord_boxes[k], r0, nn, mm, lay.coord_dmax[k],
+                lay.chunk_offs[k], lay.coord_npairs[k], c_ref, x3p,
+                lay.chunk,
+            )
     return rows
 
 
@@ -821,11 +1013,18 @@ def _chunked_coord_grads(lay: BlockedLayout, passes, x_blk, c_ref, g_rows,
     x3p = _pad_cols(lay, x_blk)
     for k, gy in g_rows.items():
         r0, nn, mm = lay.coord_params[k]
-        _coord_feature_sum_bwd(
-            passes, lay.coord_boxes[k], r0, nn, mm, lay.coord_dmax[k],
-            lay.chunk_offs[k], lay.coord_npairs[k], c_ref, x3p, gy,
-            lay.chunk, gx_ref, gx_ref.shape[1],
-        )
+        if lay.windowed:
+            _windowed_feature_sum_bwd(
+                passes, lay.coord_boxes[k], r0, nn, mm, lay.coord_dmax[k],
+                lay.w_groups[k], c_ref, x3p, gy, lay.chunk, lay.win_w,
+                gx_ref, gx_ref.shape[1],
+            )
+        else:
+            _coord_feature_sum_bwd(
+                passes, lay.coord_boxes[k], r0, nn, mm, lay.coord_dmax[k],
+                lay.chunk_offs[k], lay.coord_npairs[k], c_ref, x3p, gy,
+                lay.chunk, gx_ref, gx_ref.shape[1],
+            )
 
 
 def _feats_from_segs(segs, tensors, lay: BlockedLayout, activation, T,
@@ -959,13 +1158,13 @@ def _blk_forward(x_cmaj, D, DT, tensors, lay: BlockedLayout, activation,
 
     D/DT: bf16 edge matrix and its transpose (DT feeds the backward's
     cotangent matmul). C: bf16 chunk matrix of the chunked coordination
-    features (present iff ``lay.mc``). See :func:`_feats_from_segs` for
+    features (present iff ``lay.chunked``). See :func:`_feats_from_segs` for
     the tensor list convention.
     """
     E = [_edges_op(passes, D, DT, x_cmaj[i]) for i in range(3)]  # 3 x [m, T]
     segs = _slice_segments(E, lay)
     coord_rows = (_chunked_coord_rows(lay, passes, x_cmaj, c_ref)
-                  if lay.mc else None)
+                  if lay.chunked else None)
     return _feats_from_segs(
         segs, tensors, lay, activation, x_cmaj.shape[2], x_cmaj.dtype,
         coord_rows=coord_rows,
@@ -978,7 +1177,7 @@ def _blk_forward(x_cmaj, D, DT, tensors, lay: BlockedLayout, activation,
 
 
 def _blk_fwd_kernel(lay, activation, passes, x_ref, d_ref, dt_ref, *rest):
-    if lay.mc:
+    if lay.chunked:
         c_ref, *rest = rest
     else:
         c_ref = None
@@ -994,7 +1193,7 @@ def _blk_bwd_kernel(lay, activation, passes, x_ref, gy_ref, d_ref, dt_ref,
                     *rest):
     # rest = ([c_ref], *tensor_in_refs, gx_ref, *gtensor_out_refs
     #         [, xs, gxs, sem_in, sem_out])   (scratch when lay.mc)
-    if lay.mc:
+    if lay.chunked:
         c_ref, *rest = rest
         *rest, xs, gxs, sem_in, sem_out = rest
     n_t = (len(rest) - 1) // 2
@@ -1017,7 +1216,7 @@ def _blk_bwd_kernel(lay, activation, passes, x_ref, gy_ref, d_ref, dt_ref,
         E = [_split3_mm(D, x_blk[i], passes) for i in range(3)]
         segs = _slice_segments(E, lay)
 
-        if lay.mc:
+        if lay.chunked:
             # chunked coordination rows enter the vjp as ARGUMENTS
             # (tiny [1, T] rows); their cotangents drive the explicit
             # manual-remat backward loop for the x contribution
@@ -1049,7 +1248,7 @@ def _blk_bwd_kernel(lay, activation, passes, x_ref, gy_ref, d_ref, dt_ref,
                                  gx_out)
         return gtensors
 
-    if lay.mc:
+    if lay.chunked:
         # Condensed widths: x and gx ride as HBM (pl.ANY) operands with
         # ONE single-buffered VMEM scratch each (kernel-level
         # scratch_shapes) — the standard blocked I/O double-buffers
@@ -1088,7 +1287,7 @@ def _blk_train_kernel(lay, activation, passes, inv_count, l_total,
     """Blocked fused MSE training kernel: loss + parameter gradients, no
     coordinate-gradient compute/write; with ``train_ref=False`` the QCP
     backward chain is skipped too (see fused._train_kernel)."""
-    if lay.mc:
+    if lay.chunked:
         c_ref, *rest = rest
     n_skip = 1 if (lay.has_align and not train_ref) else 0
     n_t = (len(rest) - 1 - n_skip) // 2 + n_skip
@@ -1111,7 +1310,7 @@ def _blk_train_kernel(lay, activation, passes, inv_count, l_total,
     E = [_split3_mm(D, x_blk[i], passes) for i in range(3)]
     segs = _slice_segments(E, lay)
     coord_rows = (_chunked_coord_rows(lay, passes, x_blk, c_ref)
-                  if lay.mc else None)
+                  if lay.chunked else None)
 
     def loss_fn(tensors):
         y = _feats_from_segs(segs, fixed + list(tensors), lay, activation,
@@ -1200,7 +1399,7 @@ def _blk_cv_forces_kernel(lay, activation, passes, component, x_ref, d_ref,
                           dt_ref, *rest):
     # rest = ([c_ref], *tensor_refs, y_ref, gx_ref
     #         [, xs, gxs, sem_in, sem_out])   (scratch when lay.mc)
-    if lay.mc:
+    if lay.chunked:
         c_ref, *rest = rest
         *rest, xs, gxs, sem_in, sem_out = rest
     n_t = len(rest) - 2
@@ -1214,7 +1413,7 @@ def _blk_cv_forces_kernel(lay, activation, passes, component, x_ref, d_ref,
         E = [_split3_mm(D, x_blk[i], passes) for i in range(3)]
         segs = _slice_segments(E, lay)
 
-        if lay.mc:
+        if lay.chunked:
             # rows as vjp arguments + explicit backward loop
             # (_blk_bwd_kernel)
             coord_rows = _chunked_coord_rows(lay, passes, x_blk, c_ref)
@@ -1236,7 +1435,7 @@ def _blk_cv_forces_kernel(lay, activation, passes, component, x_ref, d_ref,
         else:
             row = jax.lax.broadcasted_iota(jnp.int32, y.shape, 0)
             ct = (row == component).astype(y.dtype)
-        if lay.mc:
+        if lay.chunked:
             gsegs, g_rows = vjp(ct)
         else:
             (gsegs,) = vjp(ct)
@@ -1253,7 +1452,7 @@ def _blk_cv_forces_kernel(lay, activation, passes, component, x_ref, d_ref,
             _chunked_coord_grads(lay, passes, x_blk, c_ref, g_rows,
                                  gx_out)
 
-    if lay.mc:
+    if lay.chunked:
         # single-buffered HBM x/gx via manual DMA through kernel-level
         # scratch — see _blk_bwd_kernel for the VMEM accounting that
         # forces this at condensed widths
@@ -1392,8 +1591,10 @@ def _check_tile(tile, interpret):
 
 
 def _c_operand(lay, c_mat=None):
-    """The bf16 chunk matrix of the chunked coordination features as a
-    kernel operand tuple (empty when every feature is resident in D).
+    """The bf16 streamed matrix of the chunked coordination features as
+    a kernel operand tuple (empty when every feature is resident in D):
+    the full-width chunk matrix ``C [mc, c_cols]``, or the windowed
+    matrix ``CW [mw, 2W]`` when ``lay.windowed``.
 
     By default the matrix is closure-captured — under the caller's
     ``jit`` it becomes an HLO CONSTANT baked into the executable, which
@@ -1403,39 +1604,44 @@ def _c_operand(lay, c_mat=None):
     :func:`chunk_matrix`, routed through the caller's jit boundary as a
     REAL argument — keeps the executable small and the matrix a single
     HBM buffer."""
-    if not lay.mc:
+    if not lay.chunked:
         if c_mat is not None:
             raise ValueError(
                 "c_mat given but this model has no chunked coordination "
                 "features")
         return ()
+    want = ((lay.mw, 2 * lay.win_w) if lay.windowed
+            else (lay.mc, lay.c_cols))
     if c_mat is not None:
-        want = (lay.mc, lay.c_cols)
         if tuple(c_mat.shape) != want or c_mat.dtype != jnp.bfloat16:
             raise ValueError(
                 f"c_mat must be bf16 {want} (use chunk_matrix(model)); "
                 f"got {c_mat.dtype} {tuple(c_mat.shape)}")
         return (c_mat,)
-    return (jnp.asarray(lay.C, dtype=jnp.bfloat16),)
+    src = lay.CW if lay.windowed else lay.C
+    return (jnp.asarray(src, dtype=jnp.bfloat16),)
 
 
 def chunk_matrix(spec, align_idx):
-    """The chunk matrix of a spec's chunked coordination features as a
-    bf16 numpy array (``None`` when everything is resident in D). Pass
-    it through your ``jit`` boundary into ``c_mat=`` of the cv-forces /
+    """The streamed matrix of a spec's chunked coordination features as
+    a bf16 numpy array (``None`` when everything is resident in D) —
+    the full-width chunk matrix, or the windowed ``[mw, 2W]`` matrix
+    for windowed layouts (same operand slot either way). Pass it
+    through your ``jit`` boundary into ``c_mat=`` of the cv-forces /
     train-grads entry points so multi-GB pair tables ride as one device
     buffer instead of an HLO constant per executable."""
     lay = blocked_layout(spec, align_idx)
-    if not lay.mc:
+    if not lay.chunked:
         return None
-    return lay.C.astype(jnp.bfloat16)  # ml_dtypes bf16 via numpy astype
+    src = lay.CW if lay.windowed else lay.C
+    return src.astype(jnp.bfloat16)  # ml_dtypes bf16 via numpy astype
 
 
 def _mc_scratch(lay, tile, dtype):
     """Kernel-level scratch of the chunked backward/cv+forces kernels:
     single-buffered x and gx VMEM slabs + their DMA semaphores (empty
     for resident layouts, which use windowed I/O)."""
-    if not lay.mc:
+    if not lay.chunked:
         return ()
     return (
         pltpu.VMEM((3, lay.x_cols, tile), dtype),
@@ -1517,9 +1723,9 @@ def _blk_bwd_impl(spec, align_idx, activation, tile, interpret,
     # by tile inside the kernel through ONE VMEM scratch each — the
     # windowed-I/O double buffers are the VMEM-binding term at
     # condensed widths (see _blk_bwd_kernel)
-    x_in = (pl.BlockSpec(memory_space=pl.ANY) if lay.mc
+    x_in = (pl.BlockSpec(memory_space=pl.ANY) if lay.chunked
             else _x_spec(lay.x_cols, tile))
-    gx_out = (pl.BlockSpec(memory_space=pl.ANY) if lay.mc
+    gx_out = (pl.BlockSpec(memory_space=pl.ANY) if lay.chunked
               else _x_spec(lay.n_active, tile))
     out_specs = [gx_out] + [_full_spec(t) for t in tensors]
     cmat = _c_operand(lay, c_mat)
@@ -1637,9 +1843,9 @@ def blocked_cv_forces(spec, align_idx, activation, params, ref_x, x, *,
     passes = _PRECISION_PASSES[precision]
     cmat = _c_operand(lay, c_mat)
     # chunked layouts: HBM x/gx with in-kernel DMA (see _blk_bwd_impl)
-    x_in = (pl.BlockSpec(memory_space=pl.ANY) if lay.mc
+    x_in = (pl.BlockSpec(memory_space=pl.ANY) if lay.chunked
             else _x_spec(lay.x_cols, tile))
-    gx_out = (pl.BlockSpec(memory_space=pl.ANY) if lay.mc
+    gx_out = (pl.BlockSpec(memory_space=pl.ANY) if lay.chunked
               else _x_spec(lay.n_active, tile))
     y, gx = pl.pallas_call(
         functools.partial(

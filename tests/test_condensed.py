@@ -226,15 +226,118 @@ def test_adaptive_chunk_selection():
                       pbc_box=box2, d_max=2.0 * 1.7)]
     pp2 = PreprocessingANN(None, FeatureLayer(feats2, u2.atoms))
     lay2 = blocked_layout(pp2.feature_layer._spec, None)
-    assert lay2.chunk == 128
+    # windowed streaming engages at this width: the walk terms scale
+    # with 2W, so the full 512-row chunk survives here too
+    assert lay2.windowed and lay2.chunk == 512
     assert auto_tile(lay2, 1, backward=False) >= 128  # forward fits
     assert auto_tile(lay2, 1, backward=True) >= 128   # backward now too
 
     # past the envelope the model still refuses with the XLA escape
-    # (a wide head inflates the working set the same way ~14^3 width
-    # does, without the minutes-long all-pairs build)
+    # (a wide head inflates the working set the same way very large
+    # all-active widths do, without the minutes-long all-pairs build)
     with pytest.raises(ValueError, match="XLA path"):
-        auto_tile(lay2, 4096, backward=True)
+        auto_tile(lay2, 16384, backward=True)
+
+
+def test_windowed_chunk_parity(rng, monkeypatch):
+    """The windowed streaming formulation (r5): pair rows bucketed into
+    static (i-window, j-window) groups, streamed as [rows, 2W] — 2W
+    MACs per pair row instead of c_cols (O(1) in system size). Forced
+    on at toy scale via small W/chunk; parity of every entry point vs
+    XLA, plus the c_mat operand route with the windowed matrix."""
+    import jax
+    import jax.numpy as jnp
+
+    import molann_tpu.ops.fused_blocked as fb
+    from molann_tpu.feature import Feature
+    from molann_tpu.models.ann import FeatureLayer, PreprocessingANN
+    from molann_tpu.ops.fused import (fused_cv_forces,
+                                      fused_model_forward,
+                                      fused_train_grads,
+                                      model_chunk_matrix)
+
+    monkeypatch.setattr(fb, "_WIN_W", 16)
+    monkeypatch.setattr(fb, "_COORD_CHUNK", 64)
+    fb.blocked_layout.cache_clear()
+    try:
+        from molann_tpu.systems import lj_fluid_model
+
+        m, u, box = lj_fluid_model(4)  # 64 atoms, 2 x 2016 pairs
+        lay = fb.blocked_layout(
+            m.preprocessing_layer.feature_layer._spec, None)
+        assert lay.windowed and lay.mw > 0 and lay.mc == 0
+        assert lay.C is None and lay.CW is not None
+        assert lay.CW.shape == (lay.mw, 2 * lay.win_w)
+        # every real pair row has exactly one -1 (i side) and one +1
+        nz = np.count_nonzero(lay.CW, axis=1)
+        assert set(nz.tolist()) <= {0, 2}
+        assert (lay.CW.sum() == 0.0  # -1/+1 balance
+                and np.count_nonzero(nz) == sum(lay.coord_npairs))
+
+        x = jnp.asarray(
+            u.atoms.positions[None]
+            + 0.1 * rng.normal(size=(4, len(u.atoms), 3)), jnp.float32)
+        y0 = np.asarray(m(x))
+        g0 = np.asarray(jax.grad(lambda v: jnp.sum(m(v)))(x))
+        tol = 2e-5 * max(abs(y0).max(), 1.0)
+
+        y1 = np.asarray(fused_model_forward(m, x, mode="blocked",
+                                            interpret=True))
+        np.testing.assert_allclose(y1, y0, atol=tol)
+        yc, gc = fused_cv_forces(m, x, mode="blocked", interpret=True)
+        np.testing.assert_allclose(np.asarray(yc), y0, atol=tol)
+        np.testing.assert_allclose(np.asarray(gc), g0,
+                                   atol=2e-5 * abs(g0).max())
+        g1 = jax.grad(lambda v: jnp.sum(fused_model_forward(
+            m, v, mode="blocked", interpret=True)))(x)
+        np.testing.assert_allclose(np.asarray(g1), g0,
+                                   atol=2e-5 * abs(g0).max())
+        # the c_mat operand route streams the WINDOWED matrix
+        C = model_chunk_matrix(m)
+        assert C.shape == (lay.mw, 2 * lay.win_w)
+        yc2, gc2 = fused_cv_forces(m, x, mode="blocked", interpret=True,
+                                   c_mat=jax.device_put(C))
+        np.testing.assert_array_equal(np.asarray(yc2), np.asarray(yc))
+        np.testing.assert_array_equal(np.asarray(gc2), np.asarray(gc))
+        # train grads parity vs autodiff of the XLA model
+        yt = jnp.asarray(rng.normal(size=(4, 1)).astype(np.float32))
+        loss, _grads = fused_train_grads(
+            m, x, yt, mode="blocked", interpret=True)
+        l0 = float(jnp.mean((m(x) - yt) ** 2))
+        assert abs(float(loss) - l0) < 1e-5 * max(abs(l0), 1.0)
+    finally:
+        fb.blocked_layout.cache_clear()
+
+
+def test_windowed_padding_guard():
+    """Sparse wide features whose pairs scatter thinly over buckets pay
+    more in chunk-padded group tails than the narrow stream saves —
+    the layout falls back to the full-width stream past 2x row
+    inflation."""
+    import molann_tpu.ops.fused_blocked as fb
+    from molann_tpu.feature import Feature
+    from molann_tpu.models.ann import FeatureLayer, PreprocessingANN
+    from molann_tpu.topology import Universe
+
+    # 2048 atoms all active (via the position feature), plus ONE
+    # chunked coordination feature of 2048 pairs scattered over ~64
+    # (i, j) buckets — ~32 pairs per bucket against 512-row chunk
+    # padding would inflate the windowed matrix ~16x
+    n = 2048
+    rng = np.random.default_rng(3)
+    pos = rng.normal(size=(n, 3)).astype(np.float32) * 50
+    u = Universe.from_arrays(pos)
+    a = u.atoms[::64]   # 32 atoms spanning every i-bucket
+    b = u.atoms[1::32]  # 64 atoms spanning every j-bucket
+    feats = [
+        Feature("p", "position", u.atoms),  # all atoms active
+        Feature("c", "coordination", a, group_b=b, r0=2.0),
+    ]
+    pp = PreprocessingANN(None, FeatureLayer(feats, u.atoms))
+    lay = fb.blocked_layout(pp.feature_layer._spec, None)
+    assert lay.chunked and lay.c_cols == 2048  # windowing was eligible
+    assert not lay.windowed and lay.mw == 0    # ...but the guard tripped
+    assert lay.mc == -(-2048 // lay.chunk) * lay.chunk  # full-width C
 
 
 def test_small_chunk_parity(rng, monkeypatch):
